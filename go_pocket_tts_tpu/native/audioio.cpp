@@ -1,0 +1,50 @@
+// audioio: native host-side audio helpers.
+//
+// The reference accelerates its host hot loops with hand-written AVX2/NEON
+// assembly (internal/runtime/tensor/dot_amd64.s etc.). On TPU the device
+// compute path is XLA/Pallas; the remaining host-side hot loop in the serving
+// path is PCM conversion of decoded audio blocks before they hit the HTTP
+// socket. This file provides that as a small C++ kernel exposed over a plain
+// C ABI (loaded with ctypes; no pybind11 dependency).
+//
+// Build: `make -C go_pocket_tts_tpu/native` (produces libaudioio.so).
+
+#include <cstdint>
+#include <cstddef>
+#include <cmath>
+
+extern "C" {
+
+// Clamp float32 samples to [-1, 1] and convert to little-endian int16.
+// dst must hold n int16 values. Returns n.
+size_t pcm16_from_f32(const float* src, int16_t* dst, size_t n) {
+    for (size_t i = 0; i < n; ++i) {
+        float v = src[i];
+        if (v > 1.0f) v = 1.0f;
+        if (v < -1.0f) v = -1.0f;
+        dst[i] = (int16_t)lrintf(v * 32767.0f);
+    }
+    return n;
+}
+
+// Peak-absolute value of a float32 buffer (used by peak normalization and
+// the parity harness's peakAbs stat).
+float peak_abs_f32(const float* src, size_t n) {
+    float peak = 0.0f;
+    for (size_t i = 0; i < n; ++i) {
+        float v = src[i] < 0.0f ? -src[i] : src[i];
+        if (v > peak) peak = v;
+    }
+    return peak;
+}
+
+// Interleave/scale int16 → float32 (WAV decode hot path).
+size_t f32_from_pcm16(const int16_t* src, float* dst, size_t n) {
+    const float inv = 1.0f / 32768.0f;
+    for (size_t i = 0; i < n; ++i) {
+        dst[i] = (float)src[i] * inv;
+    }
+    return n;
+}
+
+}  // extern "C"
