@@ -1,0 +1,137 @@
+"""flowNet: the DiT-style adaLN flow-matching head and LSD Euler decode.
+
+Architecture (weights under ``flow_lm.flow_net.*``; behaviour parity with
+`internal/native/flow_net.go`):
+
+- two timestep embedders (for times s and t): ``emb = [cos(t·freqs),
+  sin(t·freqs)]`` → Linear → SiLU → Linear → RMSNorm(alpha, Bessel variance)
+  (`flow_net.go:42-83`)
+- conditioning ``y = 0.5·(emb_s + emb_t) + cond_embed(c)``
+  (`flow_net.go:314-343`)
+- N residual blocks: adaLN(SiLU(y)) → shift/scale/gate; LN(eps=1e-6) →
+  modulate → Linear → SiLU → Linear → ·gate → +residual (`flow_net.go:116-172`)
+- final layer: adaLN shift/scale → LN(no affine, eps=1e-6) → modulate →
+  Linear (`flow_net.go:205-239`)
+- LSD decode: Euler integration ``x += f(c, i/n, (i+1)/n, x) / n``
+  (`flow_lm.go:311-353`)
+
+All matmuls here are tiny (≤ 1024×1536); under jit the whole per-step chain
+fuses into a handful of MXU calls, so no Pallas kernel is needed — measured
+as part of the AR-step program.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from go_pocket_tts_tpu.models.params import VarBuilder, apply_linear, layer_norm_params, linear_params
+from go_pocket_tts_tpu.ops import layer_norm, modulate, rms_norm_bessel, silu
+
+__all__ = ["load_flow_net", "flow_direction", "lsd_decode"]
+
+Params = Dict
+
+
+def _load_timestep_embedder(vb: VarBuilder) -> Params:
+    return {
+        "freqs": vb.tensor("freqs"),
+        "mlp0": linear_params(vb, "mlp.0", with_bias=True),
+        "mlp2": linear_params(vb, "mlp.2", with_bias=True),
+        "alpha": vb.tensor("mlp.3.alpha"),
+    }
+
+
+def load_flow_net(vb: VarBuilder) -> Params:
+    """Load flowNet params from ``flow_lm.flow_net`` (res-block count probed
+    by key presence, `flow_net.go:271-288`)."""
+    res_blocks = []
+    i = 0
+    while vb.path("res_blocks", str(i)).has("in_ln.weight"):
+        rb = vb.path("res_blocks", str(i))
+        res_blocks.append(
+            {
+                "in_ln": layer_norm_params(rb, "in_ln"),
+                "mlp0": linear_params(rb, "mlp.0", with_bias=True),
+                "mlp2": linear_params(rb, "mlp.2", with_bias=True),
+                "adaln": linear_params(rb, "adaLN_modulation.1", with_bias=True),
+            }
+        )
+        i += 1
+    if not res_blocks:
+        raise ValueError("flow_net: no res blocks found")
+    return {
+        "time_embed_0": _load_timestep_embedder(vb.path("time_embed", "0")),
+        "time_embed_1": _load_timestep_embedder(vb.path("time_embed", "1")),
+        "cond_embed": linear_params(vb, "cond_embed", with_bias=True),
+        "input_proj": linear_params(vb, "input_proj", with_bias=True),
+        "res_blocks": res_blocks,
+        "final_linear": linear_params(vb.path("final_layer"), "linear", with_bias=True),
+        "final_adaln": linear_params(
+            vb.path("final_layer"), "adaLN_modulation.1", with_bias=True
+        ),
+    }
+
+
+def _timestep_embed(params: Params, t: jax.Array) -> jax.Array:
+    """``t``: [B, 1] → [B, flow_dim]."""
+    args = t * params["freqs"][None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    x = apply_linear(params["mlp0"], emb)
+    x = silu(x)
+    x = apply_linear(params["mlp2"], x)
+    return rms_norm_bessel(x, params["alpha"], eps=1e-5)
+
+
+def _res_block(params: Params, x: jax.Array, y: jax.Array) -> jax.Array:
+    ada = apply_linear(params["adaln"], silu(y))
+    shift, scale, gate = jnp.split(ada, 3, axis=-1)
+    h = layer_norm(x, params["in_ln"]["weight"], params["in_ln"]["bias"], eps=1e-6)
+    h = modulate(h, shift, scale)
+    h = apply_linear(params["mlp0"], h)
+    h = silu(h)
+    h = apply_linear(params["mlp2"], h)
+    return x + h * gate
+
+
+def flow_direction(
+    params: Params, c: jax.Array, s: jax.Array, t: jax.Array, x: jax.Array
+) -> jax.Array:
+    """Flow field for latent ``x`` [B, L] under condition ``c`` [B, D].
+
+    ``s``/``t`` are [B, 1] integration times.
+    """
+    x_proj = apply_linear(params["input_proj"], x)
+    t0 = _timestep_embed(params["time_embed_0"], s)
+    t1 = _timestep_embed(params["time_embed_1"], t)
+    y = 0.5 * (t0 + t1) + apply_linear(params["cond_embed"], c)
+
+    cur = x_proj
+    for rb in params["res_blocks"]:
+        cur = _res_block(rb, cur, y)
+
+    ada = apply_linear(params["final_adaln"], silu(y))
+    shift, scale = jnp.split(ada, 2, axis=-1)
+    out = layer_norm(cur, eps=1e-6)
+    out = modulate(out, shift, scale)
+    return apply_linear(params["final_linear"], out)
+
+
+def lsd_decode(params: Params, cond: jax.Array, x0: jax.Array, steps: int) -> jax.Array:
+    """Euler-integrate the flow from noise ``x0`` [B, L]; ``steps`` is static
+    (default 1, `internal/config/config.go:101`)."""
+    if steps <= 0:
+        raise ValueError("lsd decode steps must be > 0")
+    inv = 1.0 / steps
+    b = x0.shape[0]
+
+    def body(i, x):
+        s = jnp.full((b, 1), i * inv, dtype=x.dtype)
+        t = jnp.full((b, 1), (i + 1) * inv, dtype=x.dtype)
+        return x + flow_direction(params, cond, s, t, x) * inv
+
+    if steps == 1:
+        return body(jnp.float32(0), x0)
+    return jax.lax.fori_loop(0, steps, lambda i, x: body(i.astype(jnp.float32), x), x0)

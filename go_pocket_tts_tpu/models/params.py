@@ -1,0 +1,94 @@
+"""Parameter-tree helpers: a thin VarBuilder over the safetensors store.
+
+The reference walks checkpoints with a hierarchical dotted-prefix VarBuilder
+(`internal/native/var_builder.go:13-110`). Here the analogous object loads
+NumPy arrays (converted to JAX on demand), supports prefix scoping, optional
+shape assertion, presence checks, and layer-count discovery by key probing —
+the loader never hardcodes layer counts (`flow_transformer.go:482-511`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from go_pocket_tts_tpu.utils.safetensors import Store
+
+__all__ = ["VarBuilder", "linear_params", "layer_norm_params"]
+
+
+class VarBuilder:
+    """Dotted-prefix view over a safetensors Store yielding jnp arrays."""
+
+    def __init__(self, store: Store, prefix: str = "", dtype=jnp.float32) -> None:
+        self._store = store
+        self._prefix = prefix
+        self._dtype = dtype
+
+    def path(self, *parts: str) -> "VarBuilder":
+        joined = ".".join(parts)
+        prefix = f"{self._prefix}.{joined}" if self._prefix else joined
+        return VarBuilder(self._store, prefix, self._dtype)
+
+    def full_name(self, name: str) -> str:
+        return f"{self._prefix}.{name}" if self._prefix else name
+
+    def has(self, name: str) -> bool:
+        return self._store.has(self.full_name(name))
+
+    def shape(self, name: str) -> Tuple[int, ...]:
+        return self._store.shape(self.full_name(name))
+
+    def tensor(self, name: str, *shape: int) -> jnp.ndarray:
+        full = self.full_name(name)
+        arr = self._store.tensor_f32(full)
+        if shape and tuple(arr.shape) != tuple(shape):
+            raise ValueError(
+                f"tensor {full!r} has shape {arr.shape}, expected {tuple(shape)}"
+            )
+        return jnp.asarray(arr, dtype=self._dtype)
+
+    def tensor_maybe(self, name: str) -> Optional[jnp.ndarray]:
+        if not self.has(name):
+            return None
+        return self.tensor(name)
+
+
+def linear_params(vb: VarBuilder, name: str, with_bias: bool) -> Dict[str, jnp.ndarray]:
+    """Load a torch-layout linear: weight ``[out, in]``, optional bias ``[out]``.
+
+    Weights are stored **transposed** to ``[in, out]`` so the forward pass is
+    a plain ``x @ w`` — the layout XLA prefers for feeding the MXU without an
+    extra transpose fusion.
+    """
+    w = vb.tensor(name + ".weight")
+    if w.ndim != 2:
+        raise ValueError(f"linear {name!r} weight must be rank-2, got {w.shape}")
+    params = {"w": w.T}
+    if with_bias:
+        b = vb.tensor_maybe(name + ".bias")
+        if b is not None:
+            if b.shape != (w.shape[0],):
+                raise ValueError(
+                    f"linear {name!r} bias shape {b.shape} incompatible with weight {w.shape}"
+                )
+            params["b"] = b
+    return params
+
+
+def layer_norm_params(vb: VarBuilder, name: str) -> Dict[str, jnp.ndarray]:
+    return {
+        "weight": vb.tensor(name + ".weight"),
+        "bias": vb.tensor(name + ".bias"),
+    }
+
+
+def apply_linear(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
+    """``y = x @ w (+ b)`` with f32 accumulation on the MXU."""
+    y = jnp.matmul(x, params["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+    y = y.astype(x.dtype)
+    if "b" in params:
+        y = y + params["b"].astype(x.dtype)
+    return y

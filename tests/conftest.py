@@ -11,7 +11,11 @@ they live at conftest import time.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU (the session env/sitecustomize may pre-register a TPU platform
+# and override JAX_PLATFORMS via jax.config); override with
+# POCKETTTS_TEST_PLATFORM=tpu/axon to run the suite on hardware.
+_platform = os.environ.get("POCKETTTS_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -22,3 +26,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _ROOT not in sys.path:
     sys.path.insert(0, _ROOT)
+
+# The axon sitecustomize re-registers the TPU platform via jax.config at
+# interpreter start, ignoring JAX_PLATFORMS — pin it back here, before any
+# test touches a backend.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)
