@@ -1,0 +1,324 @@
+"""FlowLM transformer: pre-norm layers with fused-QKV attention and a
+static-capacity KV cache.
+
+Reference behaviour (`internal/native/flow_transformer.go`):
+
+- per layer: LN → fused in_proj (QKV) → split → ``[B,H,T,Dh]`` → RoPE(q,k at
+  cache offset) → append KV → position-masked attention → out_proj → residual;
+  LN → linear1 → GELU(erf) → linear2 → residual (`flow_transformer.go:326-389`)
+- stateless full-sequence forward used by the legacy resequencing path
+  (`flow_transformer.go:733-747`)
+- voice model-state hydration from ``[2,B,T,H,Dh]`` caches + offset scalars
+  (`flow_transformer.go:451-631`)
+- RoPE tables: max_seq 8192, max_period 10000 (`flow_transformer.go:505-509`)
+- head-count detection heuristic {16,8,4,2,1} (`flow_transformer.go:834-864`)
+
+TPU-first design departures from the Go implementation:
+
+- the KV cache is a **fixed-capacity** pytree ``[L,B,H,C,Dh]`` with a traced
+  ``offset`` scalar, instead of a dynamically grown buffer; unwritten slots
+  are excluded by the absolute-position mask, which is exactly the semantics
+  the Go code encodes via posK = −1 padding (`flow_transformer.go:404-420`)
+- all layers share one offset (the reference tracks per-layer offsets that
+  are always advanced in lock-step; hydration validates they agree)
+- cache writes are ``dynamic_update_slice`` at the offset, so prefill + the
+  whole AR loop stay inside compiled programs
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from go_pocket_tts_tpu.models.params import (
+    VarBuilder,
+    apply_linear,
+    layer_norm_params,
+    linear_params,
+)
+from go_pocket_tts_tpu.ops import (
+    apply_rope,
+    attention_with_positions,
+    build_rope_tables,
+    gelu_erf,
+    layer_norm,
+)
+
+__all__ = [
+    "TransformerConfig",
+    "detect_num_heads",
+    "load_flow_transformer",
+    "init_kv_cache",
+    "kv_cache_from_voice_state",
+    "transformer_forward_cached",
+    "transformer_forward_stateless",
+]
+
+Params = Dict
+
+
+@dataclass(frozen=True)
+class TransformerConfig:
+    num_layers: int
+    num_heads: int
+    head_dim: int
+    d_model: int
+    max_period: float = 10000.0
+    max_seq: int = 8192
+    context: Optional[int] = None  # sliding attention window (Mimi: 250)
+
+
+def detect_num_heads(d_model: int, fallback: int = 16) -> int:
+    """Head-count heuristic from known PocketTTS configs
+    (`flow_transformer.go:834-864`)."""
+    for n in (16, 8, 4, 2, 1):
+        if d_model % n == 0:
+            return n
+    return fallback
+
+
+def _load_layer(vb: VarBuilder) -> Params:
+    return {
+        "norm1": layer_norm_params(vb, "norm1"),
+        "norm2": layer_norm_params(vb, "norm2"),
+        "in_proj": linear_params(vb, "self_attn.in_proj", with_bias=False),
+        "out_proj": linear_params(vb, "self_attn.out_proj", with_bias=False),
+        "linear1": linear_params(vb, "linear1", with_bias=False),
+        "linear2": linear_params(vb, "linear2", with_bias=False),
+    }
+
+
+def load_flow_transformer(
+    vb: VarBuilder, num_heads: int = 0, max_period: float = 10000.0
+) -> Tuple[Params, TransformerConfig]:
+    """Load layers under ``<vb>.transformer.layers.N`` (count probed by key
+    presence, `flow_transformer.go:482-511`)."""
+    layers: List[Params] = []
+    i = 0
+    while vb.path("transformer", "layers", str(i)).has("norm1.weight"):
+        layers.append(_load_layer(vb.path("transformer", "layers", str(i))))
+        i += 1
+    if not layers:
+        raise ValueError("flow transformer: no layers found")
+
+    d_model = layers[0]["out_proj"]["w"].shape[1]
+    if num_heads <= 0:
+        num_heads = detect_num_heads(d_model)
+    if d_model % num_heads != 0:
+        raise ValueError(f"d_model {d_model} not divisible by num_heads {num_heads}")
+
+    cfg = TransformerConfig(
+        num_layers=len(layers),
+        num_heads=num_heads,
+        head_dim=d_model // num_heads,
+        d_model=d_model,
+        max_period=max_period,
+    )
+    cos, sin = build_rope_tables(cfg.max_seq, cfg.head_dim, cfg.max_period)
+    params = {"layers": layers, "rope_cos": cos, "rope_sin": sin}
+    return params, cfg
+
+
+# -- KV cache ---------------------------------------------------------------
+
+
+def init_kv_cache(
+    cfg: TransformerConfig, batch: int, capacity: int, dtype=jnp.float32
+) -> Params:
+    """Zero cache ``{k,v: [L,B,H,C,Dh], offset: int32}``."""
+    shape = (cfg.num_layers, batch, cfg.num_heads, capacity, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype=dtype),
+        "v": jnp.zeros(shape, dtype=dtype),
+        "offset": jnp.int32(0),
+    }
+
+
+def kv_cache_from_voice_state(
+    cfg: TransformerConfig,
+    modules: Dict[str, Dict[str, np.ndarray]],
+    capacity: int,
+    dtype=jnp.float32,
+) -> Params:
+    """Hydrate a cache from upstream voice model state.
+
+    Upstream stores per-module ``cache [2,B,T,H,Dh]`` + ``offset`` under
+    ``transformer.layers.N.self_attn`` (`flow_transformer.go:451-631`). The
+    [2] axis is K/V; the layout is time-major ``[T,H,Dh]`` vs our head-major
+    ``[H,T,Dh]``.
+    """
+    ks, vs = [], []
+    offsets = []
+    for i in range(cfg.num_layers):
+        name = f"transformer.layers.{i}.self_attn"
+        module = modules.get(name)
+        if module is None:
+            raise ValueError(f"voice model state missing module {name!r}")
+        cache = np.asarray(module.get("cache"))
+        off_t = module.get("offset")
+        if cache is None or off_t is None:
+            raise ValueError(f"voice model state module {name!r} missing cache/offset")
+        if cache.ndim != 5 or cache.shape[0] != 2:
+            raise ValueError(
+                f"voice model state module {name!r} cache shape {cache.shape}, want [2,B,T,H,D]"
+            )
+        _, b, t, h, dh = cache.shape
+        if h != cfg.num_heads or dh != cfg.head_dim:
+            raise ValueError(
+                f"voice model state module {name!r} heads/dim ({h},{dh}) != ({cfg.num_heads},{cfg.head_dim})"
+            )
+        off = float(np.asarray(off_t).reshape(-1)[0])
+        if off != int(off) or off < 0:
+            raise ValueError(f"voice model state module {name!r} offset {off} invalid")
+        off = int(off)
+        if off > t:
+            raise ValueError(
+                f"voice model state module {name!r} offset {off} exceeds cache length {t}"
+            )
+        if t > capacity:
+            raise ValueError(
+                f"voice cache length {t} exceeds KV capacity {capacity}; "
+                f"raise the prompt bucket"
+            )
+        offsets.append(off)
+        # [B,T,H,Dh] → [B,H,T,Dh], zero-pad time to capacity.
+        k = np.moveaxis(cache[0], 2, 1)
+        v = np.moveaxis(cache[1], 2, 1)
+        pad = ((0, 0), (0, 0), (0, capacity - t), (0, 0))
+        ks.append(np.pad(k, pad))
+        vs.append(np.pad(v, pad))
+    if len(set(offsets)) != 1:
+        raise ValueError(f"voice model state has inconsistent per-layer offsets {offsets}")
+    return {
+        "k": jnp.asarray(np.stack(ks), dtype=dtype),
+        "v": jnp.asarray(np.stack(vs), dtype=dtype),
+        "offset": jnp.int32(offsets[0]),
+    }
+
+
+# -- forward ----------------------------------------------------------------
+
+
+def _split_heads(x: jax.Array, num_heads: int, head_dim: int) -> jax.Array:
+    b, t, _ = x.shape
+    return x.reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def _layer_cached(
+    layer: Params,
+    cfg: TransformerConfig,
+    rope_cos: jax.Array,
+    rope_sin: jax.Array,
+    x: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    offset: jax.Array,
+    pos_q: jax.Array,
+    pos_k: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    n1 = layer_norm(x, layer["norm1"]["weight"], layer["norm1"]["bias"])
+    qkv = apply_linear(layer["in_proj"], n1)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = _split_heads(q, cfg.num_heads, cfg.head_dim)
+    k = _split_heads(k, cfg.num_heads, cfg.head_dim)
+    v = _split_heads(v, cfg.num_heads, cfg.head_dim)
+    q = apply_rope(q, rope_cos, rope_sin, offset)
+    k = apply_rope(k, rope_cos, rope_sin, offset)
+
+    # Append K/V at the offset (sequential slots == absolute positions).
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, 0, offset, 0))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, 0, offset, 0))
+
+    attn = attention_with_positions(q, k_cache, v_cache, pos_q, pos_k, cfg.context)
+    x = x + apply_linear(layer["out_proj"], _merge_heads(attn))
+
+    n2 = layer_norm(x, layer["norm2"]["weight"], layer["norm2"]["bias"])
+    ff = apply_linear(layer["linear1"], n2)
+    ff = gelu_erf(ff)
+    ff = apply_linear(layer["linear2"], ff)
+    return x + ff, k_cache, v_cache
+
+
+def transformer_forward_cached(
+    params: Params,
+    cfg: TransformerConfig,
+    cache: Params,
+    x: jax.Array,
+    valid_len: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Params]:
+    """Prefill (T>1) or AR step (T=1) through all layers with cache update.
+
+    ``x``: [B, T, D]; T is static. ``valid_len`` (traced, ≤ T) marks how many
+    of the T tokens are real; the offset advances by ``valid_len`` and padded
+    tokens are never visible to later queries (their cache slots sit beyond
+    the new offset and are overwritten by subsequent writes).
+    """
+    t = x.shape[1]
+    offset = cache["offset"]
+    valid = jnp.asarray(valid_len if valid_len is not None else t, dtype=jnp.int32)
+    capacity = cache["k"].shape[3]
+
+    pos_q = offset + jnp.arange(t, dtype=jnp.int32)
+    # Causal masking over absolute positions handles unwritten/padded slots:
+    # a slot's position equals its index, and slots ahead of the current query
+    # are excluded by delta >= 0 (attention.go:473-484 semantics).
+    pos_k = jnp.arange(capacity, dtype=jnp.int32)
+
+    k_all, v_all = cache["k"], cache["v"]
+    new_k, new_v = [], []
+    for i, layer in enumerate(params["layers"]):
+        x, k_i, v_i = _layer_cached(
+            layer,
+            cfg,
+            params["rope_cos"],
+            params["rope_sin"],
+            x,
+            k_all[i],
+            v_all[i],
+            offset,
+            pos_q,
+            pos_k,
+        )
+        new_k.append(k_i)
+        new_v.append(v_i)
+
+    new_cache = {
+        "k": jnp.stack(new_k),
+        "v": jnp.stack(new_v),
+        "offset": offset + valid,
+    }
+    return x, new_cache
+
+
+def transformer_forward_stateless(
+    params: Params, cfg: TransformerConfig, x: jax.Array
+) -> jax.Array:
+    """Full-sequence causal forward without a cache (the reference's
+    ``FlowMain`` resequencing path, `flow_transformer.go:733-747`)."""
+    t = x.shape[1]
+    pos = jnp.arange(t, dtype=jnp.int32)
+    for layer in params["layers"]:
+        n1 = layer_norm(x, layer["norm1"]["weight"], layer["norm1"]["bias"])
+        qkv = apply_linear(layer["in_proj"], n1)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _split_heads(q, cfg.num_heads, cfg.head_dim)
+        k = _split_heads(k, cfg.num_heads, cfg.head_dim)
+        v = _split_heads(v, cfg.num_heads, cfg.head_dim)
+        q = apply_rope(q, params["rope_cos"], params["rope_sin"], 0)
+        k = apply_rope(k, params["rope_cos"], params["rope_sin"], 0)
+        attn = attention_with_positions(q, k, v, pos, pos, cfg.context)
+        x = x + apply_linear(layer["out_proj"], _merge_heads(attn))
+        n2 = layer_norm(x, layer["norm2"]["weight"], layer["norm2"]["bias"])
+        ff = apply_linear(layer["linear1"], n2)
+        ff = gelu_erf(ff)
+        x = x + apply_linear(layer["linear2"], ff)
+    return x

@@ -274,7 +274,7 @@ REQUIRED_MODEL_KEYS = (
     "flow_lm.flow_net.input_proj.weight",
     "flow_lm.bos_emb",
     "mimi.quantizer.output_proj.weight",
-    "mimi.decoder.model.0.conv.conv.weight",
+    "mimi.decoder.model.0.conv.weight",
 )
 
 

@@ -97,7 +97,7 @@ def test_validate_model_keys(tmp_path):
     st.write_file(p, tensors)
     st.validate_model_keys(p)  # should not raise
 
-    del tensors["flow_lm.bos_emb"]
+    tensors = {k: v for k, v in tensors.items() if k != "flow_lm.bos_emb"}
     p2 = tmp_path / "missing.safetensors"
     st.write_file(p2, tensors)
     with pytest.raises(st.SafetensorsError, match="bos_emb"):
