@@ -25,7 +25,7 @@ layer, and ELUs fuse into the surrounding convolutions.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from typing import Dict, Tuple
 
 import jax
@@ -62,6 +62,12 @@ class MimiConfig:
     num_heads: int = 8
     max_period: float = 10000.0
     context: int = 250
+    # Static conv metadata (part of the config, not the param pytree, so jit
+    # sees them as compile-time constants). upsample_groups is read from the
+    # checkpoint at load; SEANet strides are the reference's 6/5/4
+    # (`mimi.go:582-602`).
+    upsample_groups: int = 512
+    seanet_strides: Tuple[int, int, int] = (6, 5, 4)
 
     @property
     def steps_per_latent(self) -> int:
@@ -88,7 +94,7 @@ def _load_conv(vb: VarBuilder, with_bias: bool) -> Params:
     return p
 
 
-def _load_convtr(vb: VarBuilder, stride: int, groups: int, with_bias: bool) -> Params:
+def _load_convtr(vb: VarBuilder, groups: int, with_bias: bool) -> Params:
     w = vb.tensor("weight")  # [I, O/g, K]
     if w.ndim != 3:
         raise ValueError(f"convtranspose1d weight must be rank-3, got {w.shape}")
@@ -96,8 +102,6 @@ def _load_convtr(vb: VarBuilder, stride: int, groups: int, with_bias: bool) -> P
         # Pre-repacked once at load — the TPU analogue of the reference's
         # RepackConvTransposeKernel (ops/convtranspose1d.go:16-33).
         "w": repack_conv_transpose_kernel(w, groups),
-        "stride": stride,
-        "groups": groups,
     }
     if with_bias:
         b = vb.tensor_maybe("bias")
@@ -153,22 +157,22 @@ def load_mimi(vb: VarBuilder, cfg: MimiConfig = MimiConfig()) -> Tuple[Params, M
     cos, sin = build_rope_tables(8192, head_dim, cfg.max_period)
 
     upsample_groups = int(mimi.path("upsample", "convtr", "convtr").shape("weight")[0])
+    cfg = replace(cfg, upsample_groups=upsample_groups)
 
     params = {
         "quantizer_out_proj": _load_conv(mimi.path("quantizer", "output_proj"), with_bias=False),
         "upsample": _load_convtr(
             mimi.path("upsample", "convtr", "convtr"),
-            stride=cfg.steps_per_latent,
             groups=upsample_groups,
             with_bias=False,
         ),
         "transformer": {"layers": layers, "rope_cos": cos, "rope_sin": sin},
         "init_conv": _load_conv(mimi.path("decoder", "model", "0", "conv"), with_bias=True),
-        "up1": _load_convtr(mimi.path("decoder", "model", "2", "convtr"), 6, 1, True),
+        "up1": _load_convtr(mimi.path("decoder", "model", "2", "convtr"), 1, True),
         "res1": _load_resblock(mimi.path("decoder", "model", "3")),
-        "up2": _load_convtr(mimi.path("decoder", "model", "5", "convtr"), 5, 1, True),
+        "up2": _load_convtr(mimi.path("decoder", "model", "5", "convtr"), 1, True),
         "res2": _load_resblock(mimi.path("decoder", "model", "6")),
-        "up3": _load_convtr(mimi.path("decoder", "model", "8", "convtr"), 4, 1, True),
+        "up3": _load_convtr(mimi.path("decoder", "model", "8", "convtr"), 1, True),
         "res3": _load_resblock(mimi.path("decoder", "model", "9")),
         "final_conv": _load_conv(mimi.path("decoder", "model", "11", "conv"), with_bias=True),
     }
@@ -190,8 +194,8 @@ def quantizer_project(params: Params, latent_bct: jax.Array) -> jax.Array:
     return out
 
 
-def _convtr(p: Params, x: jax.Array) -> jax.Array:
-    return conv_transpose1d_trim(x, p["w"], p.get("b"), p["stride"], p["groups"])
+def _convtr(p: Params, x: jax.Array, stride: int, groups: int = 1) -> jax.Array:
+    return conv_transpose1d_trim(x, p["w"], p.get("b"), stride, groups)
 
 
 def _conv(p: Params, x: jax.Array) -> jax.Array:
@@ -243,17 +247,18 @@ def _transformer(params: Params, cfg: MimiConfig, x: jax.Array) -> jax.Array:
 
 def mimi_decode(params: Params, cfg: MimiConfig, mimi_latent: jax.Array) -> jax.Array:
     """``[B, 512, T] → [B, 1, 1920·T]`` PCM (`mimi.go:719-789`)."""
-    x = _convtr(params["upsample"], mimi_latent)
+    s1, s2, s3 = cfg.seanet_strides
+    x = _convtr(params["upsample"], mimi_latent, cfg.steps_per_latent, cfg.upsample_groups)
     x = _transformer(params, cfg, x)
     x = _conv(params["init_conv"], x)
     x = elu(x)
-    x = _convtr(params["up1"], x)
+    x = _convtr(params["up1"], x, s1)
     x = _resblock(params["res1"], x)
     x = elu(x)
-    x = _convtr(params["up2"], x)
+    x = _convtr(params["up2"], x, s2)
     x = _resblock(params["res2"], x)
     x = elu(x)
-    x = _convtr(params["up3"], x)
+    x = _convtr(params["up3"], x, s3)
     x = _resblock(params["res3"], x)
     x = elu(x)
     x = _conv(params["final_conv"], x)

@@ -1,0 +1,335 @@
+"""The generation hot path, TPU-first.
+
+The reference's AR loop is host-driven: one Go function call per latent frame
+(`internal/tts/runtime_native_safetensors.go:155-201`). On TPU a per-step
+host round-trip would cost more than the math, so the **entire AR loop runs
+inside one compiled program** as a ``lax.while_loop``:
+
+    carry = (kv_k, kv_v, offset, frame, rng, step, frames_buf,
+             n_frames, eos_countdown, done)
+
+with the per-step body = 6-layer transformer step (Tq=1) + EOS logit + LSD
+Euler decode of the flowNet — matching `flow_lm.go:238-299` — and the EOS
+countdown semantics of `runtime_native_safetensors.go:178-191` (the EOS frame
+is kept, then ``frames_after_eos`` more, countdown decremented after the
+zero-check, early exit when every batch element is done).
+
+Static/traced split (nothing here recompiles across requests):
+- static: bucketed shapes (prompt length, frame budget, KV capacity, batch),
+  LSD step count, dtype
+- traced: token content, valid lengths, max_steps, temperature,
+  eos_threshold, frames_after_eos, RNG key, cache offset
+
+Three compiled programs per shape bucket: ``prefill`` (text conditioning →
+KV cache), ``ar_loop`` (frames + counts), ``decode`` (fused latent→mimi +
+Mimi chain → PCM). The Mimi chain is fully causal, so decode buckets return
+sample-exact prefixes and the host trims to ``n_frames · 1920``.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from go_pocket_tts_tpu.models import flow_lm as flm
+from go_pocket_tts_tpu.models import flow_transformer as ftr
+from go_pocket_tts_tpu.models import mimi as mimi_mod
+from go_pocket_tts_tpu.models.model import PocketTTSModel
+from go_pocket_tts_tpu.text import estimate_max_frames
+from go_pocket_tts_tpu.utils import buckets as bk
+from go_pocket_tts_tpu.utils.safetensors import VoiceModelState
+
+log = logging.getLogger("pockettts.runtime")
+
+__all__ = ["GenerateConfig", "TPURuntime"]
+
+
+@dataclass
+class GenerateConfig:
+    """Per-chunk generation parameters (`internal/tts/runtime.go:16-45`)."""
+
+    temperature: float = 0.7
+    eos_threshold: float = -4.0
+    max_steps: int = 0
+    estimated_max_steps: int = 0
+    lsd_decode_steps: int = 1
+    frames_after_eos: int = 3
+    voice_embedding: Optional[np.ndarray] = None  # [1, Tv, D]
+    voice_model_state: Optional[VoiceModelState] = None
+    # Called after generation with (steps_done, max_steps). The reference's
+    # per-step callback (`runtime.go:42`) would force per-frame host sync on
+    # TPU; chunk-level progress is reported instead.
+    step_callback: Optional[Callable[[int, int], None]] = None
+
+
+# -- jitted stages ----------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def _prefill(params: Dict, cfg, cache: Dict, emb: jax.Array, valid_len: jax.Array) -> Dict:
+    return flm.prompt(params, cfg, cache, emb, valid_len)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "decode_steps", "max_frames"),
+    donate_argnames=("cache",),
+)
+def _ar_loop(
+    params: Dict,
+    cfg,
+    cache: Dict,
+    key: jax.Array,
+    max_steps: jax.Array,
+    eos_threshold: jax.Array,
+    temperature: jax.Array,
+    frames_after_eos: jax.Array,
+    decode_steps: int,
+    max_frames: int,
+) -> Tuple[jax.Array, jax.Array, Dict]:
+    """Run up to ``max_steps`` AR steps (≤ static ``max_frames``).
+
+    Returns (frames [B, max_frames, L], n_frames [B], cache).
+    """
+    batch = cache["k"].shape[1]
+    latent_dim = params["bos_emb"].shape[0]
+    dtype = cache["k"].dtype
+
+    sigma = jnp.sqrt(jnp.maximum(temperature.astype(jnp.float32), 0.0))
+
+    # BOS sentinel: NaN frame (replaced by bos_emb inside the step,
+    # `runtime_native_safetensors.go:246-253`).
+    frame0 = jnp.full((batch, 1, latent_dim), jnp.nan, dtype=dtype)
+
+    init = {
+        "cache": cache,
+        "frame": frame0,
+        "key": key,
+        "step": jnp.int32(0),
+        "frames": jnp.zeros((batch, max_frames, latent_dim), dtype=dtype),
+        "n_frames": jnp.zeros((batch,), jnp.int32),
+        "countdown": jnp.full((batch,), -1, jnp.int32),  # -1 = EOS not seen
+        "done": jnp.zeros((batch,), bool),
+    }
+
+    bound = jnp.minimum(max_steps.astype(jnp.int32), max_frames)
+
+    def cond(c):
+        return (c["step"] < bound) & ~jnp.all(c["done"])
+
+    def body(c):
+        key, sub = jax.random.split(c["key"])
+        noise = (
+            jax.random.normal(sub, (batch, latent_dim), dtype=jnp.float32) * sigma
+        ).astype(dtype)
+        new_cache, next_frame, eos_logit = flm.ar_core(
+            params, cfg, c["cache"], c["frame"], noise, decode_steps
+        )
+        frames = jax.lax.dynamic_update_slice(
+            c["frames"], next_frame, (0, c["step"], 0)
+        )
+        # EOS bookkeeping (`runtime_native_safetensors.go:178-191`): the frame
+        # from the EOS step is kept; countdown decrements after the zero-check.
+        is_eos = eos_logit > eos_threshold
+        newly = is_eos & (c["countdown"] < 0) & ~c["done"]
+        countdown = jnp.where(newly, frames_after_eos, c["countdown"])
+        n_frames = jnp.where(~c["done"], c["step"] + 1, c["n_frames"])
+        done = c["done"] | (countdown == 0)
+        countdown = jnp.where((countdown > 0) & ~done, countdown - 1, countdown)
+        return {
+            "cache": new_cache,
+            "frame": next_frame,
+            "key": key,
+            "step": c["step"] + 1,
+            "frames": frames,
+            "n_frames": n_frames,
+            "countdown": countdown,
+            "done": done,
+        }
+
+    out = jax.lax.while_loop(cond, body, init)
+    return out["frames"], out["n_frames"], out["cache"]
+
+
+@partial(jax.jit, static_argnames=("mimi_cfg",))
+def _decode(params: Dict, mimi_cfg, latent: jax.Array) -> jax.Array:
+    """Fused latent→mimi projection + full Mimi decode, one program.
+
+    ``params`` is the full model param tree ({flow_lm, mimi[, latent_to_mimi]}).
+    """
+    fused = params.get("latent_to_mimi")
+    if fused is not None:
+        out = jnp.matmul(
+            latent, fused["w"].astype(latent.dtype), preferred_element_type=jnp.float32
+        ).astype(latent.dtype)
+        mimi_latent = jnp.swapaxes(out + fused["b"].astype(latent.dtype), 1, 2)
+    else:
+        flow = params["flow_lm"]
+        denorm = latent * flow["emb_std"] + flow["emb_mean"]
+        mimi_latent = mimi_mod.quantizer_project(params["mimi"], jnp.swapaxes(denorm, 1, 2))
+    return mimi_mod.mimi_decode(params["mimi"], mimi_cfg, mimi_latent)
+
+
+# -- runtime ----------------------------------------------------------------
+
+
+class TPURuntime:
+    """The native generation runtime (reference: nativeSafetensorsRuntime,
+    `internal/tts/runtime_native_safetensors.go:20-261`).
+
+    One instance wraps a loaded model; ``generate_audio`` is thread-safe for
+    reads (each call threads its own RNG key; JAX dispatch serializes device
+    work). ``dtype=jnp.bfloat16`` selects the fast path; f32 (default) keeps
+    the reference parity budget and uses HIGHEST matmul precision on TPU.
+    """
+
+    def __init__(
+        self,
+        model: PocketTTSModel,
+        dtype=jnp.float32,
+        seed: Optional[int] = None,
+        frame_bucket: int = 256,
+        matmul_precision: Optional[str] = None,
+    ) -> None:
+        self.dtype = jnp.dtype(dtype)
+        self.model = model if self.dtype == jnp.float32 else model.astype(self.dtype)
+        if matmul_precision is None:
+            matmul_precision = "highest" if self.dtype == jnp.float32 else "default"
+        self.matmul_precision = matmul_precision
+        self.frame_bucket = frame_bucket
+        self._key = jax.random.PRNGKey(
+            seed if seed is not None else time.time_ns() & 0x7FFFFFFF
+        )
+
+    # Mimi timing metadata (`runtime_native_safetensors.go:40-49`).
+    def mimi_timing(self) -> Tuple[float, float, int]:
+        cfg = self.model.config.mimi
+        return cfg.frame_rate, cfg.encoder_frame_rate, cfg.steps_per_latent
+
+    def _next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _hydrate_voice_cache(
+        self, state: VoiceModelState, capacity: int
+    ) -> Dict:
+        return ftr.kv_cache_from_voice_state(
+            self.model.config.flow_lm.transformer,
+            state.modules,
+            capacity=capacity,
+            dtype=self.dtype,
+        )
+
+    def generate_audio(self, tokens, cfg: GenerateConfig) -> np.ndarray:
+        """Synthesize one ≤50-token chunk → float32 PCM at 24 kHz.
+
+        Stage structure mirrors `runtime_native_safetensors.go:52-238`:
+        conditioning → prefill → AR loop → latent→mimi → Mimi decode,
+        with per-stage debug timings.
+        """
+        if len(tokens) == 0:
+            raise ValueError("generate: token slice must not be empty")
+        if cfg.voice_embedding is not None and cfg.voice_model_state is not None:
+            raise ValueError(
+                "generate: voice embedding and voice model state are mutually exclusive"
+            )
+
+        max_steps = cfg.max_steps or cfg.estimated_max_steps or estimate_max_frames(
+            len(tokens)
+        )
+        decode_steps = max(cfg.lsd_decode_steps, 1)
+
+        t0 = time.perf_counter()
+        flow = self.model.params["flow_lm"]
+        flow_cfg = self.model.config.flow_lm
+
+        with jax.default_matmul_precision(self.matmul_precision):
+            # -- conditioning ------------------------------------------------
+            tok_np = np.asarray(tokens, np.int32)
+            n_bins = flow["conditioner_embed"].shape[0]
+            if np.any(tok_np < 0) or np.any(tok_np >= n_bins):
+                raise ValueError(f"token id out of range [0,{n_bins})")
+            emb = flm.text_embeddings(flow, jnp.asarray(tok_np[None, :])).astype(self.dtype)
+
+            if cfg.voice_embedding is not None:
+                voice = jnp.asarray(cfg.voice_embedding, dtype=self.dtype)
+                if voice.ndim != 3 or voice.shape[2] != emb.shape[2]:
+                    raise ValueError(
+                        f"voice embedding shape {voice.shape} incompatible with d_model "
+                        f"{emb.shape[2]}"
+                    )
+                emb = jnp.concatenate([voice, emb], axis=1)
+
+            prompt_len = emb.shape[1]
+            # Hydrated voice caches advance the offset before prefill; their
+            # length participates in the capacity choice but not the prompt pad.
+            voice_frames = 0
+            if cfg.voice_model_state is not None:
+                first = next(iter(cfg.voice_model_state.modules.values()))
+                voice_frames = int(np.asarray(first["offset"]).reshape(-1)[0])
+
+            frame_bucket = bk.pick_bucket(max_steps + 1, (self.frame_bucket, 512, 1024))
+            prompt_bucket = bk.pick_bucket(prompt_len, bk.PROMPT_BUCKETS)
+            capacity = bk.round_up(voice_frames + prompt_bucket, 64) + frame_bucket
+
+            # -- prefill -----------------------------------------------------
+            if cfg.voice_model_state is not None:
+                cache = self._hydrate_voice_cache(cfg.voice_model_state, capacity)
+            else:
+                cache = ftr.init_kv_cache(
+                    flow_cfg.transformer, 1, capacity, dtype=self.dtype
+                )
+
+            emb_padded = jnp.pad(emb, ((0, 0), (0, prompt_bucket - prompt_len), (0, 0)))
+            cache = _prefill(flow, flow_cfg, cache, emb_padded, jnp.int32(prompt_len))
+            t_prefill = time.perf_counter()
+
+            # -- AR loop -----------------------------------------------------
+            frames, n_frames, _ = _ar_loop(
+                flow,
+                flow_cfg,
+                cache,
+                self._next_key(),
+                jnp.int32(max_steps),
+                jnp.float32(cfg.eos_threshold),
+                jnp.float32(cfg.temperature),
+                jnp.int32(cfg.frames_after_eos),
+                decode_steps,
+                frame_bucket,
+            )
+            n = int(n_frames[0])
+            t_ar = time.perf_counter()
+
+            # -- decode ------------------------------------------------------
+            decode_bucket = bk.pick_bucket(n, bk.DECODE_BUCKETS)
+            latent = jax.lax.dynamic_slice_in_dim(frames, 0, decode_bucket, axis=1)
+            # Padded tail frames hold junk from the buffer; zero them so ELU/
+            # transformer stay finite (causality discards their samples).
+            mask = (jnp.arange(decode_bucket) < n)[None, :, None]
+            latent = jnp.where(mask, latent, 0.0)
+            pcm = _decode(self.model.params, self.model.config.mimi, latent)
+            samples_per = self.model.config.mimi.samples_per_latent
+            audio = np.asarray(pcm[0, 0, : n * samples_per], dtype=np.float32)
+        t_decode = time.perf_counter()
+
+        if cfg.step_callback is not None:
+            cfg.step_callback(n, max_steps)
+
+        log.debug(
+            "generation complete: tokens=%d frames=%d prefill=%.1fms ar=%.1fms "
+            "decode=%.1fms total=%.1fms",
+            len(tokens),
+            n,
+            (t_prefill - t0) * 1e3,
+            (t_ar - t_prefill) * 1e3,
+            (t_decode - t_ar) * 1e3,
+            (t_decode - t0) * 1e3,
+        )
+        return audio
