@@ -1,0 +1,223 @@
+"""Configuration system: flags > env > file > cwd-file > defaults.
+
+Capability parity with the reference's Viper-based config
+(`internal/config/config.go:68-263`):
+
+- one ``Config`` tree (paths / runtime / server / tts / log_level) with the
+  same defaults (`config.go:70-105`)
+- precedence: CLI flags > env (prefix ``POCKETTTS_``) > ``--config`` file >
+  ``pockettts.{yaml,toml,json}`` discovered in cwd > defaults
+- kebab-case flag names alias dotted config keys (``--paths-model-path`` ↔
+  ``paths.model_path``)
+- backend normalization (`internal/config/backend.go:8-34`): ``native`` /
+  ``native-safetensors`` → the TPU JAX engine; ``torch`` selects the CPU
+  torch oracle backend (this framework's analogue of the reference's ONNX
+  alternate engine); ``cli`` shells out to an external ``pocket-tts`` binary.
+
+TPU-specific knobs replace the reference's CPU worker counts
+(`--runtime-workers``/``--conv-workers``): compute dtype (f32/bf16), matmul
+precision, and the frame bucket; thread-pool sizing is XLA's job.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Mapping, Optional
+
+__all__ = ["Config", "PathsConfig", "RuntimeConfig", "ServerConfig", "TTSConfig",
+           "load_config", "normalize_backend", "register_flags", "ENV_PREFIX"]
+
+ENV_PREFIX = "POCKETTTS_"
+
+BACKEND_TPU = "tpu"
+BACKEND_TORCH = "torch"
+BACKEND_CLI = "cli"
+
+_BACKEND_ALIASES = {
+    "": BACKEND_TPU,
+    "tpu": BACKEND_TPU,
+    "native": BACKEND_TPU,
+    "native-safetensors": BACKEND_TPU,
+    "jax": BACKEND_TPU,
+    "torch": BACKEND_TORCH,
+    "torch-cpu": BACKEND_TORCH,
+    "native-onnx": BACKEND_TORCH,  # the reference's alternate engine slot
+    "cli": BACKEND_CLI,
+}
+
+
+def normalize_backend(name: str) -> str:
+    key = (name or "").strip().lower()
+    if key not in _BACKEND_ALIASES:
+        raise ValueError(
+            f"unsupported backend {name!r} (want tpu|native|torch|cli)"
+        )
+    return _BACKEND_ALIASES[key]
+
+
+@dataclass
+class PathsConfig:
+    model_path: str = "models/tts_b6369a24.safetensors"
+    voice_path: str = ""
+    tokenizer_model: str = "models/tokenizer.model"
+    voices_manifest: str = "voices/manifest.json"
+
+
+@dataclass
+class RuntimeConfig:
+    dtype: str = "float32"  # float32 | bfloat16
+    matmul_precision: str = ""  # "" = auto (highest for f32, default for bf16)
+    frame_bucket: int = 256
+    seed: int = -1  # -1 = time-seeded
+    donate_cache: bool = True
+
+
+@dataclass
+class ServerConfig:
+    listen_addr: str = ":8080"
+    workers: int = 2
+    shutdown_timeout_secs: int = 30
+    max_text_bytes: int = 4096
+    request_timeout_secs: int = 60
+
+
+@dataclass
+class TTSConfig:
+    backend: str = BACKEND_TPU
+    voice: str = ""
+    cli_path: str = ""
+    temperature: float = 0.7
+    eos_threshold: float = -4.0
+    max_steps: int = 256
+    lsd_decode_steps: int = 1
+
+
+@dataclass
+class Config:
+    paths: PathsConfig = field(default_factory=PathsConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+    server: ServerConfig = field(default_factory=ServerConfig)
+    tts: TTSConfig = field(default_factory=TTSConfig)
+    log_level: str = "info"
+
+
+# -- flag registration -------------------------------------------------------
+
+# (flag, section, field, type, help)
+_FLAG_MAP = [
+    ("paths-model-path", "paths", "model_path", str, "Path to .safetensors model"),
+    ("paths-voice-path", "paths", "voice_path", str, "Path to voice/profile asset"),
+    ("paths-tokenizer-model", "paths", "tokenizer_model", str, "Path to SentencePiece tokenizer model"),
+    ("paths-voices-manifest", "paths", "voices_manifest", str, "Path to voices manifest.json"),
+    ("runtime-dtype", "runtime", "dtype", str, "Compute dtype (float32|bfloat16)"),
+    ("runtime-matmul-precision", "runtime", "matmul_precision", str, "XLA matmul precision (default|high|highest)"),
+    ("runtime-frame-bucket", "runtime", "frame_bucket", int, "AR frame buffer bucket size"),
+    ("runtime-seed", "runtime", "seed", int, "RNG seed (-1 = time-seeded)"),
+    ("server-listen-addr", "server", "listen_addr", str, "HTTP listen address"),
+    ("workers", "server", "workers", int, "Max concurrent synthesis requests"),
+    ("shutdown-timeout", "server", "shutdown_timeout_secs", int, "Graceful shutdown drain timeout (s)"),
+    ("max-text-bytes", "server", "max_text_bytes", int, "Maximum POST /tts text size in bytes"),
+    ("request-timeout", "server", "request_timeout_secs", int, "Per-request synthesis timeout (s)"),
+    ("backend", "tts", "backend", str, "Synthesis backend (tpu|native|torch|cli)"),
+    ("tts-voice", "tts", "voice", str, "Voice name or .safetensors file path"),
+    ("tts-cli-path", "tts", "cli_path", str, "Path to external pocket-tts executable"),
+    ("temperature", "tts", "temperature", float, "Noise temperature for flow sampling"),
+    ("eos-threshold", "tts", "eos_threshold", float, "Raw logit threshold for EOS detection"),
+    ("max-steps", "tts", "max_steps", int, "Maximum autoregressive generation steps"),
+    ("lsd-steps", "tts", "lsd_decode_steps", int, "Euler integration steps per latent frame"),
+    ("log-level", None, "log_level", str, "Log level (debug|info|warn|error)"),
+]
+
+
+def register_flags(parser) -> None:
+    """Register config flags on an argparse parser (`config.go:108-146`)."""
+    for flag, _section, _field, typ, help_text in _FLAG_MAP:
+        parser.add_argument(f"--{flag}", type=typ, default=None, help=help_text)
+    parser.add_argument("--config", type=str, default=None, help="Config file path")
+
+
+def _read_config_file(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        raw = f.read()
+    if path.endswith((".yaml", ".yml")):
+        import yaml
+
+        return yaml.safe_load(raw) or {}
+    if path.endswith(".toml"):
+        import tomllib
+
+        return tomllib.loads(raw.decode("utf-8"))
+    return json.loads(raw.decode("utf-8") or "{}")
+
+
+def _apply_mapping(cfg: Config, data: Mapping[str, Any]) -> None:
+    for section_name, section_val in data.items():
+        if section_name == "log_level":
+            cfg.log_level = str(section_val)
+            continue
+        section = getattr(cfg, section_name, None)
+        if section is None or not isinstance(section_val, Mapping):
+            continue
+        for key, val in section_val.items():
+            if hasattr(section, key) and val is not None:
+                want = type(getattr(section, key))
+                try:
+                    setattr(section, key, want(val))
+                except (TypeError, ValueError):
+                    setattr(section, key, val)
+
+
+def _apply_env(cfg: Config) -> None:
+    for flag, section, fname, typ, _help in _FLAG_MAP:
+        env_name = ENV_PREFIX + flag.upper().replace("-", "_")
+        val = os.environ.get(env_name)
+        if val is None:
+            continue
+        target = cfg if section is None else getattr(cfg, section)
+        try:
+            setattr(target, fname, typ(val))
+        except (TypeError, ValueError):
+            pass
+
+
+def _apply_flags(cfg: Config, args) -> None:
+    for flag, section, fname, _typ, _help in _FLAG_MAP:
+        attr = flag.replace("-", "_")
+        val = getattr(args, attr, None)
+        if val is None:
+            continue
+        target = cfg if section is None else getattr(cfg, section)
+        setattr(target, fname, val)
+
+
+_CWD_CANDIDATES = ("pockettts.yaml", "pockettts.yml", "pockettts.toml", "pockettts.json")
+
+
+def load_config(args=None, config_file: Optional[str] = None) -> Config:
+    """Resolve the effective config with the reference's precedence
+    (`config.go:147-202`)."""
+    cfg = Config()
+
+    # 1. cwd-discovered file (lowest non-default priority).
+    explicit = config_file or (getattr(args, "config", None) if args is not None else None)
+    file_path = explicit
+    if file_path is None:
+        for cand in _CWD_CANDIDATES:
+            if os.path.exists(cand):
+                file_path = cand
+                break
+    if file_path:
+        _apply_mapping(cfg, _read_config_file(file_path))
+
+    # 2. env overrides file.
+    _apply_env(cfg)
+
+    # 3. flags override everything.
+    if args is not None:
+        _apply_flags(cfg, args)
+
+    normalize_backend(cfg.tts.backend)  # validate early
+    return cfg

@@ -1,0 +1,194 @@
+"""TTS orchestration service (parity with `internal/tts/service.go`).
+
+``Service`` owns the tokenizer + a runtime backend and drives:
+text → :func:`prepare_chunks` (≤50-token chunks) → per-chunk voice-conditioned
+generation → concatenated PCM (`service.go:115-156`). Streaming yields one
+:class:`PCMChunk` per text chunk (`service.go:161-200`); frame-level PCM
+streaming is provided by the runtime's streaming decoder (a capability the Go
+reference left as a TODO, `PLAN.md:9-17`).
+
+Backend strategy (`service.go:39-98`, `config/backend.go`):
+- ``tpu``: the JAX/XLA engine (:class:`runtime.TPURuntime`)
+- ``torch``: CPU torch oracle engine (:mod:`tts.runtime_torch`) — the
+  alternate-backend slot the reference fills with ONNX Runtime
+- ``cli``: subprocess to an external ``pocket-tts`` binary
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+from dataclasses import dataclass
+from typing import Callable, Iterator, List, Optional
+
+import numpy as np
+
+from go_pocket_tts_tpu.config import (
+    BACKEND_CLI,
+    BACKEND_TORCH,
+    BACKEND_TPU,
+    Config,
+    normalize_backend,
+)
+from go_pocket_tts_tpu.runtime import GenerateConfig, TPURuntime
+from go_pocket_tts_tpu.text import ChunkMetadata, estimate_max_frames, prepare_chunks
+from go_pocket_tts_tpu.text.sentencepiece import load_tokenizer
+from go_pocket_tts_tpu.utils import safetensors as st
+
+log = logging.getLogger("pockettts.service")
+
+__all__ = ["Service", "PCMChunk", "MAX_TOKENS_PER_CHUNK"]
+
+# Token budget per synthesis chunk (`internal/tts/service.go:23`).
+MAX_TOKENS_PER_CHUNK = 50
+
+_DEFAULT_MAX_STEPS = 256  # config default used by generationStepLimit
+
+
+@dataclass
+class PCMChunk:
+    samples: np.ndarray
+    chunk_index: int
+    final: bool
+
+
+class CancelledError(RuntimeError):
+    """Request cancelled (the ctx-cancellation analogue)."""
+
+
+@dataclass
+class _VoiceConditioning:
+    embedding: Optional[np.ndarray] = None
+    model_state: Optional[st.VoiceModelState] = None
+
+    def apply_to(self, cfg: GenerateConfig) -> None:
+        cfg.voice_embedding = self.embedding
+        cfg.voice_model_state = self.model_state
+
+
+def load_voice_conditioning(voice_path: str) -> _VoiceConditioning:
+    """Inspect + load a voice file: model-state → KV hydration; embedding →
+    prepend (`service.go:202-244`)."""
+    if not voice_path or not voice_path.strip():
+        return _VoiceConditioning()
+    kind = st.inspect_voice_file(voice_path)
+    if kind == st.VoiceFileKind.MODEL_STATE:
+        return _VoiceConditioning(model_state=st.load_voice_model_state(voice_path))
+    return _VoiceConditioning(embedding=st.load_voice_embedding(voice_path))
+
+
+class Service:
+    """Owns tokenizer + runtime; thread-safe via an internal lock around the
+    runtime (one request generates at a time per service; the HTTP layer adds
+    its own worker-pool semaphore on top, `server.go:112-134`)."""
+
+    def __init__(self, runtime, tokenizer, tts_cfg) -> None:
+        self.runtime = runtime
+        self.tokenizer = tokenizer
+        self.tts_cfg = tts_cfg
+        self._lock = threading.Lock()
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_config(cls, cfg: Config) -> "Service":
+        backend = normalize_backend(cfg.tts.backend)
+        tokenizer = None
+        if backend != BACKEND_CLI:
+            tokenizer = load_tokenizer(cfg.paths.tokenizer_model)
+
+        if backend == BACKEND_TPU:
+            import jax.numpy as jnp
+
+            from go_pocket_tts_tpu.models.model import load_model
+
+            model = load_model(cfg.paths.model_path)
+            dtype = jnp.bfloat16 if cfg.runtime.dtype == "bfloat16" else jnp.float32
+            runtime = TPURuntime(
+                model,
+                dtype=dtype,
+                seed=None if cfg.runtime.seed < 0 else cfg.runtime.seed,
+                frame_bucket=cfg.runtime.frame_bucket,
+                matmul_precision=cfg.runtime.matmul_precision or None,
+            )
+            log.info("loaded TPU runtime model=%s dtype=%s", cfg.paths.model_path, dtype)
+        elif backend == BACKEND_TORCH:
+            from go_pocket_tts_tpu.tts.runtime_torch import TorchRuntime
+
+            runtime = TorchRuntime.from_checkpoint(
+                cfg.paths.model_path,
+                seed=None if cfg.runtime.seed < 0 else cfg.runtime.seed,
+            )
+            log.info("loaded torch-cpu runtime model=%s", cfg.paths.model_path)
+        elif backend == BACKEND_CLI:
+            from go_pocket_tts_tpu.tts.runtime_cli import CLIRuntime
+
+            runtime = CLIRuntime(cfg.tts.cli_path or "pocket-tts")
+        else:  # pragma: no cover
+            raise ValueError(f"unsupported backend {backend!r}")
+        return cls(runtime, tokenizer, cfg.tts)
+
+    # -- synthesis ---------------------------------------------------------
+
+    def _generate_config(self, chunk: ChunkMetadata) -> GenerateConfig:
+        """Per-chunk config with the dynamic step limit (`service.go:255-278`):
+        the estimate wins unless the user overrode max_steps away from the
+        default."""
+        frame_rate, _enc, _steps = self.runtime.mimi_timing()
+        estimated = estimate_max_frames(chunk.num_tokens, frame_rate)
+        configured = self.tts_cfg.max_steps
+        if estimated > 0 and (configured <= 0 or configured == _DEFAULT_MAX_STEPS):
+            max_steps = estimated
+        else:
+            max_steps = configured
+        return GenerateConfig(
+            temperature=self.tts_cfg.temperature,
+            eos_threshold=self.tts_cfg.eos_threshold,
+            max_steps=max_steps,
+            estimated_max_steps=estimated,
+            lsd_decode_steps=self.tts_cfg.lsd_decode_steps,
+            frames_after_eos=chunk.frames_after_eos(),
+        )
+
+    def synthesize(
+        self,
+        input_text: str,
+        voice_path: str = "",
+        cancel: Optional[Callable[[], bool]] = None,
+    ) -> np.ndarray:
+        """Full-text synthesis → float32 PCM (`service.go:115-156`)."""
+        return np.concatenate(
+            [c.samples for c in self.synthesize_stream(input_text, voice_path, cancel)]
+            or [np.zeros(0, np.float32)]
+        )
+
+    def synthesize_stream(
+        self,
+        input_text: str,
+        voice_path: str = "",
+        cancel: Optional[Callable[[], bool]] = None,
+    ) -> Iterator[PCMChunk]:
+        """Chunk-level streaming generator (`service.go:161-200`)."""
+        if self.runtime is None:
+            raise RuntimeError("tts runtime unavailable")
+        # CLI backend synthesizes whole text in the subprocess (no local
+        # tokenizer round-trip, like the reference's cliSynthesizer).
+        if hasattr(self.runtime, "synthesize_text"):
+            pcm = self.runtime.synthesize_text(input_text, voice_path)
+            yield PCMChunk(samples=pcm, chunk_index=0, final=True)
+            return
+        chunks = prepare_chunks(input_text, self.tokenizer, MAX_TOKENS_PER_CHUNK)
+        conditioning = load_voice_conditioning(voice_path)
+        for i, chunk in enumerate(chunks):
+            if cancel is not None and cancel():
+                raise CancelledError("synthesis cancelled")
+            cfg = self._generate_config(chunk)
+            conditioning.apply_to(cfg)
+            with self._lock:
+                pcm = self.runtime.generate_audio(chunk.token_ids, cfg)
+            yield PCMChunk(samples=pcm, chunk_index=i, final=i == len(chunks) - 1)
+
+    def close(self) -> None:
+        close = getattr(self.runtime, "close", None)
+        if close is not None:
+            close()

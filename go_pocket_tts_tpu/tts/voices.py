@@ -1,0 +1,61 @@
+"""Voice manifest management (parity with `internal/tts/voice.go:11-95`).
+
+``voices/manifest.json``: ``{"voices": [{"id", "path", "license"}]}``; paths
+resolve relative to the manifest directory; duplicate/empty IDs rejected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Dict, List
+
+__all__ = ["Voice", "VoiceManager"]
+
+
+@dataclass(frozen=True)
+class Voice:
+    id: str
+    path: str
+    license: str = ""
+
+
+class VoiceManager:
+    def __init__(self, manifest_path: str) -> None:
+        if not manifest_path:
+            raise ValueError("manifest path is required")
+        with open(manifest_path, "r", encoding="utf-8") as f:
+            manifest = json.load(f)
+        self._base_dir = os.path.dirname(os.path.abspath(manifest_path))
+        self._voices: List[Voice] = []
+        self._by_id: Dict[str, Voice] = {}
+        for entry in manifest.get("voices", []):
+            v = Voice(
+                id=entry.get("id", ""),
+                path=entry.get("path", ""),
+                license=entry.get("license", ""),
+            )
+            if not v.id:
+                raise ValueError("voice manifest contains empty id")
+            if not v.path:
+                raise ValueError(f"voice {v.id!r} has empty path")
+            if v.id in self._by_id:
+                raise ValueError(f"duplicate voice id {v.id!r}")
+            self._voices.append(v)
+            self._by_id[v.id] = v
+
+    def list_voices(self) -> List[Voice]:
+        return list(self._voices)
+
+    def resolve_path(self, voice_id: str) -> str:
+        v = self._by_id.get(voice_id)
+        if v is None:
+            raise KeyError(f"unknown voice id {voice_id!r}")
+        path = v.path
+        if not os.path.isabs(path):
+            path = os.path.join(self._base_dir, path)
+        path = os.path.normpath(path)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"voice file for {voice_id!r}: {path}")
+        return path

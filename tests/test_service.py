@@ -1,0 +1,135 @@
+"""Service orchestration + cross-backend parity tests."""
+
+import json
+
+import numpy as np
+import pytest
+
+from go_pocket_tts_tpu.models import synthetic
+from go_pocket_tts_tpu.models.model import load_model_from_store
+from go_pocket_tts_tpu.runtime import TPURuntime
+from go_pocket_tts_tpu.tts import parity
+from go_pocket_tts_tpu.tts.service import PCMChunk, Service
+from go_pocket_tts_tpu.tts.runtime_torch import TorchRuntime
+from go_pocket_tts_tpu.tts.voices import VoiceManager
+from go_pocket_tts_tpu.utils.safetensors import encode_tensors, open_store_from_bytes, write_file
+
+ARCH = synthetic.tiny_arch()
+
+
+class _WordTokenizer:
+    """One token id per word, bounded to the tiny vocab."""
+
+    def encode(self, s):
+        return [(abs(hash(w)) % ARCH.n_bins) for w in s.split()]
+
+
+@pytest.fixture(scope="module")
+def ckpt_bytes():
+    return encode_tensors(synthetic.build_checkpoint(ARCH, seed=33))
+
+
+@pytest.fixture(scope="module")
+def jax_model(ckpt_bytes):
+    return load_model_from_store(open_store_from_bytes(ckpt_bytes), num_heads=ARCH.num_heads)
+
+
+def _tts_cfg(**overrides):
+    from go_pocket_tts_tpu.config import TTSConfig
+
+    base = dict(temperature=0.0, eos_threshold=1e9, max_steps=3, lsd_decode_steps=1)
+    base.update(overrides)
+    return TTSConfig(**base)
+
+
+def test_service_synthesize_concatenates_chunks(jax_model):
+    rt = TPURuntime(jax_model, seed=5, frame_bucket=64)
+    svc = Service(rt, _WordTokenizer(), _tts_cfg())
+    audio = svc.synthesize("one two three. four five six.")
+    # two sentences fit one chunk (≤50 tokens) → single chunk
+    assert len(audio) % 1920 == 0
+    assert len(audio) > 0
+
+
+def test_service_stream_yields_final_flag(jax_model):
+    rt = TPURuntime(jax_model, seed=5, frame_bucket=64)
+    svc = Service(rt, _WordTokenizer(), _tts_cfg())
+
+    class _Tok:
+        def encode(self, s):
+            return [1] * len(s.split())
+
+    svc.tokenizer = _Tok()
+    text = " ".join(["word"] * 60) + ". " + " ".join(["more"] * 60) + "."
+    chunks = list(svc.synthesize_stream(text))
+    assert len(chunks) == 2
+    assert [c.final for c in chunks] == [False, True]
+    assert all(isinstance(c, PCMChunk) for c in chunks)
+
+
+def test_service_cancel(jax_model):
+    rt = TPURuntime(jax_model, seed=5, frame_bucket=64)
+    svc = Service(rt, _WordTokenizer(), _tts_cfg())
+    from go_pocket_tts_tpu.tts.service import CancelledError
+
+    with pytest.raises(CancelledError):
+        list(svc.synthesize_stream("hello world.", cancel=lambda: True))
+
+
+def test_voice_manager(tmp_path):
+    voice_file = tmp_path / "v1.safetensors"
+    write_file(voice_file, {"audio_prompt": np.zeros((2, 8), np.float32)})
+    manifest = tmp_path / "manifest.json"
+    manifest.write_text(
+        json.dumps({"voices": [{"id": "v1", "path": "v1.safetensors", "license": "CC"}]})
+    )
+    mgr = VoiceManager(str(manifest))
+    assert [v.id for v in mgr.list_voices()] == ["v1"]
+    assert mgr.resolve_path("v1") == str(voice_file)
+    with pytest.raises(KeyError):
+        mgr.resolve_path("nope")
+
+
+def test_voice_manager_duplicate_rejected(tmp_path):
+    manifest = tmp_path / "manifest.json"
+    manifest.write_text(
+        json.dumps(
+            {"voices": [{"id": "a", "path": "x"}, {"id": "a", "path": "y"}]}
+        )
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        VoiceManager(str(manifest))
+
+
+# -- cross-backend parity ----------------------------------------------------
+
+
+def test_jax_vs_torch_waveform_parity(jax_model, ckpt_bytes):
+    """At temperature=0 the JAX engine and the independent torch engine must
+    produce the same waveform within the 1e-3 RMS budget (BASELINE.md)."""
+    tokens = [3, 17, 41, 9]
+    from go_pocket_tts_tpu.runtime import GenerateConfig
+
+    cfg = GenerateConfig(temperature=0.0, eos_threshold=1e9, max_steps=6)
+
+    jax_rt = TPURuntime(jax_model, seed=1, frame_bucket=64)
+    a = jax_rt.generate_audio(tokens, cfg)
+
+    torch_rt = TorchRuntime(open_store_from_bytes(ckpt_bytes), num_heads=ARCH.num_heads, seed=1)
+    b = torch_rt.generate_audio(tokens, cfg)
+
+    assert len(a) == len(b)
+    assert parity.rms_delta(a, b) < 1e-3
+    # And with a tight tolerance elementwise (same math, different frameworks).
+    np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+def test_parity_snapshots_roundtrip(tmp_path, jax_model):
+    rt = TPURuntime(jax_model, seed=5, frame_bucket=64)
+    svc_factory = lambda: Service(rt, _WordTokenizer(), _tts_cfg())
+    snaps = parity.run_parity_case({"tpu": svc_factory}, "hello world test case.")
+    assert snaps["tpu"].num_samples > 0
+    p = tmp_path / "snaps.json"
+    parity.save_snapshots(str(p), snaps)
+    loaded = parity.load_snapshots(str(p))
+    assert loaded["tpu"] == snaps["tpu"]
