@@ -1,0 +1,97 @@
+"""Preflight diagnostics (parity with `internal/doctor/doctor.go:60-183`).
+
+Dependency-injected check functions (overridable in tests, like the
+reference's ``VersionFunc`` seams), ✓/✗ output, aggregated failures. The
+reference probes Python/pocket-tts/ONNX; the TPU build probes the JAX
+backend, devices, model/tokenizer assets, voices, and the native helper lib.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, TextIO
+
+from go_pocket_tts_tpu.config import Config
+
+__all__ = ["DoctorResult", "run_doctor"]
+
+
+@dataclass
+class DoctorResult:
+    ok: bool = True
+    lines: List[str] = field(default_factory=list)
+    failures: List[str] = field(default_factory=list)
+
+    def record(self, name: str, ok: bool, detail: str = "") -> None:
+        line = f"{'✓' if ok else '✗'} {name}" + (f" — {detail}" if detail else "")
+        self.lines.append(line)
+        if not ok:
+            self.ok = False
+            self.failures.append(name)
+
+
+def _probe_jax() -> str:
+    import jax
+
+    return f"jax {jax.__version__}, devices: {[str(d) for d in jax.devices()]}"
+
+
+def _probe_native() -> str:
+    from go_pocket_tts_tpu.native import audioio
+
+    lib = audioio.load()
+    if lib is None:
+        raise RuntimeError("libaudioio.so unavailable (build with make -C native)")
+    return "libaudioio.so loaded"
+
+
+def run_doctor(
+    cfg: Config,
+    out: Optional[TextIO] = None,
+    jax_probe: Callable[[], str] = _probe_jax,
+    native_probe: Callable[[], str] = _probe_native,
+) -> DoctorResult:
+    res = DoctorResult()
+
+    try:
+        res.record("jax backend", True, jax_probe())
+    except Exception as exc:  # noqa: BLE001
+        res.record("jax backend", False, str(exc))
+
+    try:
+        res.record("native helpers", True, native_probe())
+    except Exception as exc:  # noqa: BLE001
+        res.record("native helpers", False, str(exc))
+
+    model_ok = os.path.exists(cfg.paths.model_path)
+    res.record("model file", model_ok, cfg.paths.model_path)
+    if model_ok:
+        try:
+            from go_pocket_tts_tpu.utils.safetensors import validate_model_keys
+
+            validate_model_keys(cfg.paths.model_path)
+            res.record("model keys", True)
+        except Exception as exc:  # noqa: BLE001
+            res.record("model keys", False, str(exc))
+
+    tok_ok = os.path.exists(cfg.paths.tokenizer_model)
+    res.record("tokenizer file", tok_ok, cfg.paths.tokenizer_model)
+
+    if cfg.paths.voices_manifest and os.path.exists(cfg.paths.voices_manifest):
+        try:
+            from go_pocket_tts_tpu.tts.voices import VoiceManager
+
+            mgr = VoiceManager(cfg.paths.voices_manifest)
+            res.record("voices manifest", True, f"{len(mgr.list_voices())} voices")
+        except Exception as exc:  # noqa: BLE001
+            res.record("voices manifest", False, str(exc))
+    else:
+        res.record("voices manifest", True, "not configured (optional)")
+
+    if out is not None:
+        for line in res.lines:
+            print(line, file=out)
+        if not res.ok:
+            print(f"\n{len(res.failures)} check(s) failed", file=out)
+    return res

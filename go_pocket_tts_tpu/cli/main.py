@@ -1,0 +1,373 @@
+"""CLI entry point (parity with `cmd/pockettts` + `cmd/pockettts-tools`).
+
+Subcommands: ``synth``, ``serve``, ``export-voice``, ``bench``, ``stageprof``,
+``doctor``, ``health``, ``model download|verify``, ``voice download``.
+Run via ``python -m go_pocket_tts_tpu <cmd> ...``.
+
+Config precedence matches the reference root command: every subcommand loads
+flags > env(``POCKETTTS_*``) > config file > defaults before running
+(`cmd/pockettts/root.go:24-38`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from go_pocket_tts_tpu import config as cfgmod
+from go_pocket_tts_tpu.config import Config, load_config, register_flags
+from go_pocket_tts_tpu.utils import dsp, wav
+
+log = logging.getLogger("pockettts")
+
+_LOG_LEVELS = {
+    "debug": logging.DEBUG,
+    "info": logging.INFO,
+    "warn": logging.WARNING,
+    "error": logging.ERROR,
+}
+
+
+def _setup_logging(level: str) -> None:
+    if level not in _LOG_LEVELS:
+        raise SystemExit(f"unknown log level {level!r} (want debug|info|warn|error)")
+    logging.basicConfig(
+        stream=sys.stderr,
+        level=_LOG_LEVELS[level],
+        format='{"time":"%(asctime)s","level":"%(levelname)s","logger":"%(name)s","msg":%(message)r}',
+    )
+
+
+def _build_service(cfg: Config):
+    from go_pocket_tts_tpu.tts.service import Service
+
+    return Service.from_config(cfg)
+
+
+def _resolve_voice(cfg: Config, voice: str) -> str:
+    """Voice ID → path via manifest; else treat as a path; graceful skip when
+    missing (`cmd/pockettts/synth.go:438-476`)."""
+    import os
+
+    if not voice:
+        return ""
+    if os.path.exists(voice):
+        return voice
+    if cfg.paths.voices_manifest and os.path.exists(cfg.paths.voices_manifest):
+        from go_pocket_tts_tpu.tts.voices import VoiceManager
+
+        try:
+            return VoiceManager(cfg.paths.voices_manifest).resolve_path(voice)
+        except (KeyError, FileNotFoundError) as exc:
+            log.warning("voice %r unavailable (%s); synthesizing without voice", voice, exc)
+            return ""
+    log.warning("voice %r not found; synthesizing without voice", voice)
+    return ""
+
+
+# -- synth -------------------------------------------------------------------
+
+
+def cmd_synth(args) -> int:
+    cfg = load_config(args)
+    _setup_logging(cfg.log_level)
+
+    text = args.text
+    if text == "-":
+        text = sys.stdin.read()
+    if not text or not text.strip():
+        print("error: --text is required", file=sys.stderr)
+        return 2
+
+    from go_pocket_tts_tpu.text import chunk_by_sentence, normalize
+
+    text = normalize(text)
+    voice_path = _resolve_voice(cfg, args.voice or cfg.tts.voice)
+
+    svc = _build_service(cfg)
+    try:
+        pieces: List[str] = chunk_by_sentence(text, args.chunk) if args.chunk else [text]
+        samples = np.concatenate([svc.synthesize(p, voice_path) for p in pieces])
+    finally:
+        svc.close()
+
+    # Opt-in DSP post chain (`cmd/pockettts/synth.go:361-390`).
+    if args.peak_normalize:
+        samples = dsp.peak_normalize(samples, args.peak_normalize)
+    if args.dc_block:
+        samples = dsp.dc_block(samples)
+    if args.fade_in_ms:
+        samples = dsp.fade_in(samples, ms=args.fade_in_ms)
+    if args.fade_out_ms:
+        samples = dsp.fade_out(samples, ms=args.fade_out_ms)
+
+    data = wav.encode_wav(samples)
+    if args.out == "-":
+        sys.stdout.buffer.write(data)
+    else:
+        with open(args.out, "wb") as f:
+            f.write(data)
+        log.info("wrote %d bytes (%0.2fs audio) to %s", len(data), len(samples) / 24000, args.out)
+    return 0
+
+
+# -- serve -------------------------------------------------------------------
+
+
+def cmd_serve(args) -> int:
+    cfg = load_config(args)
+    _setup_logging(cfg.log_level)
+    from go_pocket_tts_tpu.server import Server
+
+    voices = None
+    import os
+
+    if cfg.paths.voices_manifest and os.path.exists(cfg.paths.voices_manifest):
+        from go_pocket_tts_tpu.tts.voices import VoiceManager
+
+        voices = VoiceManager(cfg.paths.voices_manifest)
+
+    svc = _build_service(cfg)
+    srv = Server(
+        svc,
+        voices,
+        listen_addr=cfg.server.listen_addr,
+        workers=cfg.server.workers,
+        max_text_bytes=cfg.server.max_text_bytes,
+        request_timeout=cfg.server.request_timeout_secs,
+        shutdown_timeout=cfg.server.shutdown_timeout_secs,
+    )
+    log.info("serving on %s (backend=%s)", cfg.server.listen_addr, cfg.tts.backend)
+    try:
+        srv.serve_forever()
+    finally:
+        svc.close()
+    return 0
+
+
+# -- export-voice ------------------------------------------------------------
+
+
+def cmd_export_voice(args) -> int:
+    cfg = load_config(args)
+    _setup_logging(cfg.log_level)
+    from go_pocket_tts_tpu.tts.voice_export import export_voice_embedding
+
+    out = export_voice_embedding(
+        model_path=cfg.paths.model_path,
+        input_audio=args.input,
+        output_path=args.output,
+    )
+    print(json.dumps({"output": args.output, "frames": out.shape[1]}))
+    print(
+        json.dumps(
+            {"suggested_manifest_entry": {"id": args.voice_id or "custom",
+                                          "path": args.output, "license": ""}}
+        )
+    )
+    return 0
+
+
+# -- bench -------------------------------------------------------------------
+
+
+def cmd_bench(args) -> int:
+    cfg = load_config(args)
+    _setup_logging(cfg.log_level)
+    from go_pocket_tts_tpu.bench import check_rtf_threshold, format_json, format_table, run_bench
+
+    svc = _build_service(cfg)
+    try:
+        stats = run_bench(
+            svc,
+            args.text,
+            runs=args.runs,
+            voice_path=_resolve_voice(cfg, args.voice or cfg.tts.voice),
+            include_cold=not args.no_cold,
+        )
+    finally:
+        svc.close()
+    print(format_json(stats) if args.json else format_table(stats))
+    try:
+        check_rtf_threshold(stats, args.rtf_threshold)
+    except RuntimeError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+    return 0
+
+
+def cmd_stageprof(args) -> int:
+    cfg = load_config(args)
+    _setup_logging(cfg.log_level)
+    from go_pocket_tts_tpu.bench.stageprof import profile_synthesis
+
+    svc = _build_service(cfg)
+    try:
+        prof = profile_synthesis(
+            svc, args.text, voice_path=_resolve_voice(cfg, args.voice or cfg.tts.voice),
+            jax_trace_dir=args.trace_dir,
+        )
+    finally:
+        svc.close()
+    print(prof.format_table())
+    return 0
+
+
+# -- doctor / health ---------------------------------------------------------
+
+
+def cmd_doctor(args) -> int:
+    cfg = load_config(args)
+    _setup_logging(cfg.log_level)
+    from go_pocket_tts_tpu.cli.doctor import run_doctor
+
+    res = run_doctor(cfg, out=sys.stdout)
+    return 0 if res.ok else 1
+
+
+def cmd_health(args) -> int:
+    cfg = load_config(args)
+    from go_pocket_tts_tpu.server import probe_http
+
+    addr = args.url or f"http://127.0.0.1{cfg.server.listen_addr}"
+    try:
+        out = probe_http(addr)
+    except Exception as exc:  # noqa: BLE001
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+    print(json.dumps(out))
+    return 0
+
+
+# -- model / voice assets -----------------------------------------------------
+
+
+def cmd_model_download(args) -> int:
+    cfg = load_config(args)
+    _setup_logging(cfg.log_level)
+    from go_pocket_tts_tpu.model_assets import download as dl
+    from go_pocket_tts_tpu.model_assets import manifest as mf
+
+    def progress(name, written, total):
+        pct = f"{written * 100 // total}%" if total else f"{written >> 20} MiB"
+        print(f"  {name}: {pct}", file=sys.stderr)
+
+    repo = args.repo or mf.GATED_REPO
+    try:
+        resolved = dl.download_manifest(mf.pinned_manifest(repo), args.dest, progress)
+    except dl.AccessDeniedError:
+        # Gated-repo fallback (`cmd/pockettts/model_download.go:38-62`).
+        log.warning("access denied for %s; falling back to %s", repo, mf.UNGATED_REPO)
+        resolved = dl.download_manifest(
+            mf.pinned_manifest(mf.UNGATED_REPO), args.dest, progress
+        )
+    print(json.dumps(resolved, indent=2))
+    return 0
+
+
+def cmd_model_verify(args) -> int:
+    cfg = load_config(args)
+    _setup_logging(cfg.log_level)
+    from go_pocket_tts_tpu.model_assets.verify import verify_native_model
+
+    res = verify_native_model(cfg.paths.model_path, cfg.paths.tokenizer_model)
+    for line in res.checks:
+        print(line)
+    return 0 if res.ok else 1
+
+
+def cmd_voice_download(args) -> int:
+    cfg = load_config(args)
+    _setup_logging(cfg.log_level)
+    from go_pocket_tts_tpu.model_assets import download as dl
+    from go_pocket_tts_tpu.model_assets import manifest as mf
+
+    resolved = dl.download_manifest(mf.voice_manifest(), args.dest)
+    print(json.dumps(resolved, indent=2))
+    return 0
+
+
+# -- parser ------------------------------------------------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="pockettts-tpu",
+        description="TPU-native PocketTTS: synthesize speech from text",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    def add(name, fn, help_text):
+        p = sub.add_parser(name, help=help_text)
+        register_flags(p)
+        p.set_defaults(fn=fn)
+        return p
+
+    p = add("synth", cmd_synth, "Synthesize text to a WAV file")
+    p.add_argument("--text", required=True, help="Text to synthesize ('-' = stdin)")
+    p.add_argument("--out", default="out.wav", help="Output WAV path ('-' = stdout)")
+    p.add_argument("--voice", default="", help="Voice ID or .safetensors path")
+    p.add_argument("--chunk", type=int, default=0, help="Char-budget sentence chunking")
+    p.add_argument("--peak-normalize", type=float, default=0.0, help="Peak normalize target")
+    p.add_argument("--dc-block", action="store_true", help="20 Hz DC-block filter")
+    p.add_argument("--fade-in-ms", type=float, default=0.0)
+    p.add_argument("--fade-out-ms", type=float, default=0.0)
+
+    add("serve", cmd_serve, "Run the HTTP synthesis server")
+
+    p = add("export-voice", cmd_export_voice, "Export a voice embedding from a WAV prompt")
+    p.add_argument("--input", required=True, help="Input speaker WAV")
+    p.add_argument("--output", required=True, help="Output .safetensors path")
+    p.add_argument("--voice-id", default="", help="Suggested manifest id")
+
+    p = add("bench", cmd_bench, "Benchmark synthesis (RTF, TTFA)")
+    p.add_argument("--text", default="The quick brown fox jumps over the lazy dog.")
+    p.add_argument("--voice", default="")
+    p.add_argument("--runs", type=int, default=3)
+    p.add_argument("--no-cold", action="store_true", help="Skip the cold run")
+    p.add_argument("--json", action="store_true")
+    p.add_argument("--rtf-threshold", type=float, default=0.0, help="CI gate (0=off)")
+
+    p = add("stageprof", cmd_stageprof, "Per-stage wall-time profile")
+    p.add_argument("--text", default="The quick brown fox jumps over the lazy dog.")
+    p.add_argument("--voice", default="")
+    p.add_argument("--trace-dir", default="", help="jax.profiler trace output dir")
+
+    add("doctor", cmd_doctor, "Preflight diagnostics")
+
+    p = add("health", cmd_health, "Probe a running server's /health")
+    p.add_argument("--url", default="", help="Base URL (default from config)")
+
+    model = sub.add_parser("model", help="Model asset management")
+    msub = model.add_subparsers(dest="model_command", required=True)
+    p = msub.add_parser("download")
+    register_flags(p)
+    p.add_argument("--repo", default="", help="HF repo (default gated, auto-fallback)")
+    p.add_argument("--dest", default="models", help="Destination directory")
+    p.set_defaults(fn=cmd_model_download)
+    p = msub.add_parser("verify")
+    register_flags(p)
+    p.set_defaults(fn=cmd_model_verify)
+
+    voice = sub.add_parser("voice", help="Voice asset management")
+    vsub = voice.add_subparsers(dest="voice_command", required=True)
+    p = vsub.add_parser("download")
+    register_flags(p)
+    p.add_argument("--dest", default="voices", help="Destination directory")
+    p.set_defaults(fn=cmd_voice_download)
+
+    return parser
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

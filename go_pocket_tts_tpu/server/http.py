@@ -1,0 +1,315 @@
+"""HTTP server: /health /voices /tts /tts/stream.
+
+API parity with `internal/server/server.go`:
+
+- ``GET /health`` → ``{"status": "ok", "version": ...}`` (`server.go:145-158`)
+- ``GET /voices`` → ``{"voices": [{id,path,license}]}`` (`server.go:160-167`)
+- ``POST /tts`` — JSON ``{"text", "voice", "chunk"}`` → ``audio/wav`` bytes
+  (`server.go:175-258`)
+- ``POST /tts/stream`` — chunked streaming WAV: unknown-length header then
+  PCM16 per synthesized chunk (`server.go:302-396`)
+- limits/timeouts: ``max_text_bytes`` → 413; queue-full → 503; per-request
+  timeout → 504 (`server.go:58-73,195-233,398-421`)
+- structured request logging with voice/text_len/duration_ms/wav_bytes
+  (`server.go:236-252`)
+
+Implementation: stdlib ``ThreadingHTTPServer`` (one thread per connection) +
+a semaphore worker pool bounding concurrent syntheses — request-level
+concurrency control identical in role to the reference's buffered-channel
+semaphore. Device work is serialized inside the Service; the pool bounds
+queueing and memory.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import socket
+import threading
+import time
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+
+import numpy as np
+
+from go_pocket_tts_tpu.utils import wav
+from go_pocket_tts_tpu.version import __version__
+
+log = logging.getLogger("pockettts.server")
+
+__all__ = ["Server", "make_handler", "probe_http"]
+
+
+class _WorkerPool:
+    """Bounded worker pool with cancellable waits (`server.go:398-421`)."""
+
+    def __init__(self, workers: int) -> None:
+        self._sem = threading.Semaphore(max(workers, 1))
+
+    def acquire(self, timeout: float) -> bool:
+        return self._sem.acquire(timeout=timeout)
+
+    def release(self) -> None:
+        self._sem.release()
+
+
+def make_handler(
+    service,
+    voices=None,
+    max_text_bytes: int = 4096,
+    request_timeout: float = 60.0,
+    workers: int = 2,
+    queue_timeout: float = 5.0,
+):
+    """Build the request-handler class bound to a Service.
+
+    ``service`` must expose ``synthesize_stream(text, voice)`` (a Service or
+    compatible stub); ``voices`` optionally exposes ``list_voices()``.
+    """
+    pool = _WorkerPool(workers)
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+        server_version = f"pockettts-tpu/{__version__}"
+
+        # -- helpers -------------------------------------------------------
+
+        def _json(self, status: int, obj) -> None:
+            body = json.dumps(obj).encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _error(self, status: int, msg: str) -> None:
+            self._json(status, {"error": msg})
+
+        def log_message(self, fmt, *args):  # route to slog-style logger
+            log.debug("http: " + fmt, *args)
+
+        def _read_tts_request(self):
+            length = int(self.headers.get("Content-Length", 0))
+            if length <= 0:
+                self._error(400, "request body is required")
+                return None
+            raw = self.rfile.read(length)
+            try:
+                req = json.loads(raw.decode("utf-8"))
+            except (UnicodeDecodeError, json.JSONDecodeError) as exc:
+                self._error(400, f"invalid JSON: {exc}")
+                return None
+            text = req.get("text", "")
+            if not text.strip():
+                self._error(400, "text field is required")
+                return None
+            if len(text.encode("utf-8")) > max_text_bytes:
+                self._error(
+                    413, f"text exceeds maximum size of {max_text_bytes} bytes"
+                )
+                return None
+            return text, req.get("voice", ""), bool(req.get("chunk", False))
+
+        def _resolve_voice(self, voice: str) -> Optional[str]:
+            if not voice:
+                return ""
+            if voices is not None:
+                try:
+                    return voices.resolve_path(voice)
+                except KeyError:
+                    pass
+                except FileNotFoundError as exc:
+                    self._error(400, str(exc))
+                    return None
+            return voice  # treat as a path
+
+        # -- routes --------------------------------------------------------
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, {"status": "ok", "version": __version__})
+            elif self.path == "/voices":
+                listing = voices.list_voices() if voices is not None else []
+                self._json(
+                    200,
+                    {
+                        "voices": [
+                            {"id": v.id, "path": v.path, "license": v.license}
+                            for v in listing
+                        ]
+                    },
+                )
+            else:
+                self._error(404, "not found")
+
+        def do_POST(self):
+            if self.path == "/tts":
+                self._handle_tts()
+            elif self.path == "/tts/stream":
+                self._handle_tts_stream()
+            else:
+                self._error(404, "not found")
+
+        def _handle_tts(self):
+            parsed = self._read_tts_request()
+            if parsed is None:
+                return
+            text, voice, _chunk = parsed
+            voice_path = self._resolve_voice(voice)
+            if voice_path is None:
+                return
+            if not pool.acquire(queue_timeout):
+                self._error(503, "server is busy")
+                return
+            start = time.monotonic()
+            try:
+                deadline = start + request_timeout
+                samples: List[np.ndarray] = []
+                for chunk in service.synthesize_stream(
+                    text, voice_path, cancel=lambda: time.monotonic() > deadline
+                ):
+                    samples.append(chunk.samples)
+                    if time.monotonic() > deadline:
+                        raise TimeoutError
+                pcm = np.concatenate(samples) if samples else np.zeros(0, np.float32)
+                body = wav.encode_wav(pcm)
+            except TimeoutError:
+                self._error(504, "synthesis timed out")
+                return
+            except Exception as exc:  # noqa: BLE001 - surface as 500 like the reference
+                if "cancelled" in str(exc).lower():
+                    self._error(504, "synthesis timed out")
+                    return
+                log.error("synthesis failed: %s", exc)
+                self._error(500, str(exc))
+                return
+            finally:
+                pool.release()
+
+            dur_ms = (time.monotonic() - start) * 1e3
+            log.info(
+                "tts ok voice=%s text_len=%d duration_ms=%.0f wav_bytes=%d",
+                voice,
+                len(text),
+                dur_ms,
+                len(body),
+            )
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _handle_tts_stream(self):
+            parsed = self._read_tts_request()
+            if parsed is None:
+                return
+            text, voice, _chunk = parsed
+            voice_path = self._resolve_voice(voice)
+            if voice_path is None:
+                return
+            if not pool.acquire(queue_timeout):
+                self._error(503, "server is busy")
+                return
+            start = time.monotonic()
+            wrote_header = False
+            try:
+                deadline = start + request_timeout
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                wrote_header = True
+                self._write_chunk(wav.streaming_wav_header())
+                total = 0
+                for chunk in service.synthesize_stream(
+                    text, voice_path, cancel=lambda: time.monotonic() > deadline
+                ):
+                    payload = wav.pcm16_bytes(chunk.samples)
+                    total += len(payload)
+                    self._write_chunk(payload)
+                self._write_chunk(b"")  # terminal chunk
+                log.info(
+                    "tts/stream ok voice=%s text_len=%d duration_ms=%.0f pcm_bytes=%d",
+                    voice,
+                    len(text),
+                    (time.monotonic() - start) * 1e3,
+                    total,
+                )
+            except Exception as exc:  # noqa: BLE001
+                if not wrote_header:
+                    self._error(500, str(exc))
+                else:
+                    log.error("streaming synthesis failed mid-stream: %s", exc)
+                    try:
+                        self.connection.close()
+                    except OSError:
+                        pass
+            finally:
+                pool.release()
+
+        def _write_chunk(self, payload: bytes) -> None:
+            self.wfile.write(f"{len(payload):X}\r\n".encode() + payload + b"\r\n")
+            self.wfile.flush()
+
+    return Handler
+
+
+class Server:
+    """Lifecycle wrapper: listen, serve in background, graceful shutdown
+    (`server.go:441-514`)."""
+
+    def __init__(
+        self,
+        service,
+        voices=None,
+        listen_addr: str = ":8080",
+        workers: int = 2,
+        max_text_bytes: int = 4096,
+        request_timeout: float = 60.0,
+        shutdown_timeout: float = 30.0,
+    ) -> None:
+        host, _, port = listen_addr.rpartition(":")
+        self._addr = (host or "0.0.0.0", int(port))
+        self.shutdown_timeout = shutdown_timeout
+        handler = make_handler(
+            service,
+            voices,
+            max_text_bytes=max_text_bytes,
+            request_timeout=request_timeout,
+            workers=workers,
+        )
+        self._httpd = ThreadingHTTPServer(self._addr, handler)
+        self._httpd.daemon_threads = True
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        log.info("http server listening on %s:%d", *self._httpd.server_address[:2])
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        if self._thread is not None:
+            self._thread.join(timeout=self.shutdown_timeout)
+        self._httpd.server_close()
+
+    def serve_forever(self) -> None:
+        try:
+            self._httpd.serve_forever()
+        except KeyboardInterrupt:
+            log.info("shutting down")
+            self._httpd.server_close()
+
+
+def probe_http(base_url: str, timeout: float = 5.0) -> dict:
+    """Health probe (`server.go:517-529`; used by the `health` command)."""
+    with urllib.request.urlopen(f"{base_url}/health", timeout=timeout) as resp:
+        if resp.status != 200:
+            raise RuntimeError(f"unexpected health status: {resp.status}")
+        return json.loads(resp.read().decode("utf-8"))

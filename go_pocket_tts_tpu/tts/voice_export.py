@@ -1,0 +1,87 @@
+"""Voice export: WAV prompt → ``audio_prompt`` embedding safetensors.
+
+Parity with the reference's export-voice pipeline
+(`cmd/pockettts/export_voice.go:108-195`, `internal/onnx/voice_encode.go`):
+
+1. load speaker audio (WAV decode, downmix to mono, must be 24 kHz —
+   a linear resampler handles other rates)
+2. Mimi-encode to latent ``[1, C, T]`` (native JAX encoder — the reference
+   needs ONNX Runtime here; see `models/mimi_encoder.py`)
+3. layout-normalize to ``[1, T, C]`` and project with the speaker projection
+   from the main checkpoint (``condition_provider.conditioners.speaker_wavs.
+   output_proj.weight``) → ``[1, T, d_model]``
+4. write ``{audio_prompt: [1, T, D]}`` safetensors + suggest a manifest entry
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from go_pocket_tts_tpu.models import mimi_encoder as enc
+from go_pocket_tts_tpu.models.mimi import MimiConfig
+from go_pocket_tts_tpu.models.params import VarBuilder
+from go_pocket_tts_tpu.utils import wav as wavmod
+from go_pocket_tts_tpu.utils.safetensors import open_store, write_file
+
+__all__ = ["VoiceEncoder", "export_voice_embedding", "resample_linear"]
+
+
+def resample_linear(samples: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
+    if src_rate == dst_rate:
+        return samples
+    n_out = int(round(len(samples) * dst_rate / src_rate))
+    x_out = np.linspace(0.0, len(samples) - 1, n_out)
+    return np.interp(x_out, np.arange(len(samples)), samples).astype(np.float32)
+
+
+class VoiceEncoder:
+    """Loads the Mimi encoder + speaker projection from the model checkpoint."""
+
+    def __init__(self, store, mimi_cfg: MimiConfig = MimiConfig()) -> None:
+        vb = VarBuilder(store)
+        # Adopt the loaded checkpoint's upsample grouping for the encoder too.
+        from go_pocket_tts_tpu.models.mimi import load_mimi
+
+        _, mimi_cfg = load_mimi(vb, mimi_cfg)
+        self.cfg = mimi_cfg
+        self.encoder = enc.load_mimi_encoder(vb, mimi_cfg)
+        if self.encoder is None:
+            raise ValueError(
+                "checkpoint has no Mimi encoder weights (voice cloning needs the "
+                "full checkpoint, not the no-voice-cloning variant)"
+            )
+        self.speaker_proj = enc.load_speaker_projection(vb)
+        if self.speaker_proj is None:
+            raise ValueError(
+                "checkpoint missing speaker projection "
+                "(condition_provider.conditioners.speaker_wavs.output_proj.weight)"
+            )
+
+    def encode_samples(self, samples: np.ndarray, sample_rate: int) -> np.ndarray:
+        """Mono samples → speaker conditioning ``[1, T, d_model]``."""
+        if sample_rate != self.cfg.sample_rate:
+            samples = resample_linear(samples, sample_rate, self.cfg.sample_rate)
+        pcm = jnp.asarray(samples, jnp.float32)[None, None, :]
+        latent = enc.mimi_encode(self.encoder, self.cfg, pcm)  # [1, C', T]
+        latent_tc = jnp.swapaxes(latent, 1, 2)  # [1, T, C'] (voice_encode.go:80-117)
+        proj = jnp.matmul(latent_tc, self.speaker_proj.T)  # [1, T, D]
+        return np.asarray(proj, np.float32)
+
+    def encode_wav_bytes(self, data: bytes) -> np.ndarray:
+        samples, rate = wavmod.decode_wav(data)
+        return self.encode_samples(samples, rate)
+
+
+def export_voice_embedding(
+    model_path: str, input_audio: str, output_path: str
+) -> np.ndarray:
+    """Full export-voice flow; returns the written ``[1, T, D]`` embedding."""
+    store = open_store(model_path)
+    encoder = VoiceEncoder(store)
+    with open(input_audio, "rb") as f:
+        emb = encoder.encode_wav_bytes(f.read())
+    write_file(output_path, {"audio_prompt": emb})
+    return emb

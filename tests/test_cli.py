@@ -1,0 +1,304 @@
+"""CLI + config + doctor + model-assets + bench harness tests (mock-seam
+style, mirroring `cmd/pockettts/*_test.go`)."""
+
+import io
+import json
+import os
+import urllib.error
+
+import numpy as np
+import pytest
+
+from go_pocket_tts_tpu import config as cfgmod
+from go_pocket_tts_tpu.bench import check_rtf_threshold, compute_stats, RunResult, run_bench
+from go_pocket_tts_tpu.cli.doctor import run_doctor
+from go_pocket_tts_tpu.cli.main import build_parser, main
+from go_pocket_tts_tpu.model_assets import download as dl
+from go_pocket_tts_tpu.model_assets import manifest as mf
+from go_pocket_tts_tpu.model_assets.verify import verify_native_model
+from go_pocket_tts_tpu.models import synthetic
+from go_pocket_tts_tpu.utils.safetensors import write_file
+
+
+# -- config ------------------------------------------------------------------
+
+
+def test_config_defaults():
+    cfg = cfgmod.load_config()
+    assert cfg.tts.temperature == 0.7
+    assert cfg.tts.eos_threshold == -4.0
+    assert cfg.tts.max_steps == 256
+    assert cfg.tts.lsd_decode_steps == 1
+    assert cfg.server.workers == 2
+    assert cfg.server.max_text_bytes == 4096
+    assert cfg.paths.model_path.endswith("tts_b6369a24.safetensors")
+
+
+def test_config_env_overrides(monkeypatch):
+    monkeypatch.setenv("POCKETTTS_TEMPERATURE", "0.5")
+    monkeypatch.setenv("POCKETTTS_WORKERS", "7")
+    cfg = cfgmod.load_config()
+    assert cfg.tts.temperature == 0.5
+    assert cfg.server.workers == 7
+
+
+def test_config_file_and_flag_precedence(tmp_path, monkeypatch):
+    f = tmp_path / "pockettts.yaml"
+    f.write_text("tts:\n  temperature: 0.3\nserver:\n  workers: 9\n")
+    monkeypatch.chdir(tmp_path)
+    cfg = cfgmod.load_config()
+    assert cfg.tts.temperature == 0.3 and cfg.server.workers == 9
+
+    # env beats file
+    monkeypatch.setenv("POCKETTTS_TEMPERATURE", "0.4")
+    assert cfgmod.load_config().tts.temperature == 0.4
+
+    # flags beat env
+    parser = build_parser()
+    args = parser.parse_args(["doctor", "--temperature", "0.9"])
+    assert cfgmod.load_config(args).tts.temperature == 0.9
+
+
+def test_backend_normalization():
+    assert cfgmod.normalize_backend("native") == "tpu"
+    assert cfgmod.normalize_backend("native-safetensors") == "tpu"
+    assert cfgmod.normalize_backend("native-onnx") == "torch"
+    assert cfgmod.normalize_backend("cli") == "cli"
+    with pytest.raises(ValueError):
+        cfgmod.normalize_backend("bogus")
+
+
+# -- doctor ------------------------------------------------------------------
+
+
+def test_doctor_all_green(tmp_path):
+    model_path = tmp_path / "model.safetensors"
+    write_file(model_path, synthetic.build_checkpoint(synthetic.tiny_arch(), 1))
+    tok_path = tmp_path / "tokenizer.model"
+    tok_path.write_bytes(b"stub")
+    cfg = cfgmod.Config()
+    cfg.paths.model_path = str(model_path)
+    cfg.paths.tokenizer_model = str(tok_path)
+    cfg.paths.voices_manifest = ""
+    out = io.StringIO()
+    res = run_doctor(
+        cfg, out=out, jax_probe=lambda: "jax x.y", native_probe=lambda: "lib ok"
+    )
+    assert res.ok, res.lines
+    assert "✓ model keys" in out.getvalue()
+
+
+def test_doctor_reports_failures(tmp_path):
+    cfg = cfgmod.Config()
+    cfg.paths.model_path = str(tmp_path / "missing.safetensors")
+    cfg.paths.tokenizer_model = str(tmp_path / "missing.model")
+    res = run_doctor(
+        cfg,
+        jax_probe=lambda: (_ for _ in ()).throw(RuntimeError("no jax")),
+        native_probe=lambda: "ok",
+    )
+    assert not res.ok
+    assert "jax backend" in res.failures
+    assert "model file" in res.failures
+
+
+# -- model assets ------------------------------------------------------------
+
+
+def test_pinned_manifests():
+    m = mf.pinned_manifest(mf.UNGATED_REPO)
+    assert len(m.files) == 2
+    assert m.files[0].sha256.startswith("58aa704a")
+    v = mf.voice_manifest()
+    assert len(v.files) == 8
+    assert v.files[0].save_name == "alba.safetensors"
+    with pytest.raises(ValueError):
+        mf.pinned_manifest("unknown/repo")
+
+
+class _FakeResponse(io.BytesIO):
+    def __init__(self, data=b"", headers=None):
+        super().__init__(data)
+        self.headers = headers or {}
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+def test_download_manifest_checksum_and_lock(tmp_path):
+    import hashlib
+
+    payload = b"model-bytes"
+    digest = hashlib.sha256(payload).hexdigest()
+    manifest = mf.Manifest(
+        repo="test/repo",
+        files=[mf.ModelFile("file.bin", "rev", sha256=digest)],
+    )
+
+    def opener(req):
+        return _FakeResponse(payload, {"Content-Length": str(len(payload))})
+
+    resolved = dl.download_manifest(manifest, str(tmp_path), opener=opener)
+    assert resolved["file.bin"] == digest
+    assert (tmp_path / "file.bin").read_bytes() == payload
+    lock = json.loads((tmp_path / dl.LOCK_FILENAME).read_text())
+    assert lock["files"][0]["sha256"] == digest
+
+    # Second call skips (we poison the opener to prove no network hit).
+    def explode(req):
+        raise AssertionError("should not re-download")
+
+    resolved2 = dl.download_manifest(manifest, str(tmp_path), opener=explode)
+    assert resolved2 == resolved
+
+
+def test_download_checksum_mismatch_rejected(tmp_path):
+    manifest = mf.Manifest(
+        repo="test/repo", files=[mf.ModelFile("f.bin", "rev", sha256="0" * 64)]
+    )
+
+    def opener(req):
+        return _FakeResponse(b"wrong", {})
+
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        dl.download_manifest(manifest, str(tmp_path), opener=opener)
+    assert not (tmp_path / "f.bin").exists()
+
+
+def test_download_access_denied(tmp_path):
+    manifest = mf.Manifest(repo="gated/repo", files=[mf.ModelFile("f.bin", "rev", "a" * 64)])
+
+    def opener(req):
+        raise urllib.error.HTTPError(getattr(req, "full_url", "u"), 403, "forbidden", {}, None)
+
+    with pytest.raises(dl.AccessDeniedError):
+        dl.download_manifest(manifest, str(tmp_path), opener=opener)
+
+
+def test_verify_native_model(tmp_path):
+    model_path = tmp_path / "model.safetensors"
+    write_file(model_path, synthetic.build_checkpoint(synthetic.tiny_arch(), 2))
+    res = verify_native_model(str(model_path), smoke_load=False)
+    assert res.ok, res.checks
+
+    res2 = verify_native_model(str(tmp_path / "nope.safetensors"), smoke_load=False)
+    assert not res2.ok
+
+
+# -- bench harness -----------------------------------------------------------
+
+
+def test_bench_stats_and_threshold():
+    runs = [
+        RunResult(0, synth_seconds=2.0, audio_seconds=1.0, cold=True),
+        RunResult(1, synth_seconds=0.5, audio_seconds=1.0),
+        RunResult(2, synth_seconds=0.25, audio_seconds=1.0),
+    ]
+    stats = compute_stats(runs)
+    # cold run excluded from aggregates
+    assert stats.rtf_mean == pytest.approx(0.375)
+    assert stats.rtf_min == 0.25
+    check_rtf_threshold(stats, 0.0)  # disabled
+    check_rtf_threshold(stats, 0.5)
+    with pytest.raises(RuntimeError, match="exceeds threshold"):
+        check_rtf_threshold(stats, 0.1)
+
+
+def test_run_bench_with_stub_service():
+    from go_pocket_tts_tpu.tts.service import PCMChunk
+
+    class _Svc:
+        def synthesize_stream(self, text, voice_path=""):
+            yield PCMChunk(np.zeros(24000, np.float32), 0, True)
+
+    stats = run_bench(_Svc(), "hello", runs=2)
+    assert len(stats.runs) == 3  # cold + 2
+    assert stats.runs[0].cold
+    assert all(r.audio_seconds == 1.0 for r in stats.runs)
+    assert stats.ttfa_p50 >= 0
+
+
+# -- CLI ---------------------------------------------------------------------
+
+
+@pytest.fixture
+def synth_env(tmp_path, monkeypatch):
+    """Full on-disk environment for CLI runs: model + tokenizer + voices."""
+    arch = synthetic.tiny_arch()
+    model_path = tmp_path / "model.safetensors"
+    write_file(model_path, synthetic.build_checkpoint(arch, 3))
+
+    from go_pocket_tts_tpu.text.sentencepiece import SentencePieceModel
+
+    m = SentencePieceModel()
+    pieces = [("<unk>", 0.0, 2)] + [
+        (p, -1.0, 1)
+        for p in ("▁the", "▁quick", "▁brown", "▁fox", "▁hello", "▁world", ".", "▁a")
+    ] + [(c, -5.0, 1) for c in "abcdefghijklmnopqrstuvwxyz▁ABCDEFGHIJKLMNOPQRSTUVWXYZ"]
+    for p, s, t in pieces:
+        m.pieces.append(p)
+        m.scores.append(s)
+        m.types.append(t)
+    tok_path = tmp_path / "tokenizer.model"
+    tok_path.write_bytes(m.serialize())
+
+    monkeypatch.setenv("POCKETTTS_PATHS_MODEL_PATH", str(model_path))
+    monkeypatch.setenv("POCKETTTS_PATHS_TOKENIZER_MODEL", str(tok_path))
+    monkeypatch.setenv("POCKETTTS_MAX_STEPS", "3")
+    monkeypatch.setenv("POCKETTTS_EOS_THRESHOLD", "1000000")
+    monkeypatch.setenv("POCKETTTS_RUNTIME_SEED", "7")
+    return tmp_path
+
+
+def test_cli_synth_writes_wav(synth_env, tmp_path):
+    out = tmp_path / "out.wav"
+    rc = main(["synth", "--text", "hello world", "--out", str(out)])
+    assert rc == 0
+    from go_pocket_tts_tpu.utils import wav as wavmod
+
+    samples, rate = wavmod.decode_wav(out.read_bytes())
+    assert rate == 24000
+    assert len(samples) > 0
+
+
+def test_cli_synth_stdout(synth_env, capsysbinary):
+    rc = main(["synth", "--text", "hello", "--out", "-"])
+    assert rc == 0
+    data = capsysbinary.readouterr().out
+    assert data[:4] == b"RIFF"
+
+
+def test_cli_doctor_runs(synth_env, capsys):
+    rc = main(["doctor"])
+    captured = capsys.readouterr().out
+    assert "model file" in captured
+    assert rc == 0
+
+
+def test_cli_model_verify(synth_env, capsys):
+    rc = main(["model", "verify"])
+    assert rc == 0
+    assert "✓" in capsys.readouterr().out
+
+
+def test_cli_bench_json(synth_env, capsys):
+    rc = main(["bench", "--text", "hello world", "--runs", "1", "--json"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert "rtf_mean" in out
+
+
+def test_cli_export_voice(synth_env, tmp_path, capsys):
+    from go_pocket_tts_tpu.utils import wav as wavmod
+
+    speaker = tmp_path / "speaker.wav"
+    speaker.write_bytes(
+        wavmod.encode_wav((np.random.RandomState(1).randn(1920 * 2) * 0.1).astype(np.float32))
+    )
+    out = tmp_path / "voice.safetensors"
+    rc = main(["export-voice", "--input", str(speaker), "--output", str(out)])
+    assert rc == 0
+    assert out.exists()

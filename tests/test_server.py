@@ -1,0 +1,199 @@
+"""HTTP server tests with stub synthesizers (mirrors the reference's
+httptest-based tiers: worker pool saturation, limits, timeouts, streaming
+framing, health/voices)."""
+
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from go_pocket_tts_tpu.server import Server, probe_http
+from go_pocket_tts_tpu.tts.service import PCMChunk
+from go_pocket_tts_tpu.utils import wav
+
+
+class _StubService:
+    """Synthesizes 100 samples per word, optionally slowly."""
+
+    def __init__(self, delay=0.0, chunks=1, fail=False):
+        self.delay = delay
+        self.chunks = chunks
+        self.fail = fail
+        self.calls = 0
+
+    def synthesize_stream(self, text, voice_path="", cancel=None):
+        self.calls += 1
+        if self.fail:
+            raise RuntimeError("boom")
+        for i in range(self.chunks):
+            if self.delay:
+                time.sleep(self.delay)
+            if cancel is not None and cancel():
+                from go_pocket_tts_tpu.tts.service import CancelledError
+
+                raise CancelledError("cancelled")
+            yield PCMChunk(
+                samples=np.full(100, 0.1, np.float32),
+                chunk_index=i,
+                final=i == self.chunks - 1,
+            )
+
+
+class _StubVoices:
+    def list_voices(self):
+        from go_pocket_tts_tpu.tts.voices import Voice
+
+        return [Voice(id="alba", path="alba.safetensors", license="CC-BY-4.0")]
+
+    def resolve_path(self, vid):
+        if vid == "alba":
+            return "/tmp/alba.safetensors"
+        raise KeyError(vid)
+
+
+def _post(url, obj, timeout=10):
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+@pytest.fixture
+def server():
+    svc = _StubService()
+    srv = Server(svc, _StubVoices(), listen_addr="127.0.0.1:0", workers=2,
+                 max_text_bytes=64, request_timeout=2.0)
+    srv.start()
+    yield srv, svc
+    srv.shutdown()
+
+
+def test_health_and_probe(server):
+    srv, _ = server
+    out = probe_http(f"http://127.0.0.1:{srv.port}")
+    assert out["status"] == "ok"
+    assert "version" in out
+
+
+def test_voices_endpoint(server):
+    srv, _ = server
+    with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/voices") as resp:
+        data = json.load(resp)
+    assert data["voices"][0]["id"] == "alba"
+
+
+def test_tts_returns_wav(server):
+    srv, _ = server
+    with _post(f"http://127.0.0.1:{srv.port}/tts", {"text": "hello"}) as resp:
+        assert resp.headers["Content-Type"] == "audio/wav"
+        body = resp.read()
+    samples, rate = wav.decode_wav(body)
+    assert rate == 24000
+    assert len(samples) == 100
+
+
+def test_tts_empty_text_400(server):
+    srv, _ = server
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _post(f"http://127.0.0.1:{srv.port}/tts", {"text": "   "})
+    assert exc_info.value.code == 400
+
+
+def test_tts_oversize_413(server):
+    srv, _ = server
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _post(f"http://127.0.0.1:{srv.port}/tts", {"text": "x" * 100})
+    assert exc_info.value.code == 413
+
+
+def test_tts_invalid_json_400(server):
+    srv, _ = server
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/tts", data=b"{nope", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(req, timeout=5)
+    assert exc_info.value.code == 400
+
+
+def test_tts_error_500(server):
+    srv, _ = server
+    svc = _StubService(fail=True)
+    srv2 = Server(svc, listen_addr="127.0.0.1:0")
+    srv2.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post(f"http://127.0.0.1:{srv2.port}/tts", {"text": "hello"})
+        assert exc_info.value.code == 500
+        assert json.loads(exc_info.value.read())["error"] == "boom"
+    finally:
+        srv2.shutdown()
+
+
+def test_tts_timeout_504():
+    svc = _StubService(delay=0.4, chunks=3)
+    srv = Server(svc, listen_addr="127.0.0.1:0", request_timeout=0.5)
+    srv.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post(f"http://127.0.0.1:{srv.port}/tts", {"text": "hello"}, timeout=10)
+        assert exc_info.value.code == 504
+    finally:
+        srv.shutdown()
+
+
+def test_streaming_wav_framing(server):
+    srv, _ = server
+    svc = _StubService(chunks=3)
+    srv2 = Server(svc, listen_addr="127.0.0.1:0")
+    srv2.start()
+    try:
+        with _post(f"http://127.0.0.1:{srv2.port}/tts/stream", {"text": "hello"}) as resp:
+            body = resp.read()  # urllib de-chunks
+        # streaming header + 3 chunks of 100 samples
+        assert body[:4] == b"RIFF"
+        samples, rate = wav.decode_wav(body)
+        assert len(samples) == 300
+    finally:
+        srv2.shutdown()
+
+
+def test_worker_pool_saturation_503():
+    svc = _StubService(delay=1.0)
+    srv = Server(svc, listen_addr="127.0.0.1:0", workers=1, request_timeout=5.0)
+    # Shrink the queue wait so the test is fast.
+    srv._httpd.RequestHandlerClass = None  # replaced below
+    from go_pocket_tts_tpu.server.http import make_handler
+
+    srv._httpd.RequestHandlerClass = make_handler(
+        svc, None, max_text_bytes=4096, request_timeout=5.0, workers=1, queue_timeout=0.2
+    )
+    srv.start()
+    try:
+        results = {}
+
+        def call(name):
+            try:
+                with _post(f"http://127.0.0.1:{srv.port}/tts", {"text": "hi"}, timeout=10) as r:
+                    results[name] = r.status
+            except urllib.error.HTTPError as e:
+                results[name] = e.code
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+            time.sleep(0.1)
+        for t in threads:
+            t.join()
+        codes = sorted(results.values())
+        assert 503 in codes  # at least one rejected while the pool is busy
+        assert 200 in codes
+    finally:
+        srv.shutdown()
