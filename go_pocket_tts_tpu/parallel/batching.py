@@ -1,0 +1,319 @@
+"""Continuous batching engine: concurrent requests share one jitted AR step.
+
+The reference bounds concurrency with an HTTP semaphore and runs requests
+one-by-one through the Go runtime (`internal/server/server.go:112-134`). On
+TPU a single AR step at batch 1 leaves the MXU idle; this engine keeps a
+fixed set of request *slots* stepping together:
+
+- each slot is a lane of the batched KV cache with its **own offset**
+  (``models.flow_transformer.transformer_step_batched``) — requests join and
+  leave at any step (heterogeneous prompt lengths and EOS times)
+- admission happens between steps: a new request is prefilled on the
+  single-request path, then its lane is spliced into the batch state
+- per-slot EOS countdown bookkeeping runs inside the jitted step (same
+  semantics as the single-program loop in `runtime/generate.py`)
+- finished slots are harvested (frames → Mimi decode → PCM future) and freed
+
+The batched step state can be sharded over a ``dp`` mesh (`parallel.mesh`)
+so the same engine drives multi-chip batch serving (BASELINE config 5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from go_pocket_tts_tpu.models import flow_lm as flm
+from go_pocket_tts_tpu.models import flow_transformer as ftr
+from go_pocket_tts_tpu.models.model import PocketTTSModel
+from go_pocket_tts_tpu.runtime.generate import GenerateConfig, _decode, _prefill
+from go_pocket_tts_tpu.text import estimate_max_frames
+from go_pocket_tts_tpu.utils import buckets as bk
+
+log = logging.getLogger("pockettts.batching")
+
+__all__ = ["ContinuousBatcher"]
+
+
+@partial(jax.jit, static_argnames=("cfg", "decode_steps"), donate_argnames=("state",))
+def _batched_ar_step(params, cfg, state: Dict, noise: jax.Array, decode_steps: int):
+    """One AR step for all lanes; inactive/done lanes are frozen."""
+    live = state["active"] & ~state["done"]
+
+    seq = jnp.where(
+        jnp.isnan(state["frame"]), params["bos_emb"].astype(state["frame"].dtype), state["frame"]
+    )
+    x = flm.apply_linear(params["input_linear"], seq)
+    y, cache = ftr.transformer_step_batched(
+        params["transformer"], cfg.transformer, state["cache"], x
+    )
+    last, eos_logit = flm._hidden_and_eos(params, y)
+    decoded = flm.fnet.lsd_decode(params["flow_net"], last, noise, decode_steps)
+    next_frame = decoded[:, None, :]
+
+    max_frames = state["frames"].shape[1]
+    idx = jnp.minimum(state["n_frames"], max_frames - 1)
+    written = jax.vmap(
+        lambda buf, val, i: jax.lax.dynamic_update_slice(buf, val[None, :], (i, 0))
+    )(state["frames"], decoded, idx)
+    frames = jnp.where(live[:, None, None], written, state["frames"])
+
+    is_eos = eos_logit > state["eos_threshold"]
+    newly = is_eos & (state["countdown"] < 0) & live
+    countdown = jnp.where(newly, state["frames_after_eos"], state["countdown"])
+    n_frames = jnp.where(live, state["n_frames"] + 1, state["n_frames"])
+    done = state["done"] | (live & (countdown == 0)) | (n_frames >= state["max_steps"])
+    countdown = jnp.where((countdown > 0) & live & ~done, countdown - 1, countdown)
+
+    # Freeze caches of non-live lanes (offset must not drift while waiting
+    # for harvest or admission).
+    offset = jnp.where(live, cache["offset"], state["cache"]["offset"])
+    cache = {"k": cache["k"], "v": cache["v"], "offset": offset}
+
+    return {
+        **state,
+        "cache": cache,
+        "frame": jnp.where(live[:, None, None], next_frame, state["frame"]),
+        "frames": frames,
+        "n_frames": n_frames,
+        "countdown": countdown,
+        "done": done,
+    }
+
+
+@partial(jax.jit, donate_argnames=("state",))
+def _insert_lane(
+    state: Dict,
+    slot: jax.Array,
+    lane_k: jax.Array,
+    lane_v: jax.Array,
+    offset: jax.Array,
+    max_steps: jax.Array,
+    eos_threshold: jax.Array,
+    frames_after_eos: jax.Array,
+    sigma: jax.Array,
+):
+    latent_dim = state["frame"].shape[-1]
+    cache = state["cache"]
+    state = {
+        **state,
+        "cache": {
+            "k": cache["k"].at[:, slot].set(lane_k[:, 0]),
+            "v": cache["v"].at[:, slot].set(lane_v[:, 0]),
+            "offset": cache["offset"].at[slot].set(offset),
+        },
+        "frame": state["frame"]
+        .at[slot]
+        .set(jnp.full((1, latent_dim), jnp.nan, state["frame"].dtype)),
+        "n_frames": state["n_frames"].at[slot].set(0),
+        "countdown": state["countdown"].at[slot].set(-1),
+        "done": state["done"].at[slot].set(False),
+        "active": state["active"].at[slot].set(True),
+        "max_steps": state["max_steps"].at[slot].set(max_steps),
+        "eos_threshold": state["eos_threshold"].at[slot].set(eos_threshold),
+        "frames_after_eos": state["frames_after_eos"].at[slot].set(frames_after_eos),
+        "sigma": state["sigma"].at[slot].set(sigma),
+    }
+    return state
+
+
+@dataclasses.dataclass
+class _Request:
+    tokens: List[int]
+    cfg: GenerateConfig
+    future: Future
+
+
+@dataclasses.dataclass
+class _SlotInfo:
+    request: Optional[_Request] = None
+
+
+class ContinuousBatcher:
+    """Slot-based continuous batching over one model replica (or a DP mesh).
+
+    ``submit`` is thread-safe and returns a Future resolving to float32 PCM.
+    """
+
+    def __init__(
+        self,
+        model: PocketTTSModel,
+        slots: int = 4,
+        prompt_capacity: int = 128,
+        max_frames: int = 256,
+        dtype=jnp.float32,
+        seed: Optional[int] = None,
+        mesh=None,
+    ) -> None:
+        self.model = model if jnp.dtype(dtype) == jnp.float32 else model.astype(dtype)
+        self.dtype = jnp.dtype(dtype)
+        self.slots = slots
+        self.max_frames = max_frames
+        self.capacity = prompt_capacity + max_frames
+        self.mesh = mesh
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._slot_info = [_SlotInfo() for _ in range(slots)]
+        self._key = jax.random.PRNGKey(seed if seed is not None else time.time_ns() & 0x7FFFFFFF)
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+        flow_cfg = self.model.config.flow_lm
+        tcfg = flow_cfg.transformer
+        L = flow_cfg.latent_dim
+        cache_shape = (tcfg.num_layers, slots, tcfg.num_heads, self.capacity, tcfg.head_dim)
+        self._state: Dict = {
+            "cache": {
+                "k": jnp.zeros(cache_shape, self.dtype),
+                "v": jnp.zeros(cache_shape, self.dtype),
+                "offset": jnp.zeros((slots,), jnp.int32),
+            },
+            "frame": jnp.full((slots, 1, L), jnp.nan, self.dtype),
+            "frames": jnp.zeros((slots, max_frames, L), self.dtype),
+            "n_frames": jnp.zeros((slots,), jnp.int32),
+            "countdown": jnp.full((slots,), -1, jnp.int32),
+            "done": jnp.zeros((slots,), bool),
+            "active": jnp.zeros((slots,), bool),
+            "max_steps": jnp.zeros((slots,), jnp.int32),
+            "eos_threshold": jnp.zeros((slots,), jnp.float32),
+            "frames_after_eos": jnp.zeros((slots,), jnp.int32),
+            "sigma": jnp.zeros((slots,), jnp.float32),
+        }
+        if mesh is not None:
+            from go_pocket_tts_tpu.parallel.mesh import shard_state
+
+            self._state = shard_state(self._state, mesh)
+
+    # -- public API --------------------------------------------------------
+
+    def submit(self, tokens, cfg: GenerateConfig) -> "Future[np.ndarray]":
+        fut: Future = Future()
+        self._queue.put(_Request(list(tokens), cfg, fut))
+        return fut
+
+    def start(self) -> None:
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+
+    # -- engine ------------------------------------------------------------
+
+    def _free_slots(self) -> List[int]:
+        return [i for i, s in enumerate(self._slot_info) if s.request is None]
+
+    def _admit(self) -> None:
+        free = self._free_slots()
+        while free and not self._queue.empty():
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            slot = free.pop(0)
+            try:
+                self._prefill_into_slot(slot, req)
+            except Exception as exc:  # noqa: BLE001
+                req.future.set_exception(exc)
+                self._slot_info[slot].request = None
+
+    def _prefill_into_slot(self, slot: int, req: _Request) -> None:
+        cfg = req.cfg
+        flow = self.model.params["flow_lm"]
+        flow_cfg = self.model.config.flow_lm
+        tokens = np.asarray(req.tokens, np.int32)
+        max_steps = cfg.max_steps or cfg.estimated_max_steps or estimate_max_frames(len(tokens))
+        max_steps = min(max_steps, self.max_frames)
+
+        emb = flm.text_embeddings(flow, jnp.asarray(tokens[None, :])).astype(self.dtype)
+        if cfg.voice_embedding is not None:
+            emb = jnp.concatenate(
+                [jnp.asarray(cfg.voice_embedding, self.dtype), emb], axis=1
+            )
+        prompt_len = emb.shape[1]
+        bucket = bk.pick_bucket(prompt_len, bk.PROMPT_BUCKETS)
+        if bucket + self.max_frames > self.capacity:
+            raise ValueError(
+                f"prompt length {prompt_len} exceeds batcher capacity "
+                f"{self.capacity - self.max_frames}"
+            )
+        lane = ftr.init_kv_cache(flow_cfg.transformer, 1, self.capacity, self.dtype)
+        if cfg.voice_model_state is not None:
+            lane = ftr.kv_cache_from_voice_state(
+                flow_cfg.transformer, cfg.voice_model_state.modules, self.capacity, self.dtype
+            )
+        padded = jnp.pad(emb, ((0, 0), (0, bucket - prompt_len), (0, 0)))
+        lane = _prefill(flow, flow_cfg, lane, padded, jnp.int32(prompt_len))
+
+        self._state = _insert_lane(
+            self._state,
+            jnp.int32(slot),
+            lane["k"],
+            lane["v"],
+            lane["offset"],
+            jnp.int32(max_steps),
+            jnp.float32(cfg.eos_threshold),
+            jnp.int32(cfg.frames_after_eos),
+            jnp.sqrt(jnp.maximum(jnp.float32(cfg.temperature), 0.0)),
+        )
+        self._slot_info[slot].request = req
+
+    def _harvest(self) -> None:
+        done = np.asarray(self._state["done"])
+        active = np.asarray(self._state["active"])
+        n_frames = np.asarray(self._state["n_frames"])
+        for slot in range(self.slots):
+            info = self._slot_info[slot]
+            if info.request is None or not (active[slot] and done[slot]):
+                continue
+            n = int(n_frames[slot])
+            latent = self._state["frames"][slot][None, : bk.pick_bucket(n, bk.DECODE_BUCKETS)]
+            mask = (jnp.arange(latent.shape[1]) < n)[None, :, None]
+            latent = jnp.where(mask, latent, 0.0)
+            pcm = _decode(self.model.params, self.model.config.mimi, latent)
+            samples_per = self.model.config.mimi.samples_per_latent
+            audio = np.asarray(pcm[0, 0, : n * samples_per], np.float32)
+            info.request.future.set_result(audio)
+            info.request = None
+            self._state = {
+                **self._state,
+                "active": self._state["active"].at[slot].set(False),
+            }
+
+    def _loop(self) -> None:
+        decode_steps = 1
+        params = self.model.params["flow_lm"]
+        cfg = self.model.config.flow_lm
+        while not self._stop.is_set():
+            self._admit()
+            if not bool(np.any(np.asarray(self._state["active"]))):
+                try:
+                    req = self._queue.get(timeout=0.05)
+                    self._queue.put(req)
+                except queue.Empty:
+                    continue
+                continue
+            self._key, sub = jax.random.split(self._key)
+            noise = (
+                jax.random.normal(sub, (self.slots, cfg.latent_dim), jnp.float32)
+                * self._state["sigma"][:, None]
+            ).astype(self.dtype)
+            self._state = _batched_ar_step(params, cfg, self._state, noise, decode_steps)
+            self._harvest()
+
+    # Convenience synchronous API ------------------------------------------
+
+    def generate(self, tokens, cfg: GenerateConfig, timeout: float = 120.0) -> np.ndarray:
+        return self.submit(tokens, cfg).result(timeout=timeout)

@@ -1,0 +1,144 @@
+"""Continuous batching + mesh DP tests.
+
+The strongest invariant: at temperature=0, a request served through the
+batched per-slot-offset engine must produce the SAME audio as the
+single-request single-program runtime — regardless of what other requests
+share the batch (heterogeneous prompt lengths, admission times, EOS)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from go_pocket_tts_tpu.models import synthetic
+from go_pocket_tts_tpu.models.model import load_model_from_store
+from go_pocket_tts_tpu.parallel import ContinuousBatcher, dp_mesh, replicate_params, shard_batch
+from go_pocket_tts_tpu.runtime import GenerateConfig, TPURuntime
+from go_pocket_tts_tpu.utils.safetensors import encode_tensors, open_store_from_bytes
+
+ARCH = synthetic.tiny_arch()
+
+
+@pytest.fixture(scope="module")
+def model():
+    data = encode_tensors(synthetic.build_checkpoint(ARCH, seed=55))
+    return load_model_from_store(open_store_from_bytes(data), num_heads=ARCH.num_heads)
+
+
+def _cfg(**kw):
+    base = dict(temperature=0.0, eos_threshold=1e9, max_steps=4)
+    base.update(kw)
+    return GenerateConfig(**base)
+
+
+def test_batched_matches_single_request(model):
+    single = TPURuntime(model, seed=3, frame_bucket=64)
+    want = single.generate_audio([5, 9, 2], _cfg())
+
+    batcher = ContinuousBatcher(model, slots=2, prompt_capacity=64, max_frames=64, seed=3)
+    batcher.start()
+    try:
+        got = batcher.generate([5, 9, 2], _cfg(), timeout=60)
+    finally:
+        batcher.stop()
+    assert len(got) == len(want)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
+
+
+def test_batched_heterogeneous_requests(model):
+    """Concurrent requests with different prompts/lengths each match their
+    individual single-request output."""
+    single = TPURuntime(model, seed=3, frame_bucket=64)
+    want_a = single.generate_audio([5, 9, 2], _cfg(max_steps=4))
+    want_b = single.generate_audio([7, 1, 4, 8, 11, 13, 2], _cfg(max_steps=6))
+
+    batcher = ContinuousBatcher(model, slots=4, prompt_capacity=64, max_frames=64, seed=3)
+    batcher.start()
+    try:
+        fut_a = batcher.submit([5, 9, 2], _cfg(max_steps=4))
+        fut_b = batcher.submit([7, 1, 4, 8, 11, 13, 2], _cfg(max_steps=6))
+        got_a = fut_a.result(timeout=60)
+        got_b = fut_b.result(timeout=60)
+    finally:
+        batcher.stop()
+
+    np.testing.assert_allclose(got_a, want_a, atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(got_b, want_b, atol=1e-4, rtol=1e-3)
+
+
+def test_batched_more_requests_than_slots(model):
+    batcher = ContinuousBatcher(model, slots=2, prompt_capacity=64, max_frames=64, seed=3)
+    batcher.start()
+    try:
+        futs = [batcher.submit([3 + i, 4], _cfg(max_steps=3)) for i in range(5)]
+        outs = [f.result(timeout=120) for f in futs]
+    finally:
+        batcher.stop()
+    assert all(len(o) == 3 * 1920 for o in outs)
+
+
+def test_batched_eos_early_exit(model):
+    """eos_threshold=-inf → EOS at step 0 → frames_after_eos+1 frames."""
+    batcher = ContinuousBatcher(model, slots=2, prompt_capacity=64, max_frames=64, seed=3)
+    batcher.start()
+    try:
+        out = batcher.generate(
+            [5, 6], _cfg(eos_threshold=-1e9, max_steps=20, frames_after_eos=3), timeout=60
+        )
+    finally:
+        batcher.stop()
+    assert len(out) == 4 * 1920
+
+
+# -- mesh DP -----------------------------------------------------------------
+
+
+def test_dp_mesh_batched_step_matches_unsharded(model):
+    """One batched AR step under an 8-device dp mesh == unsharded result."""
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    from go_pocket_tts_tpu.models import flow_lm as flm
+    from go_pocket_tts_tpu.models import flow_transformer as ftr
+    from go_pocket_tts_tpu.parallel.batching import _batched_ar_step
+    from go_pocket_tts_tpu.parallel.mesh import shard_state
+
+    mesh = dp_mesh(8)
+    flow = model.params["flow_lm"]
+    cfg = model.config.flow_lm
+    S, L = 8, cfg.latent_dim
+
+    tcfg = cfg.transformer
+    cache_shape = (tcfg.num_layers, S, tcfg.num_heads, 32, tcfg.head_dim)
+    rng = np.random.RandomState(0)
+    state = {
+        "cache": {
+            "k": jnp.asarray(rng.randn(*cache_shape).astype(np.float32) * 0.1),
+            "v": jnp.asarray(rng.randn(*cache_shape).astype(np.float32) * 0.1),
+            "offset": jnp.asarray(rng.randint(1, 5, size=S).astype(np.int32)),
+        },
+        "frame": jnp.asarray(rng.randn(S, 1, L).astype(np.float32)),
+        "frames": jnp.zeros((S, 16, L), jnp.float32),
+        "n_frames": jnp.zeros((S,), jnp.int32),
+        "countdown": jnp.full((S,), -1, jnp.int32),
+        "done": jnp.zeros((S,), bool),
+        "active": jnp.ones((S,), bool),
+        "max_steps": jnp.full((S,), 10, jnp.int32),
+        "eos_threshold": jnp.full((S,), 1e9, jnp.float32),
+        "frames_after_eos": jnp.full((S,), 3, jnp.int32),
+        "sigma": jnp.zeros((S,), jnp.float32),
+    }
+    noise = jnp.zeros((S, L), jnp.float32)
+
+    plain = _batched_ar_step(flow, cfg, jax.tree_util.tree_map(jnp.copy, state), noise, 1)
+
+    flow_sharded = replicate_params(flow, mesh)
+    state_sharded = shard_state(jax.tree_util.tree_map(jnp.copy, state), mesh)
+    noise_sharded = shard_batch(noise, mesh)
+    sharded = _batched_ar_step(flow_sharded, cfg, state_sharded, noise_sharded, 1)
+
+    np.testing.assert_allclose(
+        np.asarray(plain["frame"]), np.asarray(sharded["frame"]), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain["cache"]["offset"]), np.asarray(sharded["cache"]["offset"])
+    )
