@@ -213,41 +213,6 @@ def _merge_heads(x: jax.Array) -> jax.Array:
     return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
 
 
-def _layer_cached(
-    layer: Params,
-    cfg: TransformerConfig,
-    rope_cos: jax.Array,
-    rope_sin: jax.Array,
-    x: jax.Array,
-    k_cache: jax.Array,
-    v_cache: jax.Array,
-    offset: jax.Array,
-    pos_q: jax.Array,
-    pos_k: jax.Array,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    n1 = layer_norm(x, layer["norm1"]["weight"], layer["norm1"]["bias"])
-    qkv = apply_linear(layer["in_proj"], n1)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    q = _split_heads(q, cfg.num_heads, cfg.head_dim)
-    k = _split_heads(k, cfg.num_heads, cfg.head_dim)
-    v = _split_heads(v, cfg.num_heads, cfg.head_dim)
-    q = apply_rope(q, rope_cos, rope_sin, offset)
-    k = apply_rope(k, rope_cos, rope_sin, offset)
-
-    # Append K/V at the offset (sequential slots == absolute positions).
-    k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, 0, offset, 0))
-    v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, 0, offset, 0))
-
-    attn = attention_with_positions(q, k_cache, v_cache, pos_q, pos_k, cfg.context)
-    x = x + apply_linear(layer["out_proj"], _merge_heads(attn))
-
-    n2 = layer_norm(x, layer["norm2"]["weight"], layer["norm2"]["bias"])
-    ff = apply_linear(layer["linear1"], n2)
-    ff = gelu_erf(ff)
-    ff = apply_linear(layer["linear2"], ff)
-    return x + ff, k_cache, v_cache
-
-
 def transformer_forward_cached(
     params: Params,
     cfg: TransformerConfig,
@@ -261,6 +226,11 @@ def transformer_forward_cached(
     of the T tokens are real; the offset advances by ``valid_len`` and padded
     tokens are never visible to later queries (their cache slots sit beyond
     the new offset and are overwritten by subsequent writes).
+
+    The stacked ``[L,B,H,C,Dh]`` cache buffers are updated with per-layer
+    dynamic-update-slices (only the written token moves through HBM). Inside
+    a donated jit / while_loop carry XLA aliases the buffer, so the AR step
+    writes O(L·B·H·Dh) bytes instead of copying the whole cache.
     """
     t = x.shape[1]
     offset = cache["offset"]
@@ -274,28 +244,30 @@ def transformer_forward_cached(
     pos_k = jnp.arange(capacity, dtype=jnp.int32)
 
     k_all, v_all = cache["k"], cache["v"]
-    new_k, new_v = [], []
+    zero = jnp.int32(0)
     for i, layer in enumerate(params["layers"]):
-        x, k_i, v_i = _layer_cached(
-            layer,
-            cfg,
-            params["rope_cos"],
-            params["rope_sin"],
-            x,
-            k_all[i],
-            v_all[i],
-            offset,
-            pos_q,
-            pos_k,
-        )
-        new_k.append(k_i)
-        new_v.append(v_i)
+        n1 = layer_norm(x, layer["norm1"]["weight"], layer["norm1"]["bias"])
+        qkv = apply_linear(layer["in_proj"], n1)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _split_heads(q, cfg.num_heads, cfg.head_dim)
+        k = _split_heads(k, cfg.num_heads, cfg.head_dim)
+        v = _split_heads(v, cfg.num_heads, cfg.head_dim)
+        q = apply_rope(q, params["rope_cos"], params["rope_sin"], offset)
+        k = apply_rope(k, params["rope_cos"], params["rope_sin"], offset)
 
-    new_cache = {
-        "k": jnp.stack(new_k),
-        "v": jnp.stack(new_v),
-        "offset": offset + valid,
-    }
+        # Append K/V at the offset (sequential slots == absolute positions).
+        k_all = jax.lax.dynamic_update_slice(k_all, k[None], (i, zero, zero, offset, zero))
+        v_all = jax.lax.dynamic_update_slice(v_all, v[None], (i, zero, zero, offset, zero))
+
+        attn = attention_with_positions(q, k_all[i], v_all[i], pos_q, pos_k, cfg.context)
+        x = x + apply_linear(layer["out_proj"], _merge_heads(attn))
+
+        n2 = layer_norm(x, layer["norm2"]["weight"], layer["norm2"]["bias"])
+        ff = apply_linear(layer["linear1"], n2)
+        ff = gelu_erf(ff)
+        x = x + apply_linear(layer["linear2"], ff)
+
+    new_cache = {"k": k_all, "v": v_all, "offset": offset + valid}
     return x, new_cache
 
 
@@ -323,12 +295,7 @@ def transformer_step_batched(
         jnp.arange(capacity, dtype=jnp.int32)[None, :], (x.shape[0], capacity)
     )
 
-    write = jax.vmap(
-        lambda buf, val, off: jax.lax.dynamic_update_slice(buf, val, (0, off, 0))
-    )
-
     k_all, v_all = cache["k"], cache["v"]
-    new_k, new_v = [], []
     for i, layer in enumerate(params["layers"]):
         n1 = layer_norm(x, layer["norm1"]["weight"], layer["norm1"]["bias"])
         qkv = apply_linear(layer["in_proj"], n1)
@@ -338,18 +305,20 @@ def transformer_step_batched(
         v = _split_heads(v, cfg.num_heads, cfg.head_dim)
         q = apply_rope(q, params["rope_cos"], params["rope_sin"], offsets)
         k = apply_rope(k, params["rope_cos"], params["rope_sin"], offsets)
-        k_i = write(k_all[i], k, offsets)
-        v_i = write(v_all[i], v, offsets)
-        attn = attention_with_positions(q, k_i, v_i, pos_q, pos_k, cfg.context)
+        # Per-slot scatter of the new token into layer i of the stacked cache.
+        write = jax.vmap(
+            lambda buf, val, off: jax.lax.dynamic_update_slice(buf, val, (0, off, 0))
+        )
+        k_all = k_all.at[i].set(write(k_all[i], k, offsets))
+        v_all = v_all.at[i].set(write(v_all[i], v, offsets))
+        attn = attention_with_positions(q, k_all[i], v_all[i], pos_q, pos_k, cfg.context)
         x = x + apply_linear(layer["out_proj"], _merge_heads(attn))
         n2 = layer_norm(x, layer["norm2"]["weight"], layer["norm2"]["bias"])
         ff = apply_linear(layer["linear1"], n2)
         ff = gelu_erf(ff)
         x = x + apply_linear(layer["linear2"], ff)
-        new_k.append(k_i)
-        new_v.append(v_i)
 
-    new_cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v), "offset": offsets + 1}
+    new_cache = {"k": k_all, "v": v_all, "offset": offsets + 1}
     return x, new_cache
 
 

@@ -48,6 +48,7 @@ from go_pocket_tts_tpu.ops import (
     layer_norm,
     repack_conv_transpose_kernel,
 )
+from go_pocket_tts_tpu.ops.local_attention import local_windowed_attention
 
 __all__ = ["MimiConfig", "load_mimi", "mimi_decode", "quantizer_project"]
 
@@ -228,7 +229,12 @@ def _transformer(params: Params, cfg: MimiConfig, x: jax.Array) -> jax.Array:
         v = v.reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
         q = apply_rope(q, tp["rope_cos"], tp["rope_sin"], 0)
         k = apply_rope(k, tp["rope_cos"], tp["rope_sin"], 0)
-        a = attention_with_positions(q, k, v, pos, pos, cfg.context)
+        # Blocked local attention avoids the dense [T,T] score tensor when the
+        # sequence is long and block-divisible (window 250 <= block 256).
+        if t % 256 == 0 and t > 256 and cfg.context <= 256:
+            a = local_windowed_attention(q, k, v, cfg.context, block=256)
+        else:
+            a = attention_with_positions(q, k, v, pos, pos, cfg.context)
         a = a.transpose(0, 2, 1, 3).reshape(b, t, d)
         a = apply_linear(layer["out_proj"], a)
         if "layer_scale_1" in layer:

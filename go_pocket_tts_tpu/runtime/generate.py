@@ -77,12 +77,7 @@ def _prefill(params: Dict, cfg, cache: Dict, emb: jax.Array, valid_len: jax.Arra
     return flm.prompt(params, cfg, cache, emb, valid_len)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "decode_steps", "max_frames"),
-    donate_argnames=("cache",),
-)
-def _ar_loop(
+def _ar_loop_body(
     params: Dict,
     cfg,
     cache: Dict,
@@ -158,12 +153,16 @@ def _ar_loop(
     return out["frames"], out["n_frames"], out["cache"]
 
 
-@partial(jax.jit, static_argnames=("mimi_cfg",))
-def _decode(params: Dict, mimi_cfg, latent: jax.Array) -> jax.Array:
-    """Fused latent→mimi projection + full Mimi decode, one program.
+_ar_loop = partial(
+    jax.jit,
+    static_argnames=("cfg", "decode_steps", "max_frames"),
+    donate_argnames=("cache",),
+)(_ar_loop_body)
 
-    ``params`` is the full model param tree ({flow_lm, mimi[, latent_to_mimi]}).
-    """
+
+def _decode_body(params: Dict, mimi_cfg, latent: jax.Array) -> jax.Array:
+    """Fused latent→mimi projection + full Mimi decode (shared by the staged
+    and fused paths)."""
     fused = params.get("latent_to_mimi")
     if fused is not None:
         out = jnp.matmul(
@@ -175,6 +174,58 @@ def _decode(params: Dict, mimi_cfg, latent: jax.Array) -> jax.Array:
         denorm = latent * flow["emb_std"] + flow["emb_mean"]
         mimi_latent = mimi_mod.quantizer_project(params["mimi"], jnp.swapaxes(denorm, 1, 2))
     return mimi_mod.mimi_decode(params["mimi"], mimi_cfg, mimi_latent)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("flow_cfg", "mimi_cfg", "decode_steps", "max_frames"),
+    donate_argnames=("cache",),
+)
+def _generate_fused(
+    params: Dict,
+    flow_cfg,
+    mimi_cfg,
+    cache: Dict,
+    emb: jax.Array,
+    valid_len: jax.Array,
+    key: jax.Array,
+    max_steps: jax.Array,
+    eos_threshold: jax.Array,
+    temperature: jax.Array,
+    frames_after_eos: jax.Array,
+    decode_steps: int,
+    max_frames: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Whole-utterance program: prefill → AR while-loop → mask → fused
+    latent→mimi → Mimi decode. One dispatch, one device→host transfer —
+    the serving fast path (the staged functions remain for streaming and the
+    continuous batcher).
+
+    Returns (pcm [B, 1, max_frames·1920], n_frames [B]); the host trims to
+    ``n_frames·1920`` samples (everything past it is causal-junk from padded
+    frames).
+    """
+    flow = params["flow_lm"]
+    cache = flm.prompt(flow, flow_cfg, cache, emb, valid_len)
+    frames, n_frames, _ = _ar_loop_body(
+        flow,
+        flow_cfg,
+        cache,
+        key,
+        max_steps,
+        eos_threshold,
+        temperature,
+        frames_after_eos,
+        decode_steps,
+        max_frames,
+    )
+    mask = (jnp.arange(max_frames) < n_frames[:, None])[:, :, None]
+    latent = jnp.where(mask, frames, 0.0)
+    pcm = _decode_body(params, mimi_cfg, latent)
+    return pcm, n_frames
+
+
+_decode = partial(jax.jit, static_argnames=("mimi_cfg",))(_decode_body)
 
 
 # -- runtime ----------------------------------------------------------------
@@ -288,14 +339,15 @@ class TPURuntime:
                 )
 
             emb_padded = jnp.pad(emb, ((0, 0), (0, prompt_bucket - prompt_len), (0, 0)))
-            cache = _prefill(flow, flow_cfg, cache, emb_padded, jnp.int32(prompt_len))
-            t_prefill = time.perf_counter()
 
-            # -- AR loop -----------------------------------------------------
-            frames, n_frames, _ = _ar_loop(
-                flow,
+            # -- fused prefill + AR loop + decode (one program, one sync) ----
+            pcm, n_frames = _generate_fused(
+                self.model.params,
                 flow_cfg,
+                self.model.config.mimi,
                 cache,
+                emb_padded,
+                jnp.int32(prompt_len),
                 self._next_key(),
                 jnp.int32(max_steps),
                 jnp.float32(cfg.eos_threshold),
@@ -305,19 +357,10 @@ class TPURuntime:
                 frame_bucket,
             )
             n = int(n_frames[0])
-            t_ar = time.perf_counter()
-
-            # -- decode ------------------------------------------------------
-            decode_bucket = bk.pick_bucket(n, bk.DECODE_BUCKETS)
-            latent = jax.lax.dynamic_slice_in_dim(frames, 0, decode_bucket, axis=1)
-            # Padded tail frames hold junk from the buffer; zero them so ELU/
-            # transformer stay finite (causality discards their samples).
-            mask = (jnp.arange(decode_bucket) < n)[None, :, None]
-            latent = jnp.where(mask, latent, 0.0)
-            pcm = _decode(self.model.params, self.model.config.mimi, latent)
             samples_per = self.model.config.mimi.samples_per_latent
             audio = np.asarray(pcm[0, 0, : n * samples_per], dtype=np.float32)
         t_decode = time.perf_counter()
+        t_prefill = t_ar = t_decode  # stage split unavailable on the fused path
 
         if cfg.step_callback is not None:
             cfg.step_callback(n, max_steps)
