@@ -88,10 +88,14 @@ def _ar_loop_body(
     frames_after_eos: jax.Array,
     decode_steps: int,
     max_frames: int,
+    carry_in: Optional[Dict] = None,
 ) -> Tuple[jax.Array, jax.Array, Dict]:
     """Run up to ``max_steps`` AR steps (≤ static ``max_frames``).
 
-    Returns (frames [B, max_frames, L], n_frames [B], cache).
+    ``carry_in`` (optional ``{frame, countdown, done}``) resumes a previous
+    segment — the frame-streaming path runs the loop in short segments and
+    decodes PCM between them. Returns (frames [B, max_frames, L],
+    n_frames [B], carry) where carry holds the cache plus resumable state.
     """
     batch = cache["k"].shape[1]
     latent_dim = params["bos_emb"].shape[0]
@@ -113,6 +117,12 @@ def _ar_loop_body(
         "countdown": jnp.full((batch,), -1, jnp.int32),  # -1 = EOS not seen
         "done": jnp.zeros((batch,), bool),
     }
+    if carry_in is not None:
+        init.update(
+            frame=carry_in["frame"],
+            countdown=carry_in["countdown"],
+            done=carry_in["done"],
+        )
 
     bound = jnp.minimum(max_steps.astype(jnp.int32), max_frames)
 
@@ -150,7 +160,14 @@ def _ar_loop_body(
         }
 
     out = jax.lax.while_loop(cond, body, init)
-    return out["frames"], out["n_frames"], out["cache"]
+    carry = {
+        "cache": out["cache"],
+        "frame": out["frame"],
+        "countdown": out["countdown"],
+        "done": out["done"],
+        "key": out["key"],
+    }
+    return out["frames"], out["n_frames"], carry
 
 
 _ar_loop = partial(

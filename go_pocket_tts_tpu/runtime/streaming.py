@@ -1,0 +1,180 @@
+"""Frame-level streaming synthesis.
+
+Runs the AR loop in short segments (default 4 latent frames = 320 ms of
+audio) and pushes each segment through the stateful block Mimi decoder
+(`models/mimi_stream.py`), yielding PCM as it is generated. Time-to-first-
+audio becomes prefill + segment·step + one block decode, instead of the whole
+utterance (the capability the reference's `PLAN.md:9-17` TODO asks for; its
+HTTP streaming is only chunk-level).
+
+Exactness: the block decoder is sample-exact with the whole-sequence decoder
+(causal chain, tested), and the segmented AR loop threads
+(cache, frame, countdown, done, rng) so the frame sequence is identical to
+the single-program loop.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from go_pocket_tts_tpu.models import flow_lm as flm
+from go_pocket_tts_tpu.models import mimi_stream
+from go_pocket_tts_tpu.runtime.generate import GenerateConfig, _ar_loop_body, _prefill
+from go_pocket_tts_tpu.text import estimate_max_frames
+from go_pocket_tts_tpu.utils import buckets as bk
+
+__all__ = ["stream_generate"]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "decode_steps", "segment"),
+    donate_argnames=("carry",),
+)
+def _ar_segment(
+    params: Dict,
+    cfg,
+    carry: Dict,
+    steps: jax.Array,
+    eos_threshold: jax.Array,
+    temperature: jax.Array,
+    frames_after_eos: jax.Array,
+    decode_steps: int,
+    segment: int,
+):
+    frames, n, new_carry = _ar_loop_body(
+        params,
+        cfg,
+        carry["cache"],
+        carry["key"],
+        steps,
+        eos_threshold,
+        temperature,
+        frames_after_eos,
+        decode_steps,
+        segment,
+        carry_in=carry,
+    )
+    return frames, n, new_carry
+
+
+@partial(jax.jit, static_argnames=("mimi_cfg",), donate_argnames=("stream_state",))
+def _decode_segment(params: Dict, mimi_cfg, stream_state: Dict, latent: jax.Array):
+    """latent [B, Tb, L] → (pcm [B,1,Tb·1920], stream_state)."""
+    fused = params.get("latent_to_mimi")
+    if fused is not None:
+        out = jnp.matmul(
+            latent, fused["w"].astype(latent.dtype), preferred_element_type=jnp.float32
+        ).astype(latent.dtype)
+        mimi_latent = jnp.swapaxes(out + fused["b"].astype(latent.dtype), 1, 2)
+    else:
+        flow = params["flow_lm"]
+        denorm = latent * flow["emb_std"] + flow["emb_mean"]
+        from go_pocket_tts_tpu.models import mimi as mimi_mod
+
+        mimi_latent = mimi_mod.quantizer_project(params["mimi"], jnp.swapaxes(denorm, 1, 2))
+    return mimi_stream.decode_block(params["mimi"], mimi_cfg, stream_state, mimi_latent)
+
+
+def stream_generate(
+    runtime,
+    tokens,
+    cfg: GenerateConfig,
+    segment_frames: int = 4,
+) -> Iterator[np.ndarray]:
+    """Yield float32 PCM blocks (~``segment_frames``·80 ms each) for one chunk.
+
+    ``runtime`` is a :class:`runtime.TPURuntime`; voice conditioning and
+    bucketing match its ``generate_audio``.
+    """
+    from go_pocket_tts_tpu.models import flow_transformer as ftr
+
+    model = runtime.model
+    flow = model.params["flow_lm"]
+    flow_cfg = model.config.flow_lm
+    dtype = runtime.dtype
+
+    if len(tokens) == 0:
+        raise ValueError("generate: token slice must not be empty")
+    if cfg.voice_embedding is not None and cfg.voice_model_state is not None:
+        raise ValueError(
+            "generate: voice embedding and voice model state are mutually exclusive"
+        )
+
+    max_steps = cfg.max_steps or cfg.estimated_max_steps or estimate_max_frames(len(tokens))
+    decode_steps = max(cfg.lsd_decode_steps, 1)
+
+    with jax.default_matmul_precision(runtime.matmul_precision):
+        tok_np = np.asarray(tokens, np.int32)
+        emb = flm.text_embeddings(flow, jnp.asarray(tok_np[None, :])).astype(dtype)
+        if cfg.voice_embedding is not None:
+            emb = jnp.concatenate(
+                [jnp.asarray(cfg.voice_embedding, dtype), emb], axis=1
+            )
+        prompt_len = emb.shape[1]
+        voice_frames = 0
+        if cfg.voice_model_state is not None:
+            first = next(iter(cfg.voice_model_state.modules.values()))
+            voice_frames = int(np.asarray(first["offset"]).reshape(-1)[0])
+
+        frame_budget = bk.pick_bucket(max_steps + 1, (runtime.frame_bucket, 512, 1024))
+        prompt_bucket = bk.pick_bucket(prompt_len, bk.PROMPT_BUCKETS)
+        capacity = bk.round_up(voice_frames + prompt_bucket, 64) + frame_budget
+
+        if cfg.voice_model_state is not None:
+            cache = runtime._hydrate_voice_cache(cfg.voice_model_state, capacity)
+        else:
+            cache = ftr.init_kv_cache(flow_cfg.transformer, 1, capacity, dtype=dtype)
+        emb_padded = jnp.pad(emb, ((0, 0), (0, prompt_bucket - prompt_len), (0, 0)))
+        cache = _prefill(flow, flow_cfg, cache, emb_padded, jnp.int32(prompt_len))
+
+        latent_dim = flow_cfg.latent_dim
+        carry = {
+            "cache": cache,
+            "frame": jnp.full((1, 1, latent_dim), jnp.nan, dtype),
+            "countdown": jnp.full((1,), -1, jnp.int32),
+            "done": jnp.zeros((1,), bool),
+            "key": runtime._next_key(),
+        }
+        stream_state = mimi_stream.init_stream_state(
+            model.params["mimi"],
+            model.config.mimi,
+            batch=1,
+            max_steps=frame_budget * model.config.mimi.steps_per_latent,
+            dtype=dtype,
+        )
+
+        produced = 0
+        samples_per = model.config.mimi.samples_per_latent
+        while produced < max_steps:
+            steps = min(segment_frames, max_steps - produced)
+            frames, n_seg, carry = _ar_segment(
+                flow,
+                flow_cfg,
+                carry,
+                jnp.int32(steps),
+                jnp.float32(cfg.eos_threshold),
+                jnp.float32(cfg.temperature),
+                jnp.int32(cfg.frames_after_eos),
+                decode_steps,
+                segment_frames,
+            )
+            n = int(n_seg[0])
+            if n == 0:
+                break
+            # Zero padded tail frames; the causal decoder ignores their samples.
+            mask = (jnp.arange(segment_frames) < n)[None, :, None]
+            latent = jnp.where(mask, frames, 0.0)
+            pcm, stream_state = _decode_segment(
+                model.params, model.config.mimi, stream_state, latent
+            )
+            yield np.asarray(pcm[0, 0, : n * samples_per], np.float32)
+            produced += n
+            if bool(np.asarray(carry["done"])[0]):
+                break

@@ -223,8 +223,14 @@ def make_handler(
                 wrote_header = True
                 self._write_chunk(wav.streaming_wav_header())
                 total = 0
+                stream_kwargs = {}
+                if getattr(service, "supports_frame_streaming", False):
+                    stream_kwargs["frame_streaming"] = True
                 for chunk in service.synthesize_stream(
-                    text, voice_path, cancel=lambda: time.monotonic() > deadline
+                    text,
+                    voice_path,
+                    cancel=lambda: time.monotonic() > deadline,
+                    **stream_kwargs,
                 ):
                     payload = wav.pcm16_bytes(chunk.samples)
                     total += len(payload)

@@ -162,13 +162,24 @@ class Service:
             or [np.zeros(0, np.float32)]
         )
 
+    @property
+    def supports_frame_streaming(self) -> bool:
+        return isinstance(self.runtime, TPURuntime)
+
     def synthesize_stream(
         self,
         input_text: str,
         voice_path: str = "",
         cancel: Optional[Callable[[], bool]] = None,
+        frame_streaming: bool = False,
     ) -> Iterator[PCMChunk]:
-        """Chunk-level streaming generator (`service.go:161-200`)."""
+        """Streaming generator.
+
+        ``frame_streaming=False``: one PCMChunk per text chunk
+        (`service.go:161-200`). ``frame_streaming=True`` (TPU runtime only):
+        PCM emitted every few latent frames via the stateful block decoder —
+        the frame-level streaming the reference lists as TODO (`PLAN.md:9-17`).
+        """
         if self.runtime is None:
             raise RuntimeError("tts runtime unavailable")
         # CLI backend synthesizes whole text in the subprocess (no local
@@ -179,14 +190,31 @@ class Service:
             return
         chunks = prepare_chunks(input_text, self.tokenizer, MAX_TOKENS_PER_CHUNK)
         conditioning = load_voice_conditioning(voice_path)
+        use_frames = frame_streaming and self.supports_frame_streaming
         for i, chunk in enumerate(chunks):
             if cancel is not None and cancel():
                 raise CancelledError("synthesis cancelled")
             cfg = self._generate_config(chunk)
             conditioning.apply_to(cfg)
-            with self._lock:
-                pcm = self.runtime.generate_audio(chunk.token_ids, cfg)
-            yield PCMChunk(samples=pcm, chunk_index=i, final=i == len(chunks) - 1)
+            last_chunk = i == len(chunks) - 1
+            if use_frames:
+                from go_pocket_tts_tpu.runtime.streaming import stream_generate
+
+                # Yield as blocks arrive (this is the TTFA path). The lock is
+                # held across the chunk — same policy as the reference, which
+                # holds a worker slot for the whole request.
+                with self._lock:
+                    prev: Optional[np.ndarray] = None
+                    for block in stream_generate(self.runtime, chunk.token_ids, cfg):
+                        if prev is not None:
+                            yield PCMChunk(samples=prev, chunk_index=i, final=False)
+                        prev = block
+                    if prev is not None:
+                        yield PCMChunk(samples=prev, chunk_index=i, final=last_chunk)
+            else:
+                with self._lock:
+                    pcm = self.runtime.generate_audio(chunk.token_ids, cfg)
+                yield PCMChunk(samples=pcm, chunk_index=i, final=last_chunk)
 
     def close(self) -> None:
         close = getattr(self.runtime, "close", None)

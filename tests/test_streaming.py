@@ -1,0 +1,106 @@
+"""Frame-level streaming tests: the segmented AR + stateful block decoder
+must be sample-exact with the whole-utterance fused path."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from go_pocket_tts_tpu.models import mimi_stream, synthetic
+from go_pocket_tts_tpu.models.model import load_model_from_store
+from go_pocket_tts_tpu.runtime import GenerateConfig, TPURuntime
+from go_pocket_tts_tpu.runtime.streaming import stream_generate
+from go_pocket_tts_tpu.utils.safetensors import encode_tensors, open_store_from_bytes
+
+ARCH = synthetic.tiny_arch()
+
+
+@pytest.fixture(scope="module")
+def model():
+    data = encode_tensors(synthetic.build_checkpoint(ARCH, seed=66))
+    return load_model_from_store(open_store_from_bytes(data), num_heads=ARCH.num_heads)
+
+
+def test_block_decoder_matches_whole(model):
+    """Stateful block decode over 4 blocks == stateless whole decode."""
+    rng = np.random.RandomState(2)
+    t_total, block = 12, 3
+    latent = rng.randn(1, ARCH.mimi_dim, t_total).astype(np.float32) * 0.1
+
+    whole = np.asarray(model.mimi_decode(jnp.asarray(latent)))
+
+    params = model.params["mimi"]
+    cfg = model.config.mimi
+    state = mimi_stream.init_stream_state(params, cfg, 1, t_total * cfg.steps_per_latent)
+    outs = []
+    for i in range(0, t_total, block):
+        pcm, state = mimi_stream.decode_block(
+            params, cfg, state, jnp.asarray(latent[:, :, i : i + block])
+        )
+        outs.append(np.asarray(pcm))
+    got = np.concatenate(outs, axis=2)
+    assert got.shape == whole.shape
+    np.testing.assert_allclose(got, whole, atol=2e-4, rtol=1e-3)
+
+
+def test_block_decoder_single_frame_blocks(model):
+    """Block size 1 (the minimum-latency configuration) is also exact."""
+    rng = np.random.RandomState(4)
+    latent = rng.randn(1, ARCH.mimi_dim, 5).astype(np.float32) * 0.1
+    whole = np.asarray(model.mimi_decode(jnp.asarray(latent)))
+
+    params, cfg = model.params["mimi"], model.config.mimi
+    state = mimi_stream.init_stream_state(params, cfg, 1, 5 * cfg.steps_per_latent)
+    outs = []
+    for i in range(5):
+        pcm, state = mimi_stream.decode_block(
+            params, cfg, state, jnp.asarray(latent[:, :, i : i + 1])
+        )
+        outs.append(np.asarray(pcm))
+    np.testing.assert_allclose(np.concatenate(outs, axis=2), whole, atol=2e-4, rtol=1e-3)
+
+
+def test_stream_generate_matches_fused(model):
+    """Same seed → streamed PCM == whole-utterance PCM (same RNG split
+    sequence, exact block decoder)."""
+    tokens = [3, 8, 15]
+    cfg = GenerateConfig(temperature=0.7, eos_threshold=1e9, max_steps=10)
+
+    whole = TPURuntime(model, seed=11, frame_bucket=64).generate_audio(tokens, cfg)
+
+    rt = TPURuntime(model, seed=11, frame_bucket=64)
+    blocks = list(stream_generate(rt, tokens, cfg, segment_frames=4))
+    streamed = np.concatenate(blocks)
+
+    assert len(blocks) == 3  # 4 + 4 + 2 frames
+    assert len(streamed) == len(whole)
+    np.testing.assert_allclose(streamed, whole, atol=3e-4, rtol=1e-3)
+
+
+def test_stream_generate_eos_stops_early(model):
+    tokens = [3, 8]
+    cfg = GenerateConfig(
+        temperature=0.0, eos_threshold=-1e9, max_steps=30, frames_after_eos=3
+    )
+    rt = TPURuntime(model, seed=11, frame_bucket=64)
+    blocks = list(stream_generate(rt, tokens, cfg, segment_frames=4))
+    total = sum(len(b) for b in blocks)
+    assert total == 4 * 1920  # EOS frame + 3
+
+
+def test_service_frame_streaming(model):
+    from go_pocket_tts_tpu.config import TTSConfig
+    from go_pocket_tts_tpu.tts.service import Service
+
+    class _Tok:
+        def encode(self, s):
+            return [3] * len(s.split())
+
+    rt = TPURuntime(model, seed=11, frame_bucket=64)
+    svc = Service(rt, _Tok(), TTSConfig(temperature=0.0, eos_threshold=1e9, max_steps=6))
+    assert svc.supports_frame_streaming
+    chunks = list(svc.synthesize_stream("hello world again.", frame_streaming=True))
+    assert len(chunks) >= 2  # 6 frames / 4-frame segments → 2 blocks
+    assert chunks[-1].final and not chunks[0].final
+    total = sum(len(c.samples) for c in chunks)
+    assert total == 6 * 1920
