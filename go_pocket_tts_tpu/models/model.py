@@ -65,9 +65,9 @@ class PocketTTSModel:
     # -- conversions -------------------------------------------------------
 
     def astype(self, dtype) -> "PocketTTSModel":
-        """Cast all floating parameters (bf16 fast path); RoPE tables and the
-        fused projector stats stay f32 for phase/denorm accuracy."""
-        keep_f32 = {"rope_cos", "rope_sin"}
+        """Cast all floating parameters (bf16 fast path); RoPE tables,
+        quantization scales, and the fused projector stats stay f32."""
+        keep_f32 = {"rope_cos", "rope_sin", "scale"}
 
         def cast(path, leaf):
             name = path[-1].key if path else ""

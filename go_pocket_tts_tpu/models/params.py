@@ -86,9 +86,20 @@ def layer_norm_params(vb: VarBuilder, name: str) -> Dict[str, jnp.ndarray]:
 
 
 def apply_linear(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
-    """``y = x @ w (+ b)`` with f32 accumulation on the MXU."""
-    y = jnp.matmul(x, params["w"].astype(x.dtype), preferred_element_type=jnp.float32)
-    y = y.astype(x.dtype)
+    """``y = x @ w (+ b)`` with f32 accumulation on the MXU.
+
+    INT8 weight-only quantized linears (``models/quantize.py``) carry a
+    per-output-channel ``scale``; the int8 operand converts on load (half the
+    HBM traffic of bf16) and the scale folds into the output.
+    """
+    w = params["w"]
+    if "scale" in params and w.dtype == jnp.int8:
+        y = jnp.matmul(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+        y = y * params["scale"].astype(jnp.float32)
+        y = y.astype(x.dtype)
+    else:
+        y = jnp.matmul(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+        y = y.astype(x.dtype)
     if "b" in params:
         y = y + params["b"].astype(x.dtype)
     return y

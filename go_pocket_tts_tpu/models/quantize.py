@@ -1,0 +1,71 @@
+"""INT8 weight-only quantization.
+
+The reference's quantized deployment is INT8 dynamic-quantized ONNX export
+(`scripts/export_onnx.py`, opset-17 quantize_dynamic; BASELINE config 5).
+The TPU-native equivalent is weight-only symmetric per-output-channel INT8:
+
+    w_q[i, o] = round(w[i, o] / scale[o]),   scale[o] = max_i |w[i, o]| / 127
+
+Matmuls run ``(x @ w_q) * scale`` — the int8 operand halves HBM traffic (the
+AR step is weight-bandwidth-bound), the scale folds into the output
+elementwise, and activations stay bf16/f32. Gathers (the token embedding)
+and the small conv kernels stay in floating point.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["quantize_linear", "quantize_model_params", "is_quantized"]
+
+
+def quantize_linear(p: Dict) -> Dict:
+    """Quantize one linear param dict {w[in,out], b?} → {w int8, scale, b?}."""
+    w = p["w"]
+    scale = jnp.max(jnp.abs(w), axis=0) / 127.0  # [out]
+    scale = jnp.where(scale > 0, scale, 1.0)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    out = {"w": q, "scale": scale.astype(jnp.float32)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def is_quantized(p: Dict) -> bool:
+    return "scale" in p and p["w"].dtype == jnp.int8
+
+
+def _is_linear(node) -> bool:
+    return (
+        isinstance(node, dict)
+        and "w" in node
+        and getattr(node["w"], "ndim", 0) == 2
+        and jnp.issubdtype(node["w"].dtype, jnp.floating)
+        and "scale" not in node
+    )
+
+
+def quantize_model_params(params: Dict) -> Dict:
+    """Recursively quantize every 2-D linear in the model param tree.
+
+    RoPE tables, norms, embeddings, conv kernels (3-D), and latent stats are
+    left in floating point.
+    """
+
+    # conditioner_embed is a gather table; latent_to_mimi is applied with a
+    # raw matmul in the decode path (once per utterance — not traffic-bound).
+    skip_keys = {"conditioner_embed", "latent_to_mimi"}
+
+    def walk(node):
+        if _is_linear(node):
+            return quantize_linear(node)
+        if isinstance(node, dict):
+            return {k: (v if k in skip_keys else walk(v)) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)

@@ -265,8 +265,14 @@ class TPURuntime:
         seed: Optional[int] = None,
         frame_bucket: int = 256,
         matmul_precision: Optional[str] = None,
+        quantize: bool = False,
     ) -> None:
         self.dtype = jnp.dtype(dtype)
+        if quantize:
+            from go_pocket_tts_tpu.models.model import ModelConfig as _MC
+            from go_pocket_tts_tpu.models.quantize import quantize_model_params
+
+            model = PocketTTSModel(quantize_model_params(model.params), model.config)
         self.model = model if self.dtype == jnp.float32 else model.astype(self.dtype)
         if matmul_precision is None:
             matmul_precision = "highest" if self.dtype == jnp.float32 else "default"

@@ -34,13 +34,15 @@ __all__ = ["stream_generate"]
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "decode_steps", "segment"),
-    donate_argnames=("carry",),
+    static_argnames=("flow_cfg", "mimi_cfg", "decode_steps", "segment"),
+    donate_argnames=("carry", "stream_state"),
 )
-def _ar_segment(
+def _stream_step(
     params: Dict,
-    cfg,
+    flow_cfg,
+    mimi_cfg,
     carry: Dict,
+    stream_state: Dict,
     steps: jax.Array,
     eos_threshold: jax.Array,
     temperature: jax.Array,
@@ -48,9 +50,13 @@ def _ar_segment(
     decode_steps: int,
     segment: int,
 ):
+    """One streaming segment as ONE program: ``segment`` AR steps + stateful
+    block decode → (pcm, n, done, carry, stream_state). A single dispatch and
+    a single host transfer per emitted block."""
+    flow = params["flow_lm"]
     frames, n, new_carry = _ar_loop_body(
-        params,
-        cfg,
+        flow,
+        flow_cfg,
         carry["cache"],
         carry["key"],
         steps,
@@ -61,12 +67,9 @@ def _ar_segment(
         segment,
         carry_in=carry,
     )
-    return frames, n, new_carry
+    mask = (jnp.arange(segment) < n[:, None])[:, :, None]
+    latent = jnp.where(mask, frames, 0.0)
 
-
-@partial(jax.jit, static_argnames=("mimi_cfg",), donate_argnames=("stream_state",))
-def _decode_segment(params: Dict, mimi_cfg, stream_state: Dict, latent: jax.Array):
-    """latent [B, Tb, L] → (pcm [B,1,Tb·1920], stream_state)."""
     fused = params.get("latent_to_mimi")
     if fused is not None:
         out = jnp.matmul(
@@ -74,12 +77,14 @@ def _decode_segment(params: Dict, mimi_cfg, stream_state: Dict, latent: jax.Arra
         ).astype(latent.dtype)
         mimi_latent = jnp.swapaxes(out + fused["b"].astype(latent.dtype), 1, 2)
     else:
-        flow = params["flow_lm"]
         denorm = latent * flow["emb_std"] + flow["emb_mean"]
         from go_pocket_tts_tpu.models import mimi as mimi_mod
 
         mimi_latent = mimi_mod.quantizer_project(params["mimi"], jnp.swapaxes(denorm, 1, 2))
-    return mimi_stream.decode_block(params["mimi"], mimi_cfg, stream_state, mimi_latent)
+    pcm, stream_state = mimi_stream.decode_block(
+        params["mimi"], mimi_cfg, stream_state, mimi_latent
+    )
+    return pcm, n, new_carry["done"], new_carry, stream_state
 
 
 def stream_generate(
@@ -150,14 +155,17 @@ def stream_generate(
             dtype=dtype,
         )
 
-        produced = 0
         samples_per = model.config.mimi.samples_per_latent
-        while produced < max_steps:
-            steps = min(segment_frames, max_steps - produced)
-            frames, n_seg, carry = _ar_segment(
-                flow,
+
+        def dispatch(remaining: int):
+            steps = min(segment_frames, remaining)
+            nonlocal carry, stream_state
+            pcm, n, done, carry, stream_state = _stream_step(
+                model.params,
                 flow_cfg,
+                model.config.mimi,
                 carry,
+                stream_state,
                 jnp.int32(steps),
                 jnp.float32(cfg.eos_threshold),
                 jnp.float32(cfg.temperature),
@@ -165,16 +173,27 @@ def stream_generate(
                 decode_steps,
                 segment_frames,
             )
-            n = int(n_seg[0])
-            if n == 0:
-                break
-            # Zero padded tail frames; the causal decoder ignores their samples.
-            mask = (jnp.arange(segment_frames) < n)[None, :, None]
-            latent = jnp.where(mask, frames, 0.0)
-            pcm, stream_state = _decode_segment(
-                model.params, model.config.mimi, stream_state, latent
-            )
-            yield np.asarray(pcm[0, 0, : n * samples_per], np.float32)
+            return pcm, n, done
+
+        # One-deep pipeline: segment k+1 is dispatched before segment k's PCM
+        # is fetched, so the host↔device round-trip overlaps the next
+        # segment's compute. The speculative extra segment after EOS only
+        # touches state that is discarded.
+        produced = 0
+        pending = dispatch(max_steps - produced)
+        pending_budget = max_steps - min(segment_frames, max_steps)
+        while True:
+            pcm, n_arr, done_arr = pending
+            if pending_budget > 0:
+                nxt = dispatch(pending_budget)
+            else:
+                nxt = None
+            n = int(n_arr[0])
+            done = bool(np.asarray(done_arr)[0])
+            if n > 0:
+                yield np.asarray(pcm[0, 0, : n * samples_per], np.float32)
             produced += n
-            if bool(np.asarray(carry["done"])[0]):
+            if done or n == 0 or nxt is None:
                 break
+            pending = nxt
+            pending_budget = max(pending_budget - segment_frames, 0)
