@@ -70,6 +70,9 @@ class TransformerConfig:
     max_period: float = 10000.0
     max_seq: int = 8192
     context: Optional[int] = None  # sliding attention window (Mimi: 250)
+    # Use the fused Pallas decode-attention kernel for Tq=1 steps
+    # (ops/pallas/decode_attention.py); interpret-mode on CPU backends.
+    use_pallas: bool = False
 
 
 def detect_num_heads(d_model: int, fallback: int = 16) -> int:
@@ -243,6 +246,14 @@ def transformer_forward_cached(
     # are excluded by delta >= 0 (attention.go:473-484 semantics).
     pos_k = jnp.arange(capacity, dtype=jnp.int32)
 
+    use_pallas = cfg.use_pallas and t == 1
+    if use_pallas:
+        import jax as _jax
+
+        from go_pocket_tts_tpu.ops.pallas.decode_attention import decode_attention_step
+
+        interpret = _jax.default_backend() == "cpu"
+
     k_all, v_all = cache["k"], cache["v"]
     zero = jnp.int32(0)
     for i, layer in enumerate(params["layers"]):
@@ -252,14 +263,36 @@ def transformer_forward_cached(
         q = _split_heads(q, cfg.num_heads, cfg.head_dim)
         k = _split_heads(k, cfg.num_heads, cfg.head_dim)
         v = _split_heads(v, cfg.num_heads, cfg.head_dim)
-        q = apply_rope(q, params["rope_cos"], params["rope_sin"], offset)
-        k = apply_rope(k, params["rope_cos"], params["rope_sin"], offset)
 
-        # Append K/V at the offset (sequential slots == absolute positions).
-        k_all = jax.lax.dynamic_update_slice(k_all, k[None], (i, zero, zero, offset, zero))
-        v_all = jax.lax.dynamic_update_slice(v_all, v[None], (i, zero, zero, offset, zero))
+        if use_pallas:
+            # Fused rope + cache append + masked attention (one kernel);
+            # layer selection happens in the BlockSpec index map so the
+            # stacked cache buffer is updated in place.
+            attn, k_all, v_all = decode_attention_step(
+                q,
+                k,
+                k_all,
+                v_all,
+                v,
+                offset,
+                params["rope_cos"],
+                params["rope_sin"],
+                layer=i,
+                interpret=interpret,
+            )
+        else:
+            q = apply_rope(q, params["rope_cos"], params["rope_sin"], offset)
+            k = apply_rope(k, params["rope_cos"], params["rope_sin"], offset)
 
-        attn = attention_with_positions(q, k_all[i], v_all[i], pos_q, pos_k, cfg.context)
+            # Append K/V at the offset (sequential slots == absolute positions).
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k[None], (i, zero, zero, offset, zero)
+            )
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v[None], (i, zero, zero, offset, zero)
+            )
+            attn = attention_with_positions(q, k_all[i], v_all[i], pos_q, pos_k, cfg.context)
+
         x = x + apply_linear(layer["out_proj"], _merge_heads(attn))
 
         n2 = layer_norm(x, layer["norm2"]["weight"], layer["norm2"]["bias"])

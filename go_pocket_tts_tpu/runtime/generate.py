@@ -29,6 +29,7 @@ sample-exact prefixes and the host trims to ``n_frames · 1920``.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -266,13 +267,27 @@ class TPURuntime:
         frame_bucket: int = 256,
         matmul_precision: Optional[str] = None,
         quantize: bool = False,
+        pallas: Optional[bool] = None,
     ) -> None:
         self.dtype = jnp.dtype(dtype)
         if quantize:
-            from go_pocket_tts_tpu.models.model import ModelConfig as _MC
             from go_pocket_tts_tpu.models.quantize import quantize_model_params
 
             model = PocketTTSModel(quantize_model_params(model.params), model.config)
+        if pallas is None:
+            pallas = os.environ.get("POCKETTTS_PALLAS", "") == "1"
+        if pallas:
+            import dataclasses
+
+            from go_pocket_tts_tpu.models.model import ModelConfig
+
+            tcfg = dataclasses.replace(
+                model.config.flow_lm.transformer, use_pallas=True
+            )
+            flow_cfg = dataclasses.replace(model.config.flow_lm, transformer=tcfg)
+            model = PocketTTSModel(
+                model.params, ModelConfig(flow_lm=flow_cfg, mimi=model.config.mimi)
+            )
         self.model = model if self.dtype == jnp.float32 else model.astype(self.dtype)
         if matmul_precision is None:
             matmul_precision = "highest" if self.dtype == jnp.float32 else "default"

@@ -92,8 +92,15 @@ def stream_generate(
     tokens,
     cfg: GenerateConfig,
     segment_frames: int = 4,
+    max_segment_frames: int = 16,
 ) -> Iterator[np.ndarray]:
-    """Yield float32 PCM blocks (~``segment_frames``·80 ms each) for one chunk.
+    """Yield float32 PCM blocks for one chunk.
+
+    Adaptive segmentation: the first segment is ``segment_frames`` latent
+    frames (minimizes time-to-first-audio), then segments double up to
+    ``max_segment_frames`` (amortizes per-dispatch overhead once playback has
+    a buffer). Each segment size is a separate compiled program; warmup
+    compiles ≤ log2(max/min)+1 variants.
 
     ``runtime`` is a :class:`runtime.TPURuntime`; voice conditioning and
     bucketing match its ``generate_audio``.
@@ -157,8 +164,8 @@ def stream_generate(
 
         samples_per = model.config.mimi.samples_per_latent
 
-        def dispatch(remaining: int):
-            steps = min(segment_frames, remaining)
+        def dispatch(segment: int, remaining: int):
+            steps = min(segment, remaining)
             nonlocal carry, stream_state
             pcm, n, done, carry, stream_state = _stream_step(
                 model.params,
@@ -171,29 +178,32 @@ def stream_generate(
                 jnp.float32(cfg.temperature),
                 jnp.int32(cfg.frames_after_eos),
                 decode_steps,
-                segment_frames,
+                segment,
             )
-            return pcm, n, done
+            return pcm, n, done, steps
+
+        def next_segment(seg: int) -> int:
+            return min(seg * 2, max_segment_frames, runtime.frame_bucket)
 
         # One-deep pipeline: segment k+1 is dispatched before segment k's PCM
         # is fetched, so the host↔device round-trip overlaps the next
         # segment's compute. The speculative extra segment after EOS only
         # touches state that is discarded.
-        produced = 0
-        pending = dispatch(max_steps - produced)
-        pending_budget = max_steps - min(segment_frames, max_steps)
+        seg = min(segment_frames, max_segment_frames)
+        pending = dispatch(seg, max_steps)
+        dispatched = pending[3]
         while True:
-            pcm, n_arr, done_arr = pending
-            if pending_budget > 0:
-                nxt = dispatch(pending_budget)
+            pcm, n_arr, done_arr, steps = pending
+            if dispatched < max_steps:
+                seg = next_segment(seg)
+                nxt = dispatch(seg, max_steps - dispatched)
+                dispatched += nxt[3]
             else:
                 nxt = None
             n = int(n_arr[0])
             done = bool(np.asarray(done_arr)[0])
             if n > 0:
                 yield np.asarray(pcm[0, 0, : n * samples_per], np.float32)
-            produced += n
             if done or n == 0 or nxt is None:
                 break
             pending = nxt
-            pending_budget = max(pending_budget - segment_frames, 0)

@@ -1,0 +1,64 @@
+"""Pallas decode-attention kernel vs the XLA reference path (interpret mode
+on CPU; the TPU compiled path is exercised by the runtime flag on hardware)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from go_pocket_tts_tpu.ops import apply_rope, attention_with_positions, build_rope_tables
+from go_pocket_tts_tpu.ops.pallas.decode_attention import decode_attention_step
+
+
+@pytest.mark.parametrize("offset", [0, 5, 30])
+@pytest.mark.parametrize("layer", [0, 1])
+def test_decode_attention_matches_xla(offset, layer):
+    n_layers, b, h, c, d = 2, 1, 4, 32, 16
+    rng = np.random.RandomState(offset)
+    q = jnp.asarray(rng.randn(b, h, 1, d).astype(np.float32))
+    k_new = jnp.asarray(rng.randn(b, h, 1, d).astype(np.float32))
+    v_new = jnp.asarray(rng.randn(b, h, 1, d).astype(np.float32))
+    k_cache = jnp.asarray(rng.randn(n_layers, b, h, c, d).astype(np.float32) * 0.3)
+    v_cache = jnp.asarray(rng.randn(n_layers, b, h, c, d).astype(np.float32) * 0.3)
+    cos, sin = build_rope_tables(64, d)
+    off = jnp.int32(offset)
+
+    # XLA reference: rope, DUS append, masked attention on the chosen layer.
+    q_r = apply_rope(q, cos, sin, off)
+    k_r = apply_rope(k_new, cos, sin, off)
+    kc_ref = jax.lax.dynamic_update_slice(k_cache[layer], k_r, (0, 0, off, 0))
+    vc_ref = jax.lax.dynamic_update_slice(v_cache[layer], v_new, (0, 0, off, 0))
+    pos_q = off + jnp.arange(1, dtype=jnp.int32)
+    pos_k = jnp.arange(c, dtype=jnp.int32)
+    want = attention_with_positions(q_r, kc_ref, vc_ref, pos_q, pos_k)
+
+    k_cache_np = np.asarray(k_cache)  # snapshot before donation
+    got, kc, vc = decode_attention_step(
+        q, k_new, k_cache, v_cache, v_new, off, cos, sin, layer=layer, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(kc[layer]), np.asarray(kc_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vc[layer]), np.asarray(vc_ref), atol=1e-5)
+    # Untouched layers stay intact.
+    other = 1 - layer
+    np.testing.assert_array_equal(np.asarray(kc[other]), k_cache_np[other])
+
+
+def test_pallas_runtime_end_to_end_matches_xla():
+    """TPURuntime(pallas=True) must produce identical audio (interpret mode on
+    CPU) to the XLA path."""
+    from go_pocket_tts_tpu.models import synthetic
+    from go_pocket_tts_tpu.models.model import load_model_from_store
+    from go_pocket_tts_tpu.runtime import GenerateConfig, TPURuntime
+    from go_pocket_tts_tpu.utils.safetensors import encode_tensors, open_store_from_bytes
+
+    arch = synthetic.tiny_arch()
+    model = load_model_from_store(
+        open_store_from_bytes(encode_tensors(synthetic.build_checkpoint(arch, seed=77))),
+        num_heads=arch.num_heads,
+    )
+    cfg = GenerateConfig(temperature=0.7, eos_threshold=1e9, max_steps=4)
+    ref = TPURuntime(model, seed=2, frame_bucket=64).generate_audio([3, 5], cfg)
+    pal = TPURuntime(model, seed=2, frame_bucket=64, pallas=True).generate_audio([3, 5], cfg)
+    np.testing.assert_allclose(pal, ref, atol=1e-4, rtol=1e-3)

@@ -72,7 +72,8 @@ def test_stream_generate_matches_fused(model):
     blocks = list(stream_generate(rt, tokens, cfg, segment_frames=4))
     streamed = np.concatenate(blocks)
 
-    assert len(blocks) == 3  # 4 + 4 + 2 frames
+    assert len(blocks) == 2  # adaptive segments: 4 then 6 frames
+    assert [len(b) // 1920 for b in blocks] == [4, 6]
     assert len(streamed) == len(whole)
     np.testing.assert_allclose(streamed, whole, atol=3e-4, rtol=1e-3)
 
