@@ -156,14 +156,25 @@ def cmd_serve(args) -> int:
 def cmd_export_voice(args) -> int:
     cfg = load_config(args)
     _setup_logging(cfg.log_level)
-    from go_pocket_tts_tpu.tts.voice_export import export_voice_embedding
-
-    out = export_voice_embedding(
-        model_path=cfg.paths.model_path,
-        input_audio=args.input,
-        output_path=args.output,
+    from go_pocket_tts_tpu.tts.voice_export import (
+        export_voice_embedding,
+        export_voice_model_state,
     )
-    print(json.dumps({"output": args.output, "frames": out.shape[1]}))
+
+    if args.format == "model-state":
+        frames = export_voice_model_state(
+            model_path=cfg.paths.model_path,
+            input_audio=args.input,
+            output_path=args.output,
+        )
+    else:
+        out = export_voice_embedding(
+            model_path=cfg.paths.model_path,
+            input_audio=args.input,
+            output_path=args.output,
+        )
+        frames = out.shape[1]
+    print(json.dumps({"output": args.output, "frames": frames, "format": args.format}))
     print(
         json.dumps(
             {"suggested_manifest_entry": {"id": args.voice_id or "custom",
@@ -320,10 +331,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     add("serve", cmd_serve, "Run the HTTP synthesis server")
 
-    p = add("export-voice", cmd_export_voice, "Export a voice embedding from a WAV prompt")
+    p = add("export-voice", cmd_export_voice, "Export a voice from a WAV prompt")
     p.add_argument("--input", required=True, help="Input speaker WAV")
     p.add_argument("--output", required=True, help="Output .safetensors path")
     p.add_argument("--voice-id", default="", help="Suggested manifest id")
+    p.add_argument(
+        "--format",
+        default="embedding",
+        choices=("embedding", "model-state"),
+        help="Voice file format: legacy audio_prompt embedding or upstream KV model-state",
+    )
 
     p = add("bench", cmd_bench, "Benchmark synthesis (RTF, TTFA)")
     p.add_argument("--text", default="The quick brown fox jumps over the lazy dog.")

@@ -1,0 +1,107 @@
+"""In-memory kernel API: load everything from bytes, synthesize as a library.
+
+This is the capability the reference's browser-WASM kernel exposes
+(`cmd/pockettts-wasm/main_wasm.go:75-477`: JS global ``PocketTTSKernel`` with
+``version / sampleRate / loadModel / normalize / tokenize / synthesize`` and
+per-step progress callbacks). The browser target itself is out of scope for a
+TPU framework (SURVEY.md §7.3), but the embedding surface is preserved: no
+filesystem access required, voice bytes accepted in either format, progress
+callbacks per chunk.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from go_pocket_tts_tpu.runtime import GenerateConfig, TPURuntime
+from go_pocket_tts_tpu.text import estimate_max_frames, normalize as normalize_text, prepare_chunks
+from go_pocket_tts_tpu.text.sentencepiece import load_tokenizer_from_bytes
+from go_pocket_tts_tpu.utils import safetensors as st
+from go_pocket_tts_tpu.utils import wav
+from go_pocket_tts_tpu.version import __version__
+
+__all__ = ["PocketTTSKernel"]
+
+
+class PocketTTSKernel:
+    """Byte-oriented synthesis kernel.
+
+    >>> kernel = PocketTTSKernel()
+    >>> kernel.load_model(model_bytes, tokenizer_bytes)
+    >>> wav_bytes = kernel.synthesize("Hello world", voice=voice_bytes)
+    """
+
+    version = __version__
+    sample_rate = 24_000
+
+    def __init__(self, dtype="float32", seed: Optional[int] = None) -> None:
+        self._dtype = dtype
+        self._seed = seed
+        self._runtime: Optional[TPURuntime] = None
+        self._tokenizer = None
+
+    @property
+    def loaded(self) -> bool:
+        return self._runtime is not None
+
+    def load_model(self, model_bytes: bytes, tokenizer_bytes: bytes) -> None:
+        import jax.numpy as jnp
+
+        from go_pocket_tts_tpu.models.model import load_model_from_store
+
+        store = st.open_store_from_bytes(model_bytes)
+        model = load_model_from_store(store)
+        dtype = jnp.bfloat16 if self._dtype == "bfloat16" else jnp.float32
+        self._runtime = TPURuntime(model, dtype=dtype, seed=self._seed)
+        self._tokenizer = load_tokenizer_from_bytes(tokenizer_bytes)
+
+    def normalize(self, text: str) -> str:
+        return normalize_text(text)
+
+    def tokenize(self, text: str) -> List[int]:
+        self._require_loaded()
+        return self._tokenizer.encode(text)
+
+    def synthesize(
+        self,
+        text: str,
+        voice: Optional[bytes] = None,
+        temperature: float = 0.7,
+        eos_threshold: float = -4.0,
+        lsd_decode_steps: int = 1,
+        progress: Optional[Callable[[int, int], None]] = None,
+    ) -> bytes:
+        """Synthesize → WAV bytes. ``voice`` accepts either voice-file format
+        (embedding or model-state), like the WASM kernel's voice bytes."""
+        self._require_loaded()
+        voice_emb = voice_state = None
+        if voice:
+            kind = st.inspect_voice_file_bytes(voice)
+            if kind == st.VoiceFileKind.MODEL_STATE:
+                voice_state = st.load_voice_model_state_from_bytes(voice)
+            else:
+                voice_emb = st.load_voice_embedding_from_bytes(voice)
+
+        chunks = prepare_chunks(self.normalize(text), self._tokenizer)
+        samples: List[np.ndarray] = []
+        for i, chunk in enumerate(chunks):
+            cfg = GenerateConfig(
+                temperature=temperature,
+                eos_threshold=eos_threshold,
+                max_steps=estimate_max_frames(chunk.num_tokens),
+                lsd_decode_steps=lsd_decode_steps,
+                frames_after_eos=chunk.frames_after_eos(),
+                voice_embedding=voice_emb,
+                voice_model_state=voice_state,
+            )
+            samples.append(self._runtime.generate_audio(chunk.token_ids, cfg))
+            if progress is not None:
+                progress(i + 1, len(chunks))
+        pcm = np.concatenate(samples) if samples else np.zeros(0, np.float32)
+        return wav.encode_wav(pcm, self.sample_rate)
+
+    def _require_loaded(self) -> None:
+        if self._runtime is None or self._tokenizer is None:
+            raise RuntimeError("kernel: loadModel must be called first")

@@ -85,3 +85,52 @@ def export_voice_embedding(
         emb = encoder.encode_wav_bytes(f.read())
     write_file(output_path, {"audio_prompt": emb})
     return emb
+
+
+def export_voice_model_state(
+    model_path: str, input_audio: str, output_path: str, num_heads: int = 16
+) -> int:
+    """Export an upstream-format **model-state** voice file.
+
+    The reference shells out to the Python `pocket-tts export-voice` for this
+    format (`cmd/pockettts/export_voice.go:61-96`); here it is computed
+    natively: encode the speaker audio → speaker conditioning ``[1,T,D]`` →
+    prefill the FlowLM transformer with it → save each layer's KV cache in
+    the upstream layout ``transformer.layers.N.self_attn/{cache [2,B,T,H,Dh],
+    offset}`` (`internal/safetensors/reader.go:127-155`). Such files hydrate
+    both this framework's runtime and the reference's.
+
+    Returns the number of conditioning frames (= offset).
+    """
+    import jax.numpy as jnp
+
+    from go_pocket_tts_tpu.models import flow_lm as flm
+    from go_pocket_tts_tpu.models import flow_transformer as ftr
+    from go_pocket_tts_tpu.models.model import load_model_from_store
+
+    store = open_store(model_path)
+    encoder = VoiceEncoder(store)
+    with open(input_audio, "rb") as f:
+        emb = encoder.encode_wav_bytes(f.read())  # [1, T, D]
+    t_v = emb.shape[1]
+
+    model = load_model_from_store(store, num_heads=num_heads)
+    flow = model.params["flow_lm"]
+    cfg = model.config.flow_lm
+    tcfg = cfg.transformer
+
+    cache = ftr.init_kv_cache(tcfg, batch=1, capacity=t_v)
+    cache = flm.prompt(flow, cfg, cache, jnp.asarray(emb))
+
+    tensors = {}
+    k_all = np.asarray(cache["k"], np.float32)  # [L, 1, H, T, Dh]
+    v_all = np.asarray(cache["v"], np.float32)
+    for i in range(tcfg.num_layers):
+        # [B,H,T,Dh] → upstream time-major [B,T,H,Dh], stacked K/V first.
+        k = np.moveaxis(k_all[i], 1, 2)
+        v = np.moveaxis(v_all[i], 1, 2)
+        module = f"transformer.layers.{i}.self_attn"
+        tensors[f"{module}/cache"] = np.stack([k, v])
+        tensors[f"{module}/offset"] = np.array([float(t_v)], np.float32)
+    write_file(output_path, tensors)
+    return t_v
