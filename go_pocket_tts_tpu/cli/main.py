@@ -143,6 +143,13 @@ def cmd_serve(args) -> int:
         shutdown_timeout=cfg.server.shutdown_timeout_secs,
     )
     log.info("serving on %s (backend=%s)", cfg.server.listen_addr, cfg.tts.backend)
+    # Graceful SIGTERM drain (`cmd/pockettts/serve.go:38-44`).
+    import signal
+
+    def _term(_sig, _frm):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         srv.serve_forever()
     finally:
@@ -281,6 +288,37 @@ def cmd_model_download(args) -> int:
     return 0
 
 
+def cmd_model_export(args) -> int:
+    """Checkpoint export tooling.
+
+    The reference's `model export` shells out to a PyTorch→ONNX script to
+    produce its alternate-backend artifact (`internal/model/export.go`); this
+    framework's alternate backend consumes the same safetensors, so the
+    export here covers the remaining artifact operations: re-encode the
+    checkpoint, optionally stripping the voice-cloning weights (producing the
+    `without-voice-cloning` variant).
+    """
+    cfg = load_config(args)
+    _setup_logging(cfg.log_level)
+    from go_pocket_tts_tpu.utils.safetensors import open_store, write_file
+
+    store = open_store(cfg.paths.model_path)
+    strip_prefixes = (
+        ("mimi.encoder", "mimi.encoder_transformer", "mimi.downsample",
+         "mimi.quantizer.input_proj", "condition_provider")
+        if args.strip_voice_cloning
+        else ()
+    )
+    tensors = {
+        name: store.tensor(name)
+        for name in store.names()
+        if not strip_prefixes or not name.startswith(strip_prefixes)
+    }
+    write_file(args.output, tensors)
+    print(json.dumps({"output": args.output, "tensors": len(tensors)}))
+    return 0
+
+
 def cmd_model_verify(args) -> int:
     cfg = load_config(args)
     _setup_logging(cfg.log_level)
@@ -370,6 +408,15 @@ def build_parser() -> argparse.ArgumentParser:
     p = msub.add_parser("verify")
     register_flags(p)
     p.set_defaults(fn=cmd_model_verify)
+    p = msub.add_parser("export")
+    register_flags(p)
+    p.add_argument("--output", required=True, help="Output .safetensors path")
+    p.add_argument(
+        "--strip-voice-cloning",
+        action="store_true",
+        help="Drop Mimi encoder / speaker projection weights",
+    )
+    p.set_defaults(fn=cmd_model_export)
 
     voice = sub.add_parser("voice", help="Voice asset management")
     vsub = voice.add_subparsers(dest="voice_command", required=True)

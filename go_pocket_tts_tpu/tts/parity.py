@@ -21,7 +21,48 @@ import numpy as np
 
 from go_pocket_tts_tpu.utils import wav
 
-__all__ = ["ParitySnapshot", "snapshot_pcm", "run_parity_case", "save_snapshots", "load_snapshots", "rms_delta"]
+__all__ = [
+    "ParitySnapshot",
+    "TensorParityReport",
+    "compare_tensor",
+    "snapshot_pcm",
+    "run_parity_case",
+    "save_snapshots",
+    "load_snapshots",
+    "rms_delta",
+]
+
+
+@dataclass
+class TensorParityReport:
+    """Per-tensor parity report (`internal/native/parity.go:11-70`)."""
+
+    name: str
+    shape_match: bool
+    max_abs_err: float
+    max_rel_err: float
+    passed: bool
+
+
+def compare_tensor(
+    name: str,
+    got: np.ndarray,
+    want: np.ndarray,
+    atol: float = 2e-4,
+    rtol: float = 5e-3,
+) -> TensorParityReport:
+    """Compare against an oracle with the reference's abs/rel budget scheme
+    (default budgets from `ops/tolerance.go` / the Python-parity fixtures)."""
+    got = np.asarray(got, np.float64)
+    want = np.asarray(want, np.float64)
+    if got.shape != want.shape:
+        return TensorParityReport(name, False, float("inf"), float("inf"), False)
+    diff = np.abs(got - want)
+    max_abs = float(diff.max()) if diff.size else 0.0
+    denom = np.maximum(np.abs(want), 1e-12)
+    max_rel = float((diff / denom).max()) if diff.size else 0.0
+    passed = bool(np.all(diff <= atol + rtol * np.abs(want)))
+    return TensorParityReport(name, True, max_abs, max_rel, passed)
 
 
 @dataclass

@@ -302,3 +302,33 @@ def test_cli_export_voice(synth_env, tmp_path, capsys):
     rc = main(["export-voice", "--input", str(speaker), "--output", str(out)])
     assert rc == 0
     assert out.exists()
+
+
+def test_cli_model_export_strip(synth_env, tmp_path, capsys):
+    out = tmp_path / "stripped.safetensors"
+    rc = main(["model", "export", "--output", str(out), "--strip-voice-cloning"])
+    assert rc == 0
+    from go_pocket_tts_tpu.utils.safetensors import open_store
+
+    store = open_store(out)
+    names = store.names()
+    assert not any(n.startswith("mimi.encoder") for n in names)
+    assert not any(n.startswith("condition_provider") for n in names)
+    assert any(n.startswith("mimi.decoder") for n in names)
+    # Still a loadable model.
+    from go_pocket_tts_tpu.models.model import load_model_from_store
+    from go_pocket_tts_tpu.models import synthetic as _synth
+
+    load_model_from_store(store, num_heads=_synth.tiny_arch().num_heads)
+
+
+def test_compare_tensor_report():
+    from go_pocket_tts_tpu.tts.parity import compare_tensor
+
+    a = np.ones((2, 3), np.float32)
+    rep = compare_tensor("x", a, a)
+    assert rep.passed and rep.shape_match and rep.max_abs_err == 0.0
+    rep2 = compare_tensor("x", a, a + 1.0)
+    assert not rep2.passed and rep2.max_abs_err == 1.0
+    rep3 = compare_tensor("x", a, np.ones((3, 2), np.float32))
+    assert not rep3.shape_match and not rep3.passed
