@@ -32,6 +32,12 @@ __all__ = ["Config", "PathsConfig", "RuntimeConfig", "ServerConfig", "TTSConfig"
 
 ENV_PREFIX = "POCKETTTS_"
 
+
+def _parse_bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    return str(v).strip().lower() in ("1", "true", "yes", "on")
+
 BACKEND_TPU = "tpu"
 BACKEND_TORCH = "torch"
 BACKEND_CLI = "cli"
@@ -72,7 +78,8 @@ class RuntimeConfig:
     matmul_precision: str = ""  # "" = auto (highest for f32, default for bf16)
     frame_bucket: int = 256
     seed: int = -1  # -1 = time-seeded
-    donate_cache: bool = True
+    quantize: bool = False  # INT8 weight-only quantization
+    batch_slots: int = 0  # >1: continuous batching across concurrent requests
 
 
 @dataclass
@@ -116,6 +123,9 @@ _FLAG_MAP = [
     ("runtime-matmul-precision", "runtime", "matmul_precision", str, "XLA matmul precision (default|high|highest)"),
     ("runtime-frame-bucket", "runtime", "frame_bucket", int, "AR frame buffer bucket size"),
     ("runtime-seed", "runtime", "seed", int, "RNG seed (-1 = time-seeded)"),
+    ("runtime-quantize", "runtime", "quantize", _parse_bool, "INT8 weight-only quantization"),
+    ("runtime-batch-slots", "runtime", "batch_slots", int,
+     "Continuous-batching slots (>1 batches concurrent requests)"),
     ("server-listen-addr", "server", "listen_addr", str, "HTTP listen address"),
     ("workers", "server", "workers", int, "Max concurrent synthesis requests"),
     ("shutdown-timeout", "server", "shutdown_timeout_secs", int, "Graceful shutdown drain timeout (s)"),

@@ -317,3 +317,41 @@ class ContinuousBatcher:
 
     def generate(self, tokens, cfg: GenerateConfig, timeout: float = 120.0) -> np.ndarray:
         return self.submit(tokens, cfg).result(timeout=timeout)
+
+
+class BatcherRuntime:
+    """Runtime adapter exposing the batcher through the Service contract.
+
+    Unlike :class:`runtime.TPURuntime`, this runtime is concurrency-native:
+    the Service skips its serialization lock (``concurrent_safe``) and
+    concurrent HTTP requests share the jitted batched step — the serving
+    configuration BASELINE.json config 4 describes.
+    """
+
+    concurrent_safe = True
+
+    def __init__(
+        self,
+        model: PocketTTSModel,
+        slots: int = 4,
+        dtype=jnp.float32,
+        seed: Optional[int] = None,
+        timeout: float = 300.0,
+        mesh=None,
+    ) -> None:
+        self._model = model
+        self._timeout = timeout
+        self.batcher = ContinuousBatcher(
+            model, slots=slots, dtype=dtype, seed=seed, mesh=mesh
+        )
+        self.batcher.start()
+
+    def mimi_timing(self):
+        cfg = self._model.config.mimi
+        return cfg.frame_rate, cfg.encoder_frame_rate, cfg.steps_per_latent
+
+    def generate_audio(self, tokens, cfg: GenerateConfig) -> np.ndarray:
+        return self.batcher.generate(tokens, cfg, timeout=self._timeout)
+
+    def close(self) -> None:
+        self.batcher.stop()

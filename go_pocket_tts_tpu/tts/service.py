@@ -16,6 +16,7 @@ Backend strategy (`service.go:39-98`, `config/backend.go`):
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import threading
 from dataclasses import dataclass
@@ -86,7 +87,12 @@ class Service:
         self.runtime = runtime
         self.tokenizer = tokenizer
         self.tts_cfg = tts_cfg
-        self._lock = threading.Lock()
+        # Concurrency-native runtimes (the continuous batcher) handle their
+        # own scheduling; others are serialized per service.
+        if getattr(runtime, "concurrent_safe", False):
+            self._lock = contextlib.nullcontext()
+        else:
+            self._lock = threading.Lock()
 
     # -- construction ------------------------------------------------------
 
@@ -104,14 +110,31 @@ class Service:
 
             model = load_model(cfg.paths.model_path)
             dtype = jnp.bfloat16 if cfg.runtime.dtype == "bfloat16" else jnp.float32
-            runtime = TPURuntime(
-                model,
-                dtype=dtype,
-                seed=None if cfg.runtime.seed < 0 else cfg.runtime.seed,
-                frame_bucket=cfg.runtime.frame_bucket,
-                matmul_precision=cfg.runtime.matmul_precision or None,
-            )
-            log.info("loaded TPU runtime model=%s dtype=%s", cfg.paths.model_path, dtype)
+            seed = None if cfg.runtime.seed < 0 else cfg.runtime.seed
+            if cfg.runtime.batch_slots > 1:
+                from go_pocket_tts_tpu.parallel.batching import BatcherRuntime
+
+                runtime = BatcherRuntime(
+                    model, slots=cfg.runtime.batch_slots, dtype=dtype, seed=seed
+                )
+                log.info(
+                    "loaded TPU batched runtime model=%s dtype=%s slots=%d",
+                    cfg.paths.model_path,
+                    dtype,
+                    cfg.runtime.batch_slots,
+                )
+            else:
+                runtime = TPURuntime(
+                    model,
+                    dtype=dtype,
+                    seed=seed,
+                    frame_bucket=cfg.runtime.frame_bucket,
+                    matmul_precision=cfg.runtime.matmul_precision or None,
+                    quantize=cfg.runtime.quantize,
+                )
+                log.info(
+                    "loaded TPU runtime model=%s dtype=%s", cfg.paths.model_path, dtype
+                )
         elif backend == BACKEND_TORCH:
             from go_pocket_tts_tpu.tts.runtime_torch import TorchRuntime
 

@@ -142,3 +142,41 @@ def test_dp_mesh_batched_step_matches_unsharded(model):
     np.testing.assert_array_equal(
         np.asarray(plain["cache"]["offset"]), np.asarray(sharded["cache"]["offset"])
     )
+
+
+def test_batcher_runtime_in_service(model):
+    """Concurrent Service calls share the continuous batcher (config 4)."""
+    import threading
+
+    from go_pocket_tts_tpu.config import TTSConfig
+    from go_pocket_tts_tpu.parallel.batching import BatcherRuntime
+    from go_pocket_tts_tpu.runtime import TPURuntime
+    from go_pocket_tts_tpu.tts.service import Service
+
+    class _Tok:
+        def encode(self, s):
+            return [5, 9, 2]
+
+    rt = BatcherRuntime(model, slots=4, seed=3)
+    try:
+        svc = Service(rt, _Tok(), TTSConfig(temperature=0.0, eos_threshold=1e9, max_steps=4))
+        results = {}
+
+        def run(name):
+            results[name] = svc.synthesize("hello there.")
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(len(v) == 4 * 1920 for v in results.values())
+        # All requests identical input + temp 0 => identical audio, matching
+        # the single-request engine.
+        want = TPURuntime(model, seed=1, frame_bucket=64).generate_audio(
+            [5, 9, 2], _cfg(max_steps=4)
+        )
+        for v in results.values():
+            np.testing.assert_allclose(v, want, atol=1e-4, rtol=1e-3)
+    finally:
+        rt.close()
