@@ -12,6 +12,7 @@ flags > env(``POCKETTTS_*``) > config file > defaults before running
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import logging
 import sys
@@ -429,6 +430,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    # POCKETTTS_PLATFORM pins the JAX backend (e.g. "cpu" on hosts where the
+    # TPU is held by another process). Must happen before any backend use;
+    # plain JAX_PLATFORMS is not enough when a site plugin re-registers.
+    platform = os.environ.get("POCKETTTS_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

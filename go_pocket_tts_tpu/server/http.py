@@ -114,20 +114,29 @@ def make_handler(
         def _resolve_voice(self, voice: str) -> Optional[str]:
             if not voice:
                 return ""
+            import os
+
             if voices is not None:
                 try:
                     return voices.resolve_path(voice)
                 except KeyError:
-                    pass
+                    if not os.path.exists(voice):
+                        self._error(400, f"unknown voice {voice!r}")
+                        return None
                 except FileNotFoundError as exc:
                     self._error(400, str(exc))
                     return None
+            elif not os.path.exists(voice):
+                self._error(400, f"voice file not found: {voice!r}")
+                return None
             return voice  # treat as a path
 
         # -- routes --------------------------------------------------------
 
         def do_GET(self):
-            if self.path == "/health":
+            if self.path in ("/tts", "/tts/stream"):
+                self._error(405, "method not allowed")
+            elif self.path == "/health":
                 self._json(200, {"status": "ok", "version": __version__})
             elif self.path == "/voices":
                 listing = voices.list_voices() if voices is not None else []
@@ -148,6 +157,8 @@ def make_handler(
                 self._handle_tts()
             elif self.path == "/tts/stream":
                 self._handle_tts_stream()
+            elif self.path in ("/health", "/voices"):
+                self._error(405, "method not allowed")
             else:
                 self._error(404, "not found")
 
