@@ -46,8 +46,31 @@ __all__ = ["ContinuousBatcher"]
 
 
 @partial(jax.jit, static_argnames=("cfg", "decode_steps"), donate_argnames=("state",))
+def _batched_ar_multi_step(
+    params, cfg, state: Dict, noise: jax.Array, decode_steps: int
+):
+    """Run ``K = noise.shape[0]`` AR steps for all lanes in one program.
+
+    One dispatch + one host sync per K frames instead of per frame — the
+    iteration-block tradeoff of continuous batching: admission/harvest
+    granularity becomes K frames (done lanes are frozen inside the block, so
+    the only waste is idle lane-steps, not wrong output).
+    """
+
+    def body(st, z):
+        return _ar_step_body(params, cfg, st, z, decode_steps), None
+
+    state, _ = jax.lax.scan(body, state, noise)
+    return state
+
+
+@partial(jax.jit, static_argnames=("cfg", "decode_steps"), donate_argnames=("state",))
 def _batched_ar_step(params, cfg, state: Dict, noise: jax.Array, decode_steps: int):
     """One AR step for all lanes; inactive/done lanes are frozen."""
+    return _ar_step_body(params, cfg, state, noise, decode_steps)
+
+
+def _ar_step_body(params, cfg, state: Dict, noise: jax.Array, decode_steps: int):
     live = state["active"] & ~state["done"]
 
     seq = jnp.where(
@@ -154,6 +177,7 @@ class ContinuousBatcher:
         dtype=jnp.float32,
         seed: Optional[int] = None,
         mesh=None,
+        steps_per_sync: int = 8,
     ) -> None:
         self.model = model if jnp.dtype(dtype) == jnp.float32 else model.astype(dtype)
         self.dtype = jnp.dtype(dtype)
@@ -161,6 +185,7 @@ class ContinuousBatcher:
         self.max_frames = max_frames
         self.capacity = prompt_capacity + max_frames
         self.mesh = mesh
+        self.steps_per_sync = max(steps_per_sync, 1)
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._slot_info = [_SlotInfo() for _ in range(slots)]
         self._key = jax.random.PRNGKey(seed if seed is not None else time.time_ns() & 0x7FFFFFFF)
@@ -296,6 +321,7 @@ class ContinuousBatcher:
         decode_steps = 1
         params = self.model.params["flow_lm"]
         cfg = self.model.config.flow_lm
+        k = self.steps_per_sync
         while not self._stop.is_set():
             self._admit()
             if not bool(np.any(np.asarray(self._state["active"]))):
@@ -307,10 +333,17 @@ class ContinuousBatcher:
                 continue
             self._key, sub = jax.random.split(self._key)
             noise = (
-                jax.random.normal(sub, (self.slots, cfg.latent_dim), jnp.float32)
-                * self._state["sigma"][:, None]
+                jax.random.normal(sub, (k, self.slots, cfg.latent_dim), jnp.float32)
+                * self._state["sigma"][None, :, None]
             ).astype(self.dtype)
-            self._state = _batched_ar_step(params, cfg, self._state, noise, decode_steps)
+            if k == 1:
+                self._state = _batched_ar_step(
+                    params, cfg, self._state, noise[0], decode_steps
+                )
+            else:
+                self._state = _batched_ar_multi_step(
+                    params, cfg, self._state, noise, decode_steps
+                )
             self._harvest()
 
     # Convenience synchronous API ------------------------------------------
