@@ -106,19 +106,22 @@ def ar_core(
     frame: jax.Array,
     noise: jax.Array,
     decode_steps: int = 1,
+    time_cond: Optional[jax.Array] = None,
 ) -> Tuple[Params, jax.Array, jax.Array]:
     """One stateful AR step (`flow_lm.go:238-299`).
 
     ``frame``: [B,1,L] previous latent (NaN = BOS); ``noise``: [B,L] already
-    scaled by sqrt(temperature). Returns (new_cache, next_frame [B,1,L],
-    eos_logit [B]). EOS thresholding is the caller's (the runtime keeps the
-    countdown; `runtime_native_safetensors.go:178-191`).
+    scaled by sqrt(temperature). ``time_cond`` optionally carries the
+    loop-invariant timestep embeddings (see `flow_net.precompute_time_cond`).
+    Returns (new_cache, next_frame [B,1,L], eos_logit [B]). EOS thresholding
+    is the caller's (the runtime keeps the countdown;
+    `runtime_native_safetensors.go:178-191`).
     """
     seq = _replace_nan_with_bos(frame, params["bos_emb"])
     x = apply_linear(params["input_linear"], seq)
     y, cache = transformer_forward_cached(params["transformer"], cfg.transformer, cache, x)
     last, eos = _hidden_and_eos(params, y)
-    decoded = fnet.lsd_decode(params["flow_net"], last, noise, decode_steps)
+    decoded = fnet.lsd_decode(params["flow_net"], last, noise, decode_steps, time_cond)
     return cache, decoded[:, None, :], eos
 
 

@@ -22,7 +22,7 @@ as part of the AR-step program.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -96,22 +96,11 @@ def _res_block(params: Params, x: jax.Array, y: jax.Array) -> jax.Array:
     return x + h * gate
 
 
-def flow_direction(
-    params: Params, c: jax.Array, s: jax.Array, t: jax.Array, x: jax.Array
-) -> jax.Array:
-    """Flow field for latent ``x`` [B, L] under condition ``c`` [B, D].
-
-    ``s``/``t`` are [B, 1] integration times.
-    """
-    x_proj = apply_linear(params["input_proj"], x)
-    t0 = _timestep_embed(params["time_embed_0"], s)
-    t1 = _timestep_embed(params["time_embed_1"], t)
-    y = 0.5 * (t0 + t1) + apply_linear(params["cond_embed"], c)
-
-    cur = x_proj
+def _flow_core(params: Params, y: jax.Array, x: jax.Array) -> jax.Array:
+    """Res-block chain + final layer given the combined conditioning ``y``."""
+    cur = apply_linear(params["input_proj"], x)
     for rb in params["res_blocks"]:
         cur = _res_block(rb, cur, y)
-
     ada = apply_linear(params["final_adaln"], silu(y))
     shift, scale = jnp.split(ada, 2, axis=-1)
     out = layer_norm(cur, eps=1e-6)
@@ -119,19 +108,64 @@ def flow_direction(
     return apply_linear(params["final_linear"], out)
 
 
-def lsd_decode(params: Params, cond: jax.Array, x0: jax.Array, steps: int) -> jax.Array:
+def flow_direction(
+    params: Params, c: jax.Array, s: jax.Array, t: jax.Array, x: jax.Array
+) -> jax.Array:
+    """Flow field for latent ``x`` [B, L] under condition ``c`` [B, D].
+
+    ``s``/``t`` are [B, 1] integration times.
+    """
+    t0 = _timestep_embed(params["time_embed_0"], s)
+    t1 = _timestep_embed(params["time_embed_1"], t)
+    y = 0.5 * (t0 + t1) + apply_linear(params["cond_embed"], c)
+    return _flow_core(params, y, x)
+
+
+def precompute_time_cond(params: Params, steps: int) -> jax.Array:
+    """``[steps, flow_dim]`` timestep-embedder outputs for the fixed Euler
+    grid ``s=i/n, t=(i+1)/n``.
+
+    With LSD steps fixed per request (default 1: s=0, t=1 —
+    `internal/config/config.go:101`) these are **loop-invariant** across the
+    AR while-loop; the runtime hoists them so each step skips two
+    sin/cos-MLP-RMSNorm chains (`flow_net.go:42-83`)."""
+    rows = []
+    for i in range(steps):
+        s = jnp.full((1, 1), i / steps, jnp.float32)
+        t = jnp.full((1, 1), (i + 1) / steps, jnp.float32)
+        t0 = _timestep_embed(params["time_embed_0"], s)
+        t1 = _timestep_embed(params["time_embed_1"], t)
+        rows.append((0.5 * (t0 + t1))[0])
+    return jnp.stack(rows)
+
+
+def lsd_decode(
+    params: Params,
+    cond: jax.Array,
+    x0: jax.Array,
+    steps: int,
+    time_cond: Optional[jax.Array] = None,
+) -> jax.Array:
     """Euler-integrate the flow from noise ``x0`` [B, L]; ``steps`` is static
-    (default 1, `internal/config/config.go:101`)."""
+    (default 1, `internal/config/config.go:101`). ``time_cond`` (from
+    :func:`precompute_time_cond`) skips the per-step timestep embedders."""
     if steps <= 0:
         raise ValueError("lsd decode steps must be > 0")
     inv = 1.0 / steps
     b = x0.shape[0]
+    cond_y = apply_linear(params["cond_embed"], cond)
 
-    def body(i, x):
+    def direction(i: int, x):
+        if time_cond is not None:
+            y = time_cond[i].astype(cond_y.dtype) + cond_y
+            return _flow_core(params, y, x)
         s = jnp.full((b, 1), i * inv, dtype=x.dtype)
         t = jnp.full((b, 1), (i + 1) * inv, dtype=x.dtype)
-        return x + flow_direction(params, cond, s, t, x) * inv
+        t0 = _timestep_embed(params["time_embed_0"], s)
+        t1 = _timestep_embed(params["time_embed_1"], t)
+        return _flow_core(params, 0.5 * (t0 + t1) + cond_y, x)
 
-    if steps == 1:
-        return body(jnp.float32(0), x0)
-    return jax.lax.fori_loop(0, steps, lambda i, x: body(i.astype(jnp.float32), x), x0)
+    x = x0
+    for i in range(steps):  # steps is small and static; unrolled
+        x = x + direction(i, x) * inv
+    return x

@@ -57,8 +57,10 @@ def _batched_ar_multi_step(
     the only waste is idle lane-steps, not wrong output).
     """
 
+    time_cond = flm.fnet.precompute_time_cond(params["flow_net"], decode_steps)
+
     def body(st, z):
-        return _ar_step_body(params, cfg, st, z, decode_steps), None
+        return _ar_step_body(params, cfg, st, z, decode_steps, time_cond), None
 
     state, _ = jax.lax.scan(body, state, noise)
     return state
@@ -70,7 +72,9 @@ def _batched_ar_step(params, cfg, state: Dict, noise: jax.Array, decode_steps: i
     return _ar_step_body(params, cfg, state, noise, decode_steps)
 
 
-def _ar_step_body(params, cfg, state: Dict, noise: jax.Array, decode_steps: int):
+def _ar_step_body(
+    params, cfg, state: Dict, noise: jax.Array, decode_steps: int, time_cond=None
+):
     live = state["active"] & ~state["done"]
 
     seq = jnp.where(
@@ -81,7 +85,7 @@ def _ar_step_body(params, cfg, state: Dict, noise: jax.Array, decode_steps: int)
         params["transformer"], cfg.transformer, state["cache"], x
     )
     last, eos_logit = flm._hidden_and_eos(params, y)
-    decoded = flm.fnet.lsd_decode(params["flow_net"], last, noise, decode_steps)
+    decoded = flm.fnet.lsd_decode(params["flow_net"], last, noise, decode_steps, time_cond)
     next_frame = decoded[:, None, :]
 
     max_frames = state["frames"].shape[1]

@@ -127,6 +127,9 @@ def _ar_loop_body(
 
     bound = jnp.minimum(max_steps.astype(jnp.int32), max_frames)
 
+    # Loop-invariant LSD timestep embeddings, hoisted out of the while_loop.
+    time_cond = flm.fnet.precompute_time_cond(params["flow_net"], decode_steps)
+
     def cond(c):
         return (c["step"] < bound) & ~jnp.all(c["done"])
 
@@ -136,7 +139,7 @@ def _ar_loop_body(
             jax.random.normal(sub, (batch, latent_dim), dtype=jnp.float32) * sigma
         ).astype(dtype)
         new_cache, next_frame, eos_logit = flm.ar_core(
-            params, cfg, c["cache"], c["frame"], noise, decode_steps
+            params, cfg, c["cache"], c["frame"], noise, decode_steps, time_cond
         )
         frames = jax.lax.dynamic_update_slice(
             c["frames"], next_frame, (0, c["step"], 0)
