@@ -273,6 +273,65 @@ class TorchRuntime:
             x = F.elu(x)
         return self._causal_conv("mimi.decoder.model.11.conv", x)
 
+    # -- Mimi encoder (voice cloning oracle) --------------------------------
+
+    def encode_voice(self, samples: np.ndarray) -> np.ndarray:
+        """Speaker audio → conditioning [1, T, d_model]; independent torch
+        implementation of the native JAX path (`models/mimi_encoder.py` +
+        speaker projection), used for cross-implementation parity."""
+        L = self.L
+        with torch.no_grad():
+            x = torch.from_numpy(np.asarray(samples, np.float32))[None, None, :]
+            x = self._causal_conv("mimi.encoder.model.0.conv", x)
+            for res_idx, down_idx, stride in ((1, 3, 4), (4, 6, 5), (7, 9, 6)):
+                h = F.elu(x)
+                h = self._causal_conv(f"mimi.encoder.model.{res_idx}.block.1.conv", h)
+                h = F.elu(h)
+                h = self._causal_conv(f"mimi.encoder.model.{res_idx}.block.3.conv", h)
+                x = x + h
+                x = F.elu(x)
+                x = self._causal_conv(f"mimi.encoder.model.{down_idx}.conv", x, stride=stride)
+            x = F.elu(x)
+            x = self._causal_conv("mimi.encoder.model.11.conv", x)
+            # encoder transformer (same layer math as the decoder's)
+            n_enc = 0
+            while L.has(f"mimi.encoder_transformer.transformer.layers.{n_enc}.norm1.weight"):
+                n_enc += 1
+            x = x.transpose(1, 2)
+            for i in range(n_enc):
+                p = f"mimi.encoder_transformer.transformer.layers.{i}"
+                b, t, d = x.shape
+                hd = d // self.mimi_heads
+                n1 = L.layer_norm(f"{p}.norm1", x)
+                qkv = L.linear(f"{p}.self_attn.in_proj", n1)
+                q, k, v = qkv.chunk(3, dim=-1)
+                q = _rope(q.view(b, t, self.mimi_heads, hd).transpose(1, 2), 0)
+                k = _rope(k.view(b, t, self.mimi_heads, hd).transpose(1, 2), 0)
+                v = v.view(b, t, self.mimi_heads, hd).transpose(1, 2)
+                pos = torch.arange(t)
+                delta = pos[:, None] - pos[None, :]
+                mask = (delta >= 0) & (delta < self.mimi_context)
+                a = F.scaled_dot_product_attention(q, k, v, attn_mask=mask[None, None])
+                a = a.transpose(1, 2).reshape(b, t, d)
+                a = L.linear(f"{p}.self_attn.out_proj", a)
+                if L.has(f"{p}.layer_scale_1.scale"):
+                    a = a * L(f"{p}.layer_scale_1.scale")
+                x = x + a
+                n2 = L.layer_norm(f"{p}.norm2", x)
+                ff = F.gelu(L.linear(f"{p}.linear1", n2), approximate="none")
+                ff = L.linear(f"{p}.linear2", ff)
+                if L.has(f"{p}.layer_scale_2.scale"):
+                    ff = ff * L(f"{p}.layer_scale_2.scale")
+                x = x + ff
+            x = x.transpose(1, 2)
+            w = L("mimi.downsample.conv.conv.weight")
+            groups = w.shape[0] if w.shape[1] == 1 else 1
+            steps = int(self.encoder_frame_rate / self.frame_rate)
+            x = self._causal_conv("mimi.downsample.conv.conv", x, stride=steps, groups=groups)
+            proj = L("condition_provider.conditioners.speaker_wavs.output_proj.weight")
+            out = torch.einsum("bct,dc->btd", x, proj)
+        return out.numpy().astype(np.float32)
+
     # -- generation --------------------------------------------------------
 
     def generate_audio(self, tokens, cfg: GenerateConfig) -> np.ndarray:

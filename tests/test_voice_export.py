@@ -104,3 +104,15 @@ def test_encoder_resampling_path(store):
     # 1 s of audio → 12.5 latent frames → causal conv yields floor+1 range
     assert emb.shape[0] == 1 and emb.shape[2] == ARCH.d_model
     assert 10 <= emb.shape[1] <= 13
+
+
+def test_encoder_matches_torch_oracle(store):
+    """JAX Mimi encoder + speaker projection vs an independent torch
+    implementation of the same checkpoint."""
+    from go_pocket_tts_tpu.tts.runtime_torch import TorchRuntime
+
+    samples = (np.random.RandomState(7).randn(1920 * 2) * 0.1).astype(np.float32)
+    jax_emb = VoiceEncoder(store).encode_samples(samples, 24000)
+    torch_emb = TorchRuntime(store, num_heads=ARCH.num_heads).encode_voice(samples)
+    assert jax_emb.shape == torch_emb.shape
+    np.testing.assert_allclose(jax_emb, torch_emb, atol=5e-3, rtol=5e-3)
