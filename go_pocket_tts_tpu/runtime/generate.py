@@ -199,16 +199,15 @@ def _decode_body(params: Dict, mimi_cfg, latent: jax.Array) -> jax.Array:
 
 @partial(
     jax.jit,
-    static_argnames=("flow_cfg", "mimi_cfg", "decode_steps", "max_frames"),
-    donate_argnames=("cache",),
+    static_argnames=("flow_cfg", "mimi_cfg", "decode_steps", "max_frames", "capacity", "dtype"),
+    donate_argnames=("voice_cache",),
 )
 def _generate_fused(
     params: Dict,
     flow_cfg,
     mimi_cfg,
-    cache: Dict,
-    emb: jax.Array,
-    valid_len: jax.Array,
+    tokens: jax.Array,  # [B, P] int32, zero-padded
+    valid_tokens: jax.Array,  # int32 scalar: real token count
     key: jax.Array,
     max_steps: jax.Array,
     eos_threshold: jax.Array,
@@ -216,18 +215,35 @@ def _generate_fused(
     frames_after_eos: jax.Array,
     decode_steps: int,
     max_frames: int,
+    capacity: int,
+    dtype,
+    voice_cache: Optional[Dict] = None,
+    voice_emb: Optional[jax.Array] = None,  # [B, V, D]
 ) -> Tuple[jax.Array, jax.Array]:
-    """Whole-utterance program: prefill → AR while-loop → mask → fused
-    latent→mimi → Mimi decode. One dispatch, one device→host transfer —
-    the serving fast path (the staged functions remain for streaming and the
-    continuous batcher).
+    """Whole-utterance program: embed → prefill → AR while-loop → mask →
+    fused latent→mimi → Mimi decode. ONE dispatch and ONE device→host
+    transfer per utterance — every extra dispatch costs a host↔device round
+    trip (the staged functions remain for streaming and the batcher).
 
     Returns (pcm [B, 1, max_frames·1920], n_frames [B]); the host trims to
     ``n_frames·1920`` samples (everything past it is causal-junk from padded
     frames).
     """
     flow = params["flow_lm"]
-    cache = flm.prompt(flow, flow_cfg, cache, emb, valid_len)
+    emb = flm.text_embeddings(flow, tokens).astype(dtype)
+    valid = valid_tokens
+    if voice_emb is not None:
+        emb = jnp.concatenate([voice_emb.astype(dtype), emb], axis=1)
+        valid = valid + voice_emb.shape[1]
+    batch = tokens.shape[0]
+    cache = (
+        voice_cache
+        if voice_cache is not None
+        else ftr.init_kv_cache(flow_cfg.transformer, batch, capacity, dtype=dtype)
+    )
+    # Padded token slots embed row 0 of the LUT; they sit past `valid` and
+    # are never visible (see transformer_forward_cached).
+    cache = flm.prompt(flow, flow_cfg, cache, emb, valid)
     frames, n_frames, _ = _ar_loop_body(
         flow,
         flow_cfg,
@@ -343,23 +359,25 @@ class TPURuntime:
         flow_cfg = self.model.config.flow_lm
 
         with jax.default_matmul_precision(self.matmul_precision):
-            # -- conditioning ------------------------------------------------
+            # -- conditioning (host-side validation only; embedding happens
+            #    inside the fused program) --------------------------------
             tok_np = np.asarray(tokens, np.int32)
             n_bins = flow["conditioner_embed"].shape[0]
             if np.any(tok_np < 0) or np.any(tok_np >= n_bins):
                 raise ValueError(f"token id out of range [0,{n_bins})")
-            emb = flm.text_embeddings(flow, jnp.asarray(tok_np[None, :])).astype(self.dtype)
 
+            voice_emb = None
+            voice_len = 0
             if cfg.voice_embedding is not None:
-                voice = jnp.asarray(cfg.voice_embedding, dtype=self.dtype)
-                if voice.ndim != 3 or voice.shape[2] != emb.shape[2]:
+                voice_emb = jnp.asarray(cfg.voice_embedding, dtype=self.dtype)
+                d_model = flow["conditioner_embed"].shape[1]
+                if voice_emb.ndim != 3 or voice_emb.shape[2] != d_model:
                     raise ValueError(
-                        f"voice embedding shape {voice.shape} incompatible with d_model "
-                        f"{emb.shape[2]}"
+                        f"voice embedding shape {voice_emb.shape} incompatible with "
+                        f"d_model {d_model}"
                     )
-                emb = jnp.concatenate([voice, emb], axis=1)
+                voice_len = voice_emb.shape[1]
 
-            prompt_len = emb.shape[1]
             # Hydrated voice caches advance the offset before prefill; their
             # length participates in the capacity choice but not the prompt pad.
             voice_frames = 0
@@ -368,27 +386,25 @@ class TPURuntime:
                 voice_frames = int(np.asarray(first["offset"]).reshape(-1)[0])
 
             frame_bucket = bk.pick_bucket(max_steps + 1, (self.frame_bucket, 512, 1024))
-            prompt_bucket = bk.pick_bucket(prompt_len, bk.PROMPT_BUCKETS)
-            capacity = bk.round_up(voice_frames + prompt_bucket, 64) + frame_bucket
+            token_bucket = bk.pick_bucket(len(tok_np), bk.PROMPT_BUCKETS)
+            capacity = (
+                bk.round_up(voice_frames + voice_len + token_bucket, 64) + frame_bucket
+            )
 
-            # -- prefill -----------------------------------------------------
+            voice_cache = None
             if cfg.voice_model_state is not None:
-                cache = self._hydrate_voice_cache(cfg.voice_model_state, capacity)
-            else:
-                cache = ftr.init_kv_cache(
-                    flow_cfg.transformer, 1, capacity, dtype=self.dtype
-                )
+                voice_cache = self._hydrate_voice_cache(cfg.voice_model_state, capacity)
 
-            emb_padded = jnp.pad(emb, ((0, 0), (0, prompt_bucket - prompt_len), (0, 0)))
+            tokens_padded = np.zeros((1, token_bucket), np.int32)
+            tokens_padded[0, : len(tok_np)] = tok_np
 
-            # -- fused prefill + AR loop + decode (one program, one sync) ----
+            # -- fused embed + prefill + AR loop + decode (one dispatch) -----
             pcm, n_frames = _generate_fused(
                 self.model.params,
                 flow_cfg,
                 self.model.config.mimi,
-                cache,
-                emb_padded,
-                jnp.int32(prompt_len),
+                jnp.asarray(tokens_padded),
+                jnp.int32(len(tok_np)),
                 self._next_key(),
                 jnp.int32(max_steps),
                 jnp.float32(cfg.eos_threshold),
@@ -396,6 +412,10 @@ class TPURuntime:
                 jnp.int32(cfg.frames_after_eos),
                 decode_steps,
                 frame_bucket,
+                capacity,
+                self.dtype,
+                voice_cache=voice_cache,
+                voice_emb=voice_emb,
             )
             n = int(n_frames[0])
             samples_per = self.model.config.mimi.samples_per_latent
