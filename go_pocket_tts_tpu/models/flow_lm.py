@@ -107,6 +107,7 @@ def ar_core(
     noise: jax.Array,
     decode_steps: int = 1,
     time_cond: Optional[jax.Array] = None,
+    fused_ada: Optional[Params] = None,
 ) -> Tuple[Params, jax.Array, jax.Array]:
     """One stateful AR step (`flow_lm.go:238-299`).
 
@@ -121,7 +122,9 @@ def ar_core(
     x = apply_linear(params["input_linear"], seq)
     y, cache = transformer_forward_cached(params["transformer"], cfg.transformer, cache, x)
     last, eos = _hidden_and_eos(params, y)
-    decoded = fnet.lsd_decode(params["flow_net"], last, noise, decode_steps, time_cond)
+    decoded = fnet.lsd_decode(
+        params["flow_net"], last, noise, decode_steps, time_cond, fused_ada
+    )
     return cache, decoded[:, None, :], eos
 
 

@@ -121,6 +121,55 @@ def flow_direction(
     return _flow_core(params, y, x)
 
 
+def precompute_fused_adaln(params: Params) -> Params:
+    """Concatenate every res-block's adaLN projection plus the final layer's
+    into one ``[flow_dim, (3·n_blocks+2)·flow_dim]`` weight.
+
+    All of them consume the same ``silu(y)``, so per step the flowNet's
+    3·depth+2 modulation matmuls collapse into ONE MXU call (the weight
+    concat is hoisted out of the AR loop alongside the timestep embeddings).
+    """
+    blocks = params["res_blocks"]
+    ws = [rb["adaln"]["w"] for rb in blocks] + [params["final_adaln"]["w"]]
+    bs = []
+    for p in list(blocks) + [None]:
+        src = p["adaln"] if p is not None else params["final_adaln"]
+        if "b" in src:
+            bs.append(src["b"])
+        else:
+            bs.append(jnp.zeros((src["w"].shape[1],), src["w"].dtype))
+    return {"w": jnp.concatenate(ws, axis=1), "b": jnp.concatenate(bs)}
+
+
+def _flow_core_fused(
+    params: Params, fused_ada: Params, y: jax.Array, x: jax.Array
+) -> jax.Array:
+    """Res-block chain + final layer with the batched adaLN projection."""
+    n_blocks = len(params["res_blocks"])
+    fd = params["input_proj"]["w"].shape[1]
+    ada_all = apply_linear(fused_ada, silu(y))  # [B, (3n+2)·fd]
+
+    cur = apply_linear(params["input_proj"], x)
+    for i, rb in enumerate(params["res_blocks"]):
+        base = i * 3 * fd
+        shift = ada_all[:, base : base + fd]
+        scale = ada_all[:, base + fd : base + 2 * fd]
+        gate = ada_all[:, base + 2 * fd : base + 3 * fd]
+        h = layer_norm(cur, rb["in_ln"]["weight"], rb["in_ln"]["bias"], eps=1e-6)
+        h = modulate(h, shift, scale)
+        h = apply_linear(rb["mlp0"], h)
+        h = silu(h)
+        h = apply_linear(rb["mlp2"], h)
+        cur = cur + h * gate
+
+    base = n_blocks * 3 * fd
+    shift = ada_all[:, base : base + fd]
+    scale = ada_all[:, base + fd : base + 2 * fd]
+    out = layer_norm(cur, eps=1e-6)
+    out = modulate(out, shift, scale)
+    return apply_linear(params["final_linear"], out)
+
+
 def precompute_time_cond(params: Params, steps: int) -> jax.Array:
     """``[steps, flow_dim]`` timestep-embedder outputs for the fixed Euler
     grid ``s=i/n, t=(i+1)/n``.
@@ -145,25 +194,33 @@ def lsd_decode(
     x0: jax.Array,
     steps: int,
     time_cond: Optional[jax.Array] = None,
+    fused_ada: Optional[Params] = None,
 ) -> jax.Array:
     """Euler-integrate the flow from noise ``x0`` [B, L]; ``steps`` is static
     (default 1, `internal/config/config.go:101`). ``time_cond`` (from
-    :func:`precompute_time_cond`) skips the per-step timestep embedders."""
+    :func:`precompute_time_cond`) skips the per-step timestep embedders;
+    ``fused_ada`` (from :func:`precompute_fused_adaln`) batches the adaLN
+    projections."""
     if steps <= 0:
         raise ValueError("lsd decode steps must be > 0")
     inv = 1.0 / steps
     b = x0.shape[0]
     cond_y = apply_linear(params["cond_embed"], cond)
 
+    def core(y, x):
+        if fused_ada is not None:
+            return _flow_core_fused(params, fused_ada, y, x)
+        return _flow_core(params, y, x)
+
     def direction(i: int, x):
         if time_cond is not None:
             y = time_cond[i].astype(cond_y.dtype) + cond_y
-            return _flow_core(params, y, x)
+            return core(y, x)
         s = jnp.full((b, 1), i * inv, dtype=x.dtype)
         t = jnp.full((b, 1), (i + 1) * inv, dtype=x.dtype)
         t0 = _timestep_embed(params["time_embed_0"], s)
         t1 = _timestep_embed(params["time_embed_1"], t)
-        return _flow_core(params, 0.5 * (t0 + t1) + cond_y, x)
+        return core(0.5 * (t0 + t1) + cond_y, x)
 
     x = x0
     for i in range(steps):  # steps is small and static; unrolled

@@ -58,9 +58,10 @@ def _batched_ar_multi_step(
     """
 
     time_cond = flm.fnet.precompute_time_cond(params["flow_net"], decode_steps)
+    fused_ada = flm.fnet.precompute_fused_adaln(params["flow_net"])
 
     def body(st, z):
-        return _ar_step_body(params, cfg, st, z, decode_steps, time_cond), None
+        return _ar_step_body(params, cfg, st, z, decode_steps, time_cond, fused_ada), None
 
     state, _ = jax.lax.scan(body, state, noise)
     return state
@@ -73,7 +74,13 @@ def _batched_ar_step(params, cfg, state: Dict, noise: jax.Array, decode_steps: i
 
 
 def _ar_step_body(
-    params, cfg, state: Dict, noise: jax.Array, decode_steps: int, time_cond=None
+    params,
+    cfg,
+    state: Dict,
+    noise: jax.Array,
+    decode_steps: int,
+    time_cond=None,
+    fused_ada=None,
 ):
     live = state["active"] & ~state["done"]
 
@@ -85,7 +92,9 @@ def _ar_step_body(
         params["transformer"], cfg.transformer, state["cache"], x
     )
     last, eos_logit = flm._hidden_and_eos(params, y)
-    decoded = flm.fnet.lsd_decode(params["flow_net"], last, noise, decode_steps, time_cond)
+    decoded = flm.fnet.lsd_decode(
+        params["flow_net"], last, noise, decode_steps, time_cond, fused_ada
+    )
     next_frame = decoded[:, None, :]
 
     max_frames = state["frames"].shape[1]

@@ -127,8 +127,10 @@ def _ar_loop_body(
 
     bound = jnp.minimum(max_steps.astype(jnp.int32), max_frames)
 
-    # Loop-invariant LSD timestep embeddings, hoisted out of the while_loop.
+    # Loop-invariant hoists: LSD timestep embeddings and the batched adaLN
+    # projection weights (one matmul per step instead of 3·depth+2).
     time_cond = flm.fnet.precompute_time_cond(params["flow_net"], decode_steps)
+    fused_ada = flm.fnet.precompute_fused_adaln(params["flow_net"])
 
     def cond(c):
         return (c["step"] < bound) & ~jnp.all(c["done"])
@@ -139,7 +141,7 @@ def _ar_loop_body(
             jax.random.normal(sub, (batch, latent_dim), dtype=jnp.float32) * sigma
         ).astype(dtype)
         new_cache, next_frame, eos_logit = flm.ar_core(
-            params, cfg, c["cache"], c["frame"], noise, decode_steps, time_cond
+            params, cfg, c["cache"], c["frame"], noise, decode_steps, time_cond, fused_ada
         )
         frames = jax.lax.dynamic_update_slice(
             c["frames"], next_frame, (0, c["step"], 0)
@@ -199,7 +201,10 @@ def _decode_body(params: Dict, mimi_cfg, latent: jax.Array) -> jax.Array:
 
 @partial(
     jax.jit,
-    static_argnames=("flow_cfg", "mimi_cfg", "decode_steps", "max_frames", "capacity", "dtype"),
+    static_argnames=(
+        "flow_cfg", "mimi_cfg", "decode_steps", "max_frames", "capacity", "dtype",
+        "decode_frames",
+    ),
     donate_argnames=("voice_cache",),
 )
 def _generate_fused(
@@ -217,6 +222,7 @@ def _generate_fused(
     max_frames: int,
     capacity: int,
     dtype,
+    decode_frames: int = 0,
     voice_cache: Optional[Dict] = None,
     voice_emb: Optional[jax.Array] = None,  # [B, V, D]
 ) -> Tuple[jax.Array, jax.Array]:
@@ -256,10 +262,18 @@ def _generate_fused(
         decode_steps,
         max_frames,
     )
-    mask = (jnp.arange(max_frames) < n_frames[:, None])[:, :, None]
+    # Decode only the frames max_steps can produce (static; n <= max_steps),
+    # not the whole frame bucket — Mimi cost is linear in T.
+    d_frames = decode_frames or max_frames
+    frames = frames[:, :d_frames]
+    mask = (jnp.arange(d_frames) < n_frames[:, None])[:, :, None]
     latent = jnp.where(mask, frames, 0.0)
     pcm = _decode_body(params, mimi_cfg, latent)
-    return pcm, n_frames
+    # Convert to int16 on-device: the WAV is 16-bit PCM anyway, and this
+    # quarters the device→host transfer. Truncation toward zero matches the
+    # host encoder (`utils/wav.pcm16_bytes`) bit-exactly.
+    pcm16 = (jnp.clip(pcm.astype(jnp.float32), -1.0, 1.0) * 32767.0).astype(jnp.int16)
+    return pcm16, n_frames
 
 
 _decode = partial(jax.jit, static_argnames=("mimi_cfg",))(_decode_body)
@@ -414,12 +428,15 @@ class TPURuntime:
                 frame_bucket,
                 capacity,
                 self.dtype,
+                decode_frames=min(bk.round_up(max_steps, 32), frame_bucket),
                 voice_cache=voice_cache,
                 voice_emb=voice_emb,
             )
             n = int(n_frames[0])
             samples_per = self.model.config.mimi.samples_per_latent
-            audio = np.asarray(pcm[0, 0, : n * samples_per], dtype=np.float32)
+            audio = (
+                np.asarray(pcm[0, 0, : n * samples_per]).astype(np.float32) / 32767.0
+            )
         t_decode = time.perf_counter()
         t_prefill = t_ar = t_decode  # stage split unavailable on the fused path
 
