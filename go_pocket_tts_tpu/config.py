@@ -80,6 +80,7 @@ class RuntimeConfig:
     seed: int = -1  # -1 = time-seeded
     quantize: bool = False  # INT8 weight-only quantization
     batch_slots: int = 0  # >1: continuous batching across concurrent requests
+    dp_devices: int = 0  # >1: shard the batch over a dp mesh of N devices
 
 
 @dataclass
@@ -126,6 +127,8 @@ _FLAG_MAP = [
     ("runtime-quantize", "runtime", "quantize", _parse_bool, "INT8 weight-only quantization"),
     ("runtime-batch-slots", "runtime", "batch_slots", int,
      "Continuous-batching slots (>1 batches concurrent requests)"),
+    ("runtime-dp", "runtime", "dp_devices", int,
+     "Data-parallel devices for batch serving (shards slots over a dp mesh)"),
     ("server-listen-addr", "server", "listen_addr", str, "HTTP listen address"),
     ("workers", "server", "workers", int, "Max concurrent synthesis requests"),
     ("shutdown-timeout", "server", "shutdown_timeout_secs", int, "Graceful shutdown drain timeout (s)"),

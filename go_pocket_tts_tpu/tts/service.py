@@ -114,8 +114,17 @@ class Service:
             if cfg.runtime.batch_slots > 1:
                 from go_pocket_tts_tpu.parallel.batching import BatcherRuntime
 
+                mesh = None
+                if cfg.runtime.dp_devices > 1:
+                    from go_pocket_tts_tpu.parallel.mesh import dp_mesh
+
+                    mesh = dp_mesh(cfg.runtime.dp_devices)
                 runtime = BatcherRuntime(
-                    model, slots=cfg.runtime.batch_slots, dtype=dtype, seed=seed
+                    model,
+                    slots=cfg.runtime.batch_slots,
+                    dtype=dtype,
+                    seed=seed,
+                    mesh=mesh,
                 )
                 log.info(
                     "loaded TPU batched runtime model=%s dtype=%s slots=%d",

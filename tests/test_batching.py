@@ -180,3 +180,21 @@ def test_batcher_runtime_in_service(model):
             np.testing.assert_allclose(v, want, atol=1e-4, rtol=1e-3)
     finally:
         rt.close()
+
+
+def test_batcher_over_dp_mesh(model):
+    """The full engine sharded over a 4-device dp mesh produces the same
+    audio as the single-request runtime (config 5 shape, CPU mesh)."""
+    mesh = dp_mesh(4)
+    batcher = ContinuousBatcher(
+        model, slots=4, prompt_capacity=64, max_frames=64, seed=3, mesh=mesh
+    )
+    batcher.start()
+    try:
+        futs = [batcher.submit([5, 9, 2], _cfg(max_steps=4)) for _ in range(4)]
+        outs = [f.result(timeout=120) for f in futs]
+    finally:
+        batcher.stop()
+    want = TPURuntime(model, seed=1, frame_bucket=64).generate_audio([5, 9, 2], _cfg(max_steps=4))
+    for o in outs:
+        np.testing.assert_allclose(o, want, atol=1e-4, rtol=1e-3)
