@@ -47,6 +47,7 @@ from go_pocket_tts_tpu.ops import (
     gelu_erf,
     layer_norm,
 )
+from go_pocket_tts_tpu.ops.rope import apply_rope_rows, rope_rows
 
 __all__ = [
     "TransformerConfig",
@@ -254,6 +255,9 @@ def transformer_forward_cached(
 
         interpret = _jax.default_backend() == "cpu"
 
+    # Trig rows are identical across layers — gather once per call.
+    cos_rows, sin_rows = rope_rows(params["rope_cos"], params["rope_sin"], offset, t)
+
     k_all, v_all = cache["k"], cache["v"]
     zero = jnp.int32(0)
     for i, layer in enumerate(params["layers"]):
@@ -281,8 +285,8 @@ def transformer_forward_cached(
                 interpret=interpret,
             )
         else:
-            q = apply_rope(q, params["rope_cos"], params["rope_sin"], offset)
-            k = apply_rope(k, params["rope_cos"], params["rope_sin"], offset)
+            q = apply_rope_rows(q, cos_rows, sin_rows)
+            k = apply_rope_rows(k, cos_rows, sin_rows)
 
             # Append K/V at the offset (sequential slots == absolute positions).
             k_all = jax.lax.dynamic_update_slice(
@@ -328,6 +332,8 @@ def transformer_step_batched(
         jnp.arange(capacity, dtype=jnp.int32)[None, :], (x.shape[0], capacity)
     )
 
+    cos_rows, sin_rows = rope_rows(params["rope_cos"], params["rope_sin"], offsets, 1)
+
     k_all, v_all = cache["k"], cache["v"]
     for i, layer in enumerate(params["layers"]):
         n1 = layer_norm(x, layer["norm1"]["weight"], layer["norm1"]["bias"])
@@ -336,8 +342,8 @@ def transformer_step_batched(
         q = _split_heads(q, cfg.num_heads, cfg.head_dim)
         k = _split_heads(k, cfg.num_heads, cfg.head_dim)
         v = _split_heads(v, cfg.num_heads, cfg.head_dim)
-        q = apply_rope(q, params["rope_cos"], params["rope_sin"], offsets)
-        k = apply_rope(k, params["rope_cos"], params["rope_sin"], offsets)
+        q = apply_rope_rows(q, cos_rows, sin_rows)
+        k = apply_rope_rows(k, cos_rows, sin_rows)
         # Per-slot scatter of the new token into layer i of the stacked cache.
         write = jax.vmap(
             lambda buf, val, off: jax.lax.dynamic_update_slice(buf, val, (0, off, 0))

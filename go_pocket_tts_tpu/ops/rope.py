@@ -39,6 +39,34 @@ def build_rope_tables(
     return jnp.cos(angles), jnp.sin(angles)
 
 
+def rope_rows(
+    cos: jax.Array, sin: jax.Array, pos: Union[int, jax.Array], t: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Gather the cos/sin rows for positions ``pos .. pos+t-1`` once; the
+    result feeds :func:`apply_rope_rows` for every layer of a step (the rows
+    are identical across layers, so per-layer gathers are wasted ops)."""
+    pos = jnp.asarray(pos, dtype=jnp.int32)
+    if pos.ndim == 0:
+        c = jax.lax.dynamic_slice_in_dim(cos, pos, t, axis=0)  # [T, half]
+        s = jax.lax.dynamic_slice_in_dim(sin, pos, t, axis=0)
+    else:
+        idx = pos[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+        c = jnp.take(cos, idx, axis=0)[:, None, :, :]  # [B, 1, T, half]
+        s = jnp.take(sin, idx, axis=0)[:, None, :, :]
+    return c, s
+
+
+def apply_rope_rows(x: jax.Array, c: jax.Array, s: jax.Array) -> jax.Array:
+    """Rotate ``x[..., T, D]`` by pre-gathered trig rows (see :func:`rope_rows`)."""
+    d = x.shape[-1]
+    half = d // 2
+    xf = x.astype(jnp.float32)
+    xr = xf.reshape(*x.shape[:-1], half, 2)
+    a, b = xr[..., 0], xr[..., 1]
+    out = jnp.stack([a * c - b * s, a * s + b * c], axis=-1).reshape(x.shape)
+    return out.astype(x.dtype)
+
+
 def apply_rope(
     x: jax.Array,
     cos: jax.Array,
