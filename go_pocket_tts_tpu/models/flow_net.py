@@ -129,16 +129,27 @@ def precompute_fused_adaln(params: Params) -> Params:
     3·depth+2 modulation matmuls collapse into ONE MXU call (the weight
     concat is hoisted out of the AR loop alongside the timestep embeddings).
     """
-    blocks = params["res_blocks"]
-    ws = [rb["adaln"]["w"] for rb in blocks] + [params["final_adaln"]["w"]]
-    bs = []
-    for p in list(blocks) + [None]:
-        src = p["adaln"] if p is not None else params["final_adaln"]
+    sources = [rb["adaln"] for rb in params["res_blocks"]] + [params["final_adaln"]]
+    quantized = all("scale" in src for src in sources)
+    ws, bs, scales = [], [], []
+    for src in sources:
+        ws.append(src["w"])
         if "b" in src:
             bs.append(src["b"])
         else:
-            bs.append(jnp.zeros((src["w"].shape[1],), src["w"].dtype))
-    return {"w": jnp.concatenate(ws, axis=1), "b": jnp.concatenate(bs)}
+            bs.append(jnp.zeros((src["w"].shape[1],), jnp.float32))
+        if quantized:
+            scales.append(src["scale"])
+        elif "scale" in src:
+            # Mixed quantization: dequantize this source so the concat is
+            # uniform float.
+            ws[-1] = src["w"].astype(jnp.float32) * src["scale"]
+    fused = {"w": jnp.concatenate(ws, axis=1), "b": jnp.concatenate(bs)}
+    if quantized:
+        # Per-output-channel scales concatenate along the fused out dim, so
+        # the int8 fast path in apply_linear stays intact.
+        fused["scale"] = jnp.concatenate(scales)
+    return fused
 
 
 def _flow_core_fused(

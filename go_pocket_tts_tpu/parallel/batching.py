@@ -168,11 +168,18 @@ class _Request:
     tokens: List[int]
     cfg: GenerateConfig
     future: Future
+    # Frame-streaming requests: PCM blocks are pushed here as they are
+    # generated (None = end of stream); the future resolves with the full
+    # concatenated audio as well.
+    stream: Optional["queue.Queue"] = None
 
 
 @dataclasses.dataclass
 class _SlotInfo:
     request: Optional[_Request] = None
+    emitted_frames: int = 0
+    stream_state: Optional[Dict] = None
+    stream_parts: Optional[List[np.ndarray]] = None
 
 
 class ContinuousBatcher:
@@ -199,6 +206,11 @@ class ContinuousBatcher:
         self.capacity = prompt_capacity + max_frames
         self.mesh = mesh
         self.steps_per_sync = max(steps_per_sync, 1)
+        # Streaming emission slices the frames buffer in steps_per_sync-wide
+        # static windows; keep max_frames aligned so the final window fits.
+        max_frames = bk.round_up(max_frames, self.steps_per_sync)
+        self.max_frames = max_frames
+        self.capacity = prompt_capacity + max_frames
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._slot_info = [_SlotInfo() for _ in range(slots)]
         self._key = jax.random.PRNGKey(seed if seed is not None else time.time_ns() & 0x7FFFFFFF)
@@ -237,6 +249,24 @@ class ContinuousBatcher:
         fut: Future = Future()
         self._queue.put(_Request(list(tokens), cfg, fut))
         return fut
+
+    def submit_stream(self, tokens, cfg: GenerateConfig, timeout: float = 300.0):
+        """Stream PCM blocks (~steps_per_sync frames each) as they are
+        generated — frame streaming THROUGH the shared batch (the
+        single-request streamer in `runtime/streaming.py` holds the whole
+        device; this one time-shares it with other requests)."""
+        fut: Future = Future()
+        q: "queue.Queue" = queue.Queue()
+        self._queue.put(_Request(list(tokens), cfg, fut, stream=q))
+
+        def gen():
+            while True:
+                item = q.get(timeout=timeout)
+                if item is None:
+                    return
+                yield item
+
+        return gen()
 
     def start(self) -> None:
         self._stop.clear()
@@ -306,7 +336,51 @@ class ContinuousBatcher:
             jnp.int32(cfg.frames_after_eos),
             jnp.sqrt(jnp.maximum(jnp.float32(cfg.temperature), 0.0)),
         )
-        self._slot_info[slot].request = req
+        info = self._slot_info[slot]
+        info.request = req
+        info.emitted_frames = 0
+        info.stream_state = None
+        info.stream_parts = None
+        if req.stream is not None:
+            from go_pocket_tts_tpu.models import mimi_stream
+
+            info.stream_state = mimi_stream.init_stream_state(
+                self.model.params["mimi"],
+                self.model.config.mimi,
+                batch=1,
+                max_steps=self.max_frames * self.model.config.mimi.steps_per_latent,
+                dtype=self.dtype,
+            )
+            info.stream_parts = []
+
+    def _emit_streams(self) -> None:
+        """Push newly generated frames of streaming slots through their
+        per-slot block decoder."""
+        from go_pocket_tts_tpu.runtime.streaming import _stream_block_decode
+
+        n_frames = np.asarray(self._state["n_frames"])
+        samples_per = self.model.config.mimi.samples_per_latent
+        k = self.steps_per_sync
+        for slot in range(self.slots):
+            info = self._slot_info[slot]
+            if info.request is None or info.stream_state is None:
+                continue
+            n_new = int(n_frames[slot]) - info.emitted_frames
+            if n_new <= 0:
+                continue
+            # Static-width slice (k frames), masked beyond n_new.
+            latent = jax.lax.dynamic_slice_in_dim(
+                self._state["frames"][slot][None], info.emitted_frames, k, axis=1
+            )
+            mask = (jnp.arange(k) < n_new)[None, :, None]
+            latent = jnp.where(mask, latent, 0.0)
+            pcm, info.stream_state = _stream_block_decode(
+                self.model.params, self.model.config.mimi, info.stream_state, latent
+            )
+            block = np.asarray(pcm[0, 0, : n_new * samples_per], np.float32)
+            info.emitted_frames += n_new
+            info.stream_parts.append(block)
+            info.request.stream.put(block)
 
     def _harvest(self) -> None:
         done = np.asarray(self._state["done"])
@@ -316,15 +390,29 @@ class ContinuousBatcher:
             info = self._slot_info[slot]
             if info.request is None or not (active[slot] and done[slot]):
                 continue
-            n = int(n_frames[slot])
-            latent = self._state["frames"][slot][None, : bk.pick_bucket(n, bk.DECODE_BUCKETS)]
-            mask = (jnp.arange(latent.shape[1]) < n)[None, :, None]
-            latent = jnp.where(mask, latent, 0.0)
-            pcm = _decode(self.model.params, self.model.config.mimi, latent)
-            samples_per = self.model.config.mimi.samples_per_latent
-            audio = np.asarray(pcm[0, 0, : n * samples_per], np.float32)
-            info.request.future.set_result(audio)
+            if info.stream_state is not None:
+                # Streamed slot: all PCM already emitted block-by-block.
+                audio = (
+                    np.concatenate(info.stream_parts)
+                    if info.stream_parts
+                    else np.zeros(0, np.float32)
+                )
+                info.request.stream.put(None)  # end-of-stream sentinel
+                info.request.future.set_result(audio)
+            else:
+                n = int(n_frames[slot])
+                latent = self._state["frames"][slot][
+                    None, : bk.pick_bucket(n, bk.DECODE_BUCKETS)
+                ]
+                mask = (jnp.arange(latent.shape[1]) < n)[None, :, None]
+                latent = jnp.where(mask, latent, 0.0)
+                pcm = _decode(self.model.params, self.model.config.mimi, latent)
+                samples_per = self.model.config.mimi.samples_per_latent
+                audio = np.asarray(pcm[0, 0, : n * samples_per], np.float32)
+                info.request.future.set_result(audio)
             info.request = None
+            info.stream_state = None
+            info.stream_parts = None
             self._state = {
                 **self._state,
                 "active": self._state["active"].at[slot].set(False),
@@ -357,6 +445,7 @@ class ContinuousBatcher:
                 self._state = _batched_ar_multi_step(
                     params, cfg, self._state, noise, decode_steps
                 )
+            self._emit_streams()
             self._harvest()
 
     # Convenience synchronous API ------------------------------------------
@@ -398,6 +487,11 @@ class BatcherRuntime:
 
     def generate_audio(self, tokens, cfg: GenerateConfig) -> np.ndarray:
         return self.batcher.generate(tokens, cfg, timeout=self._timeout)
+
+    def stream_generate(self, tokens, cfg: GenerateConfig):
+        """Frame-streaming through the shared batch (Service duck-types on
+        this method for its frame_streaming mode)."""
+        return self.batcher.submit_stream(tokens, cfg, timeout=self._timeout)
 
     def close(self) -> None:
         self.batcher.stop()

@@ -87,6 +87,25 @@ def _stream_step(
     return pcm, n, new_carry["done"], new_carry, stream_state
 
 
+@partial(jax.jit, static_argnames=("mimi_cfg",), donate_argnames=("stream_state",))
+def _stream_block_decode(params: Dict, mimi_cfg, stream_state: Dict, latent: jax.Array):
+    """Decode-only streaming block: latent [B, Tb, L] → (pcm, stream_state).
+    Used by the continuous batcher to emit per-slot PCM between AR blocks."""
+    fused = params.get("latent_to_mimi")
+    if fused is not None:
+        out = jnp.matmul(
+            latent, fused["w"].astype(latent.dtype), preferred_element_type=jnp.float32
+        ).astype(latent.dtype)
+        mimi_latent = jnp.swapaxes(out + fused["b"].astype(latent.dtype), 1, 2)
+    else:
+        flow = params["flow_lm"]
+        denorm = latent * flow["emb_std"] + flow["emb_mean"]
+        from go_pocket_tts_tpu.models import mimi as mimi_mod
+
+        mimi_latent = mimi_mod.quantizer_project(params["mimi"], jnp.swapaxes(denorm, 1, 2))
+    return mimi_stream.decode_block(params["mimi"], mimi_cfg, stream_state, mimi_latent)
+
+
 def stream_generate(
     runtime,
     tokens,

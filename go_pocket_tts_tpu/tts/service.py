@@ -196,7 +196,9 @@ class Service:
 
     @property
     def supports_frame_streaming(self) -> bool:
-        return isinstance(self.runtime, TPURuntime)
+        return isinstance(self.runtime, TPURuntime) or hasattr(
+            self.runtime, "stream_generate"
+        )
 
     def synthesize_stream(
         self,
@@ -230,13 +232,26 @@ class Service:
             conditioning.apply_to(cfg)
             last_chunk = i == len(chunks) - 1
             if use_frames:
+                if hasattr(self.runtime, "stream_generate"):
+                    # Concurrency-native runtime (batcher): streams through
+                    # the shared batch, no service lock needed.
+                    blocks_iter = self.runtime.stream_generate(chunk.token_ids, cfg)
+                    prev: Optional[np.ndarray] = None
+                    for block in blocks_iter:
+                        if prev is not None:
+                            yield PCMChunk(samples=prev, chunk_index=i, final=False)
+                        prev = block
+                    if prev is not None:
+                        yield PCMChunk(samples=prev, chunk_index=i, final=last_chunk)
+                    continue
+
                 from go_pocket_tts_tpu.runtime.streaming import stream_generate
 
                 # Yield as blocks arrive (this is the TTFA path). The lock is
                 # held across the chunk — same policy as the reference, which
                 # holds a worker slot for the whole request.
                 with self._lock:
-                    prev: Optional[np.ndarray] = None
+                    prev = None
                     for block in stream_generate(self.runtime, chunk.token_ids, cfg):
                         if prev is not None:
                             yield PCMChunk(samples=prev, chunk_index=i, final=False)

@@ -198,3 +198,38 @@ def test_batcher_over_dp_mesh(model):
     want = TPURuntime(model, seed=1, frame_bucket=64).generate_audio([5, 9, 2], _cfg(max_steps=4))
     for o in outs:
         np.testing.assert_allclose(o, want, atol=1e-4, rtol=1e-3)
+
+
+def test_batcher_frame_streaming(model):
+    """submit_stream emits PCM blocks that concatenate to the non-streamed
+    result (temp=0); per-slot block decoder is sample-exact."""
+    batcher = ContinuousBatcher(
+        model, slots=2, prompt_capacity=64, max_frames=64, seed=3, steps_per_sync=4
+    )
+    batcher.start()
+    try:
+        whole = batcher.generate([5, 9, 2], _cfg(max_steps=10), timeout=120)
+        blocks = list(batcher.submit_stream([5, 9, 2], _cfg(max_steps=10), timeout=120))
+    finally:
+        batcher.stop()
+    assert len(blocks) >= 2  # 10 frames in 4-step blocks → 3 emissions
+    streamed = np.concatenate(blocks)
+    assert len(streamed) == len(whole) == 10 * 1920
+    np.testing.assert_allclose(streamed, whole, atol=1e-3)
+
+
+def test_batcher_streaming_concurrent_with_batch(model):
+    """A streaming request and plain requests share the batch."""
+    batcher = ContinuousBatcher(
+        model, slots=4, prompt_capacity=64, max_frames=64, seed=3, steps_per_sync=4
+    )
+    batcher.start()
+    try:
+        stream_iter = batcher.submit_stream([5, 9, 2], _cfg(max_steps=8), timeout=120)
+        fut = batcher.submit([7, 1, 4], _cfg(max_steps=8))
+        streamed = np.concatenate(list(stream_iter))
+        plain = fut.result(timeout=120)
+    finally:
+        batcher.stop()
+    assert len(streamed) == 8 * 1920
+    assert len(plain) == 8 * 1920
