@@ -419,6 +419,31 @@ class ContinuousBatcher:
             }
 
     def _loop(self) -> None:
+        try:
+            self._loop_inner()
+        except Exception as exc:  # noqa: BLE001
+            # A crashed engine must not leave callers hanging on futures.
+            log.exception("batcher engine crashed: %s", exc)
+            self._fail_all(exc)
+
+    def _fail_all(self, exc: Exception) -> None:
+        for info in self._slot_info:
+            if info.request is not None:
+                if info.request.stream is not None:
+                    info.request.stream.put(None)
+                if not info.request.future.done():
+                    info.request.future.set_exception(exc)
+                info.request = None
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if req.stream is not None:
+                req.stream.put(None)
+            req.future.set_exception(exc)
+
+    def _loop_inner(self) -> None:
         decode_steps = 1
         params = self.model.params["flow_lm"]
         cfg = self.model.config.flow_lm

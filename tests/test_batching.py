@@ -233,3 +233,19 @@ def test_batcher_streaming_concurrent_with_batch(model):
         batcher.stop()
     assert len(streamed) == 8 * 1920
     assert len(plain) == 8 * 1920
+
+
+def test_batcher_engine_crash_fails_futures(model):
+    """If the engine thread dies, pending futures get the exception instead
+    of hanging."""
+    batcher = ContinuousBatcher(model, slots=2, prompt_capacity=64, max_frames=64, seed=3)
+
+    def boom():
+        raise RuntimeError("engine boom")
+
+    batcher._admit = boom  # crash on first iteration
+    batcher.start()
+    fut = batcher.submit([5, 9], _cfg(max_steps=2))
+    with pytest.raises(RuntimeError, match="engine boom"):
+        fut.result(timeout=30)
+    batcher.stop()
