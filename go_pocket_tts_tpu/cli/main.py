@@ -134,6 +134,9 @@ def cmd_serve(args) -> int:
         voices = VoiceManager(cfg.paths.voices_manifest)
 
     svc = _build_service(cfg)
+    if args.prewarm:
+        log.info("prewarming shape buckets (first compile is slow)...")
+        svc.prewarm()
     srv = Server(
         svc,
         voices,
@@ -368,7 +371,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fade-in-ms", type=float, default=0.0)
     p.add_argument("--fade-out-ms", type=float, default=0.0)
 
-    add("serve", cmd_serve, "Run the HTTP synthesis server")
+    p = add("serve", cmd_serve, "Run the HTTP synthesis server")
+    p.add_argument(
+        "--prewarm",
+        action="store_true",
+        help="Compile common shape buckets before accepting traffic",
+    )
 
     p = add("export-voice", cmd_export_voice, "Export a voice from a WAV prompt")
     p.add_argument("--input", required=True, help="Input speaker WAV")

@@ -263,6 +263,26 @@ class Service:
                     pcm = self.runtime.generate_audio(chunk.token_ids, cfg)
                 yield PCMChunk(samples=pcm, chunk_index=i, final=last_chunk)
 
+    def prewarm(self, token_lengths=(10, 30, 50)) -> None:
+        """Compile the common shape buckets before serving traffic.
+
+        First-request latency is otherwise dominated by XLA compilation (tens
+        of seconds per shape bucket). Shapes depend only on bucketed token
+        count / step budget, so dummy token IDs compile the same executables
+        real requests will hit.
+        """
+        gen = getattr(self.runtime, "generate_audio", None)
+        if gen is None:
+            return
+        for n in token_lengths:
+            cfg = self._generate_config(
+                ChunkMetadata(text="", token_ids=[0] * n, num_tokens=n, num_words=n)
+            )
+            cfg.max_steps = cfg.estimated_max_steps
+            with self._lock:
+                gen([0] * n, cfg)
+            log.info("prewarmed bucket for %d tokens", n)
+
     def close(self) -> None:
         close = getattr(self.runtime, "close", None)
         if close is not None:

@@ -133,3 +133,9 @@ def test_parity_snapshots_roundtrip(tmp_path, jax_model):
     parity.save_snapshots(str(p), snaps)
     loaded = parity.load_snapshots(str(p))
     assert loaded["tpu"] == snaps["tpu"]
+
+
+def test_service_prewarm(jax_model):
+    rt = TPURuntime(jax_model, seed=5, frame_bucket=64)
+    svc = Service(rt, _WordTokenizer(), _tts_cfg())
+    svc.prewarm(token_lengths=(3,))  # compiles without error; no output needed
