@@ -79,10 +79,10 @@ def cmd_synth(args) -> int:
     _setup_logging(cfg.log_level)
 
     text = args.text
-    if text == "-":
+    if not text or text == "-":
         text = sys.stdin.read()
     if not text or not text.strip():
-        print("error: --text is required", file=sys.stderr)
+        print("error: --text is required (or provide text on stdin)", file=sys.stderr)
         return 2
 
     from go_pocket_tts_tpu.text import chunk_by_sentence, normalize
@@ -92,14 +92,16 @@ def cmd_synth(args) -> int:
 
     svc = _build_service(cfg)
     try:
-        pieces: List[str] = chunk_by_sentence(text, args.chunk) if args.chunk else [text]
+        pieces: List[str] = (
+            chunk_by_sentence(text, args.max_chunk_chars) if args.chunk else [text]
+        )
         samples = np.concatenate([svc.synthesize(p, voice_path) for p in pieces])
     finally:
         svc.close()
 
     # Opt-in DSP post chain (`cmd/pockettts/synth.go:361-390`).
-    if args.peak_normalize:
-        samples = dsp.peak_normalize(samples, args.peak_normalize)
+    if args.normalize or args.peak_normalize:
+        samples = dsp.peak_normalize(samples, args.peak_normalize or 0.95)
     if args.dc_block:
         samples = dsp.dc_block(samples)
     if args.fade_in_ms:
@@ -362,12 +364,23 @@ def build_parser() -> argparse.ArgumentParser:
         return p
 
     p = add("synth", cmd_synth, "Synthesize text to a WAV file")
-    p.add_argument("--text", required=True, help="Text to synthesize ('-' = stdin)")
+    p.add_argument("--text", default="", help="Text to synthesize ('-' or empty = stdin)")
     p.add_argument("--out", default="out.wav", help="Output WAV path ('-' = stdout)")
     p.add_argument("--voice", default="", help="Voice ID or .safetensors path")
-    p.add_argument("--chunk", type=int, default=0, help="Char-budget sentence chunking")
-    p.add_argument("--peak-normalize", type=float, default=0.0, help="Peak normalize target")
-    p.add_argument("--dc-block", action="store_true", help="20 Hz DC-block filter")
+    p.add_argument(
+        "--chunk", action="store_true",
+        help="Split text into sentence chunks and synthesize sequentially",
+    )
+    p.add_argument(
+        "--max-chunk-chars", type=int, default=220,
+        help="Maximum characters per chunk when --chunk is enabled",
+    )
+    p.add_argument("--normalize", action="store_true", help="Peak-normalize output audio")
+    p.add_argument(
+        "--peak-normalize", type=float, default=0.0,
+        help="Peak normalize to a custom target (implies --normalize)",
+    )
+    p.add_argument("--dc-block", action="store_true", help="DC-block high-pass filter")
     p.add_argument("--fade-in-ms", type=float, default=0.0)
     p.add_argument("--fade-out-ms", type=float, default=0.0)
 
