@@ -247,7 +247,9 @@ def transformer_forward_cached(
     # are excluded by delta >= 0 (attention.go:473-484 semantics).
     pos_k = jnp.arange(capacity, dtype=jnp.int32)
 
-    use_pallas = cfg.use_pallas and t == 1
+    # The Pallas kernel implements the causal mask only (the FlowLM has no
+    # sliding window); windowed configs fall back to XLA.
+    use_pallas = cfg.use_pallas and t == 1 and cfg.context is None
     if use_pallas:
         import jax as _jax
 

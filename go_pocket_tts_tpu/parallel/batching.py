@@ -312,10 +312,15 @@ class ContinuousBatcher:
             )
         prompt_len = emb.shape[1]
         bucket = bk.pick_bucket(prompt_len, bk.PROMPT_BUCKETS)
-        if bucket + self.max_frames > self.capacity:
+        voice_frames = 0
+        if cfg.voice_model_state is not None:
+            first = next(iter(cfg.voice_model_state.modules.values()))
+            voice_frames = int(np.asarray(first["offset"]).reshape(-1)[0])
+        if voice_frames + bucket + self.max_frames > self.capacity:
             raise ValueError(
-                f"prompt length {prompt_len} exceeds batcher capacity "
-                f"{self.capacity - self.max_frames}"
+                f"prompt ({voice_frames} voice + {prompt_len} text tokens) exceeds "
+                f"batcher capacity {self.capacity - self.max_frames}; raise "
+                f"prompt_capacity"
             )
         lane = ftr.init_kv_cache(flow_cfg.transformer, 1, self.capacity, self.dtype)
         if cfg.voice_model_state is not None:
