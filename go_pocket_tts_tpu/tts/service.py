@@ -225,6 +225,31 @@ class Service:
         chunks = prepare_chunks(input_text, self.tokenizer, MAX_TOKENS_PER_CHUNK)
         conditioning = load_voice_conditioning(voice_path)
         use_frames = frame_streaming and self.supports_frame_streaming
+
+        # Concurrency-native runtime + multi-chunk text: submit every chunk
+        # up front so they generate together in the shared batch (the
+        # reference synthesizes chunks strictly sequentially,
+        # `service.go:137-152`); yield in order.
+        if (
+            not use_frames
+            and len(chunks) > 1
+            and hasattr(self.runtime, "batcher")
+        ):
+            futures = []
+            for chunk in chunks:
+                cfg = self._generate_config(chunk)
+                conditioning.apply_to(cfg)
+                futures.append(self.runtime.batcher.submit(chunk.token_ids, cfg))
+            for i, fut in enumerate(futures):
+                if cancel is not None and cancel():
+                    raise CancelledError("synthesis cancelled")
+                yield PCMChunk(
+                    samples=fut.result(timeout=getattr(self.runtime, "_timeout", 300.0)),
+                    chunk_index=i,
+                    final=i == len(futures) - 1,
+                )
+            return
+
         for i, chunk in enumerate(chunks):
             if cancel is not None and cancel():
                 raise CancelledError("synthesis cancelled")

@@ -249,3 +249,37 @@ def test_batcher_engine_crash_fails_futures(model):
     with pytest.raises(RuntimeError, match="engine boom"):
         fut.result(timeout=30)
     batcher.stop()
+
+
+def test_service_multichunk_parallel_through_batcher(model):
+    """Multi-chunk text submits all chunks concurrently to the batcher and
+    yields them in order, matching sequential synthesis at temp 0."""
+    from go_pocket_tts_tpu.config import TTSConfig
+    from go_pocket_tts_tpu.parallel.batching import BatcherRuntime
+    from go_pocket_tts_tpu.tts.service import Service
+
+    class _Tok:
+        def encode(self, s):
+            return [(abs(hash(w)) % 60) for w in s.split()]
+
+    cfg = TTSConfig(temperature=0.0, eos_threshold=1e9, max_steps=3)
+    text = (
+        " ".join(["alpha"] * 60) + ". " + " ".join(["beta"] * 60) + ". "
+        + " ".join(["gamma"] * 60) + "."
+    )
+
+    rt = BatcherRuntime(model, slots=4, seed=3)
+    try:
+        svc = Service(rt, _Tok(), cfg)
+        chunks = list(svc.synthesize_stream(text))
+    finally:
+        rt.close()
+    assert len(chunks) == 3
+    assert [c.chunk_index for c in chunks] == [0, 1, 2]
+    assert chunks[-1].final
+
+    single = TPURuntime(model, seed=1, frame_bucket=64)
+    svc2 = Service(single, _Tok(), cfg)
+    sequential = list(svc2.synthesize_stream(text))
+    for got, want in zip(chunks, sequential):
+        np.testing.assert_allclose(got.samples, want.samples, atol=1e-4, rtol=1e-3)
