@@ -216,6 +216,7 @@ class ContinuousBatcher:
         self._key = jax.random.PRNGKey(seed if seed is not None else time.time_ns() & 0x7FFFFFFF)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._crashed: Optional[Exception] = None
 
         flow_cfg = self.model.config.flow_lm
         tcfg = flow_cfg.transformer
@@ -247,7 +248,14 @@ class ContinuousBatcher:
 
     def submit(self, tokens, cfg: GenerateConfig) -> "Future[np.ndarray]":
         fut: Future = Future()
+        if self._crashed is not None:
+            fut.set_exception(self._crashed)
+            return fut
         self._queue.put(_Request(list(tokens), cfg, fut))
+        if self._crashed is not None:
+            # Lost the race with a crashing engine; make sure the request
+            # does not sit in a queue nobody drains.
+            self._fail_all(self._crashed)
         return fut
 
     def submit_stream(self, tokens, cfg: GenerateConfig, timeout: float = 300.0):
@@ -429,6 +437,7 @@ class ContinuousBatcher:
         except Exception as exc:  # noqa: BLE001
             # A crashed engine must not leave callers hanging on futures.
             log.exception("batcher engine crashed: %s", exc)
+            self._crashed = exc
             self._fail_all(exc)
 
     def _fail_all(self, exc: Exception) -> None:
@@ -446,7 +455,8 @@ class ContinuousBatcher:
                 break
             if req.stream is not None:
                 req.stream.put(None)
-            req.future.set_exception(exc)
+            if not req.future.done():
+                req.future.set_exception(exc)
 
     def _loop_inner(self) -> None:
         decode_steps = 1
