@@ -94,7 +94,16 @@ def apply_linear(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
     """
     w = params["w"]
     if "scale" in params and w.dtype == jnp.int8:
-        y = jnp.matmul(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+        import jax.lax as lax
+
+        # Mixed-dtype dot: the int8 operand streams from HBM at half the
+        # bf16 footprint and converts in-flight (no materialized copy).
+        y = lax.dot_general(
+            x,
+            w,
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         y = y * params["scale"].astype(jnp.float32)
         y = y.astype(x.dtype)
     else:
