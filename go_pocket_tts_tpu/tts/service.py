@@ -67,15 +67,41 @@ class _VoiceConditioning:
         cfg.voice_model_state = self.model_state
 
 
+_voice_cache: dict = {}
+_voice_cache_lock = threading.Lock()
+
+
 def load_voice_conditioning(voice_path: str) -> _VoiceConditioning:
     """Inspect + load a voice file: model-state → KV hydration; embedding →
-    prepend (`service.go:202-244`)."""
+    prepend (`service.go:202-244`).
+
+    Loads are cached by (path, mtime) — the reference re-reads the file per
+    synthesize call, which is wasted I/O on a hot serving path.
+    """
     if not voice_path or not voice_path.strip():
         return _VoiceConditioning()
+    import os
+
+    try:
+        mtime = os.stat(voice_path).st_mtime_ns
+    except OSError:
+        mtime = None
+    key = (voice_path, mtime)
+    with _voice_cache_lock:
+        cached = _voice_cache.get(key)
+    if cached is not None:
+        return cached
+
     kind = st.inspect_voice_file(voice_path)
     if kind == st.VoiceFileKind.MODEL_STATE:
-        return _VoiceConditioning(model_state=st.load_voice_model_state(voice_path))
-    return _VoiceConditioning(embedding=st.load_voice_embedding(voice_path))
+        cond = _VoiceConditioning(model_state=st.load_voice_model_state(voice_path))
+    else:
+        cond = _VoiceConditioning(embedding=st.load_voice_embedding(voice_path))
+    with _voice_cache_lock:
+        if len(_voice_cache) > 32:
+            _voice_cache.clear()
+        _voice_cache[key] = cond
+    return cond
 
 
 class Service:
