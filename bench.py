@@ -33,6 +33,7 @@ MODEL_PATH = os.environ.get("POCKETTTS_BENCH_MODEL", "models/tts_b6369a24.safete
 TOKENIZER_PATH = os.environ.get("POCKETTTS_BENCH_TOKENIZER", "models/tokenizer.model")
 RUNS = int(os.environ.get("POCKETTTS_BENCH_RUNS", "5"))
 DTYPE = os.environ.get("POCKETTTS_BENCH_DTYPE", "bfloat16")
+QUANT = os.environ.get("POCKETTTS_BENCH_QUANT", "") == "1"
 TARGET_X_REALTIME = 50.0
 
 
@@ -75,7 +76,7 @@ def main() -> int:
 
     model, tokens, real = _load_model_and_tokens()
     dtype = jnp.bfloat16 if DTYPE == "bfloat16" else jnp.float32
-    rt = TPURuntime(model, dtype=dtype, seed=42)
+    rt = TPURuntime(model, dtype=dtype, seed=42, quantize=QUANT)
 
     max_steps = estimate_max_frames(len(tokens))
     cfg = GenerateConfig(
@@ -109,6 +110,7 @@ def main() -> int:
                 for x, w, a in runs
             ],
             "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
+            "int8_weights": QUANT,
             "real_checkpoint": real,
             "tokens": len(tokens),
             "max_steps": max_steps,
