@@ -139,11 +139,14 @@ def cmd_serve(args) -> int:
     if args.prewarm:
         log.info("prewarming shape buckets (first compile is slow)...")
         svc.prewarm()
+    # With continuous batching, request concurrency should cover the slots —
+    # the semaphore otherwise starves the batch.
+    workers = max(cfg.server.workers, cfg.runtime.batch_slots)
     srv = Server(
         svc,
         voices,
         listen_addr=cfg.server.listen_addr,
-        workers=cfg.server.workers,
+        workers=workers,
         max_text_bytes=cfg.server.max_text_bytes,
         request_timeout=cfg.server.request_timeout_secs,
         shutdown_timeout=cfg.server.shutdown_timeout_secs,
