@@ -139,3 +139,34 @@ def test_service_prewarm(jax_model):
     rt = TPURuntime(jax_model, seed=5, frame_bucket=64)
     svc = Service(rt, _WordTokenizer(), _tts_cfg())
     svc.prewarm(token_lengths=(3,))  # compiles without error; no output needed
+
+
+def test_torch_runtime_voice_state_parity(jax_model, ckpt_bytes):
+    """Voice model-state conditioning agrees between the JAX and torch
+    engines at temperature 0."""
+    import numpy as _np
+
+    from go_pocket_tts_tpu.runtime import GenerateConfig
+    from go_pocket_tts_tpu.utils.safetensors import VoiceModelState
+
+    tcfg = jax_model.config.flow_lm.transformer
+    rng = _np.random.RandomState(8)
+    t_v = 3
+    modules = {}
+    for li in range(tcfg.num_layers):
+        kv = rng.randn(2, 1, t_v, tcfg.num_heads, tcfg.head_dim).astype(_np.float32) * 0.2
+        modules[f"transformer.layers.{li}.self_attn"] = {
+            "cache": kv,
+            "offset": _np.array([float(t_v)], _np.float32),
+        }
+    state = VoiceModelState(modules=modules)
+    cfg = GenerateConfig(
+        temperature=0.0, eos_threshold=1e9, max_steps=4, voice_model_state=state
+    )
+
+    a = TPURuntime(jax_model, seed=1, frame_bucket=64).generate_audio([3, 17], cfg)
+    b = TorchRuntime(
+        open_store_from_bytes(ckpt_bytes), num_heads=ARCH.num_heads, seed=1
+    ).generate_audio([3, 17], cfg)
+    assert len(a) == len(b)
+    np.testing.assert_allclose(a, b, atol=5e-3)
