@@ -349,13 +349,31 @@ class TPURuntime:
             dtype=self.dtype,
         )
 
-    def generate_audio(self, tokens, cfg: GenerateConfig) -> np.ndarray:
-        """Synthesize one ≤50-token chunk → float32 PCM at 24 kHz.
+    def generate_audio_async(self, tokens, cfg: GenerateConfig):
+        """Dispatch one utterance and return a zero-arg resolver.
 
-        Stage structure mirrors `runtime_native_safetensors.go:52-238`:
-        conditioning → prefill → AR loop → latent→mimi → Mimi decode,
-        with per-stage debug timings.
+        The device work is enqueued immediately (JAX async dispatch); calling
+        the resolver blocks on the PCM transfer. Back-to-back callers can
+        dispatch utterance k+1 before resolving k, hiding the host↔device
+        round-trip (the sustained-throughput serving pattern; the batcher
+        generalizes this across concurrent requests).
         """
+        pcm, n_frames, samples_per, max_steps, n_tokens = self._dispatch(tokens, cfg)
+
+        def resolve() -> np.ndarray:
+            n = int(n_frames[0])
+            audio = (
+                np.asarray(pcm[0, 0, : n * samples_per]).astype(np.float32) / 32767.0
+            )
+            if cfg.step_callback is not None:
+                cfg.step_callback(n, max_steps)
+            return audio
+
+        return resolve
+
+    def _dispatch(self, tokens, cfg: GenerateConfig):
+        """Validate, bucket and enqueue one utterance; returns the un-fetched
+        device results plus trim metadata."""
         if len(tokens) == 0:
             raise ValueError("generate: token slice must not be empty")
         if cfg.voice_embedding is not None and cfg.voice_model_state is not None:
@@ -368,7 +386,6 @@ class TPURuntime:
         )
         decode_steps = max(cfg.lsd_decode_steps, 1)
 
-        t0 = time.perf_counter()
         flow = self.model.params["flow_lm"]
         flow_cfg = self.model.config.flow_lm
 
@@ -432,25 +449,28 @@ class TPURuntime:
                 voice_cache=voice_cache,
                 voice_emb=voice_emb,
             )
-            n = int(n_frames[0])
-            samples_per = self.model.config.mimi.samples_per_latent
-            audio = (
-                np.asarray(pcm[0, 0, : n * samples_per]).astype(np.float32) / 32767.0
-            )
-        t_decode = time.perf_counter()
-        t_prefill = t_ar = t_decode  # stage split unavailable on the fused path
+        samples_per = self.model.config.mimi.samples_per_latent
+        return pcm, n_frames, samples_per, max_steps, len(tokens)
+
+    def generate_audio(self, tokens, cfg: GenerateConfig) -> np.ndarray:
+        """Synthesize one ≤50-token chunk → float32 PCM at 24 kHz.
+
+        Stage structure mirrors `runtime_native_safetensors.go:52-238`:
+        conditioning → prefill → AR loop → latent→mimi → Mimi decode, all
+        inside one compiled program; one dispatch, one fetch.
+        """
+        t0 = time.perf_counter()
+        pcm, n_frames, samples_per, max_steps, n_tokens = self._dispatch(tokens, cfg)
+        n = int(n_frames[0])
+        audio = np.asarray(pcm[0, 0, : n * samples_per]).astype(np.float32) / 32767.0
 
         if cfg.step_callback is not None:
             cfg.step_callback(n, max_steps)
 
         log.debug(
-            "generation complete: tokens=%d frames=%d prefill=%.1fms ar=%.1fms "
-            "decode=%.1fms total=%.1fms",
-            len(tokens),
+            "generation complete: tokens=%d frames=%d total=%.1fms",
+            n_tokens,
             n,
-            (t_prefill - t0) * 1e3,
-            (t_ar - t_prefill) * 1e3,
-            (t_decode - t_ar) * 1e3,
-            (t_decode - t0) * 1e3,
+            (time.perf_counter() - t0) * 1e3,
         )
         return audio
