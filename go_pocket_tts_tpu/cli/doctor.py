@@ -34,7 +34,17 @@ class DoctorResult:
 def _probe_jax() -> str:
     import jax
 
-    return f"jax {jax.__version__}, devices: {[str(d) for d in jax.devices()]}"
+    devices = jax.devices()
+    detail = f"jax {jax.__version__}, devices: {[str(d) for d in devices]}"
+    try:
+        stats = devices[0].memory_stats() or {}
+        limit = stats.get("bytes_limit")
+        used = stats.get("bytes_in_use")
+        if limit:
+            detail += f", hbm {used / 2**30:.1f}/{limit / 2**30:.1f} GiB"
+    except Exception:  # noqa: BLE001 - memory stats are backend-optional
+        pass
+    return detail
 
 
 def _probe_native() -> str:
