@@ -133,4 +133,17 @@ def export_voice_model_state(
         tensors[f"{module}/cache"] = np.stack([k, v])
         tensors[f"{module}/offset"] = np.array([float(t_v)], np.float32)
     write_file(output_path, tensors)
+
+    # Verify the written file classifies and loads as model state (the
+    # reference verifies the exported kind too,
+    # `cmd/pockettts/export_voice.go:61-96`).
+    from go_pocket_tts_tpu.utils.safetensors import (
+        VoiceFileKind,
+        inspect_voice_file,
+        load_voice_model_state,
+    )
+
+    if inspect_voice_file(output_path) != VoiceFileKind.MODEL_STATE:
+        raise RuntimeError(f"exported voice file {output_path!r} failed kind check")
+    load_voice_model_state(output_path)
     return t_v
