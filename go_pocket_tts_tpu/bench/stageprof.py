@@ -61,11 +61,17 @@ def profile_synthesis(
 
         samples: List[np.ndarray] = []
         t_gen = 0.0
+        staged = getattr(service.runtime, "generate_audio_staged", None)
         for chunk in chunks:
             cfg = service._generate_config(chunk)
             g0 = time.perf_counter()
             with service._lock:
-                pcm = service.runtime.generate_audio(chunk.token_ids, cfg)
+                if staged is not None:
+                    pcm, stage_times = staged(chunk.token_ids, cfg)
+                    for name, secs in stage_times.items():
+                        prof.stages[name] = prof.stages.get(name, 0.0) + secs
+                else:
+                    pcm = service.runtime.generate_audio(chunk.token_ids, cfg)
             t_gen += time.perf_counter() - g0
             samples.append(pcm)
         prof.stages["generate"] = t_gen

@@ -474,3 +474,63 @@ class TPURuntime:
             (time.perf_counter() - t0) * 1e3,
         )
         return audio
+
+    def generate_audio_staged(self, tokens, cfg: GenerateConfig):
+        """Profiling variant: runs prefill / AR loop / decode as separate
+        programs with blocking boundaries and returns
+        (audio, {"prefill": s, "ar": s, "decode": s}).
+
+        Slower than the fused path (extra dispatches + syncs) — used by
+        stageprof for the per-stage breakdown the reference logs
+        (`runtime_native_safetensors.go:74-235`).
+        """
+        if len(tokens) == 0:
+            raise ValueError("generate: token slice must not be empty")
+        max_steps = cfg.max_steps or cfg.estimated_max_steps or estimate_max_frames(
+            len(tokens)
+        )
+        decode_steps = max(cfg.lsd_decode_steps, 1)
+        flow = self.model.params["flow_lm"]
+        flow_cfg = self.model.config.flow_lm
+        stages: Dict[str, float] = {}
+
+        with jax.default_matmul_precision(self.matmul_precision):
+            tok_np = np.asarray(tokens, np.int32)
+            emb = flm.text_embeddings(flow, jnp.asarray(tok_np[None, :])).astype(self.dtype)
+            prompt_bucket = bk.pick_bucket(emb.shape[1], bk.PROMPT_BUCKETS)
+            frame_bucket = bk.pick_bucket(max_steps + 1, (self.frame_bucket, 512, 1024))
+            capacity = bk.round_up(prompt_bucket, 64) + frame_bucket
+            cache = ftr.init_kv_cache(flow_cfg.transformer, 1, capacity, dtype=self.dtype)
+            padded = jnp.pad(emb, ((0, 0), (0, prompt_bucket - emb.shape[1]), (0, 0)))
+
+            t0 = time.perf_counter()
+            cache = _prefill(flow, flow_cfg, cache, padded, jnp.int32(emb.shape[1]))
+            jax.block_until_ready(cache["k"])
+            stages["prefill"] = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            frames, n_frames, _ = _ar_loop(
+                flow,
+                flow_cfg,
+                cache,
+                self._next_key(),
+                jnp.int32(max_steps),
+                jnp.float32(cfg.eos_threshold),
+                jnp.float32(cfg.temperature),
+                jnp.int32(cfg.frames_after_eos),
+                decode_steps,
+                frame_bucket,
+            )
+            n = int(n_frames[0])
+            stages["ar"] = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            decode_bucket = bk.pick_bucket(n, bk.DECODE_BUCKETS)
+            latent = frames[:, :decode_bucket]
+            mask = (jnp.arange(decode_bucket) < n)[None, :, None]
+            latent = jnp.where(mask, latent, 0.0)
+            pcm = _decode(self.model.params, self.model.config.mimi, latent)
+            samples_per = self.model.config.mimi.samples_per_latent
+            audio = np.asarray(pcm[0, 0, : n * samples_per], np.float32)
+            stages["decode"] = time.perf_counter() - t0
+        return audio, stages
