@@ -22,9 +22,19 @@ __all__ = ["dp_mesh", "replicate_params", "shard_batch", "shard_state"]
 
 
 def dp_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """Build a 1-D ``dp`` mesh over ``n_devices`` devices.
+
+    Raises when fewer devices exist than requested — a ``--runtime-dp N``
+    user must not silently run on fewer chips (ADVICE r1).
+    """
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if len(devices) < n_devices:
+                raise ValueError(
+                    f"dp_mesh: requested {n_devices} devices but only "
+                    f"{len(devices)} available ({jax.default_backend()} backend)"
+                )
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), axis_names=("dp",))
 

@@ -1,7 +1,13 @@
 """Driver entry points run under the test harness too (8 virtual CPU devices)."""
 
+import os
+import subprocess
+import sys
+
 import jax
 import pytest
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_dryrun_multichip_8_devices():
@@ -9,6 +15,23 @@ def test_dryrun_multichip_8_devices():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)  # raises on any sharding/compile failure
+
+
+def test_dryrun_multichip_unpinned_subprocess():
+    """Simulate the driver: a fresh process with NO platform env pinning must
+    pass — dryrun_multichip itself pins the virtual CPU mesh (VERDICT r1 #1).
+    """
+    env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    proc = subprocess.run(
+        [sys.executable, "-c", "import __graft_entry__ as g; g.dryrun_multichip(8); print('OK')"],
+        cwd=_ROOT,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"stdout={proc.stdout}\nstderr={proc.stderr}"
+    assert "OK" in proc.stdout
 
 
 @pytest.mark.slow
