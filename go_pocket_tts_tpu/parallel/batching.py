@@ -262,16 +262,32 @@ class ContinuousBatcher:
         """Stream PCM blocks (~steps_per_sync frames each) as they are
         generated — frame streaming THROUGH the shared batch (the
         single-request streamer in `runtime/streaming.py` holds the whole
-        device; this one time-shares it with other requests)."""
+        device; this one time-shares it with other requests).
+
+        A crashed engine propagates its exception to the consumer (never a
+        silent truncated end-of-stream); a stalled queue raises TimeoutError.
+        """
         fut: Future = Future()
         q: "queue.Queue" = queue.Queue()
+        if self._crashed is not None:
+            raise self._crashed
         self._queue.put(_Request(list(tokens), cfg, fut, stream=q))
+        if self._crashed is not None:
+            # Lost the race with a crashing engine (see submit()).
+            self._fail_all(self._crashed)
 
         def gen():
             while True:
-                item = q.get(timeout=timeout)
+                try:
+                    item = q.get(timeout=timeout)
+                except queue.Empty:
+                    raise TimeoutError(
+                        f"batcher stream produced no PCM block within {timeout}s"
+                    ) from None
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
 
         return gen()
@@ -441,10 +457,13 @@ class ContinuousBatcher:
             self._fail_all(exc)
 
     def _fail_all(self, exc: Exception) -> None:
+        # Streaming consumers get the exception object itself (not the normal
+        # None end-of-stream sentinel): a crash must raise at the client, not
+        # silently truncate the audio (ADVICE r1).
         for info in self._slot_info:
             if info.request is not None:
                 if info.request.stream is not None:
-                    info.request.stream.put(None)
+                    info.request.stream.put(exc)
                 if not info.request.future.done():
                     info.request.future.set_exception(exc)
                 info.request = None
@@ -454,7 +473,7 @@ class ContinuousBatcher:
             except queue.Empty:
                 break
             if req.stream is not None:
-                req.stream.put(None)
+                req.stream.put(exc)
             if not req.future.done():
                 req.future.set_exception(exc)
 

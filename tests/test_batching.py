@@ -251,6 +251,33 @@ def test_batcher_engine_crash_fails_futures(model):
     batcher.stop()
 
 
+def test_batcher_engine_crash_raises_in_stream(model):
+    """A crashed engine must raise at the streaming consumer, never deliver a
+    clean (silently truncated) end-of-stream (ADVICE r1)."""
+    batcher = ContinuousBatcher(model, slots=2, prompt_capacity=64, max_frames=64, seed=3)
+
+    def boom():
+        raise RuntimeError("engine boom")
+
+    batcher._admit = boom
+    batcher.start()
+    try:
+        gen = batcher.submit_stream([5, 9], _cfg(max_steps=2), timeout=30)
+        with pytest.raises(RuntimeError, match="engine boom"):
+            list(gen)
+    finally:
+        batcher.stop()
+
+
+def test_batcher_stream_timeout_raises_timeouterror(model):
+    """A stalled stream raises TimeoutError, not a bare queue.Empty."""
+    batcher = ContinuousBatcher(model, slots=2, prompt_capacity=64, max_frames=64, seed=3)
+    # Engine never started → the queue never produces.
+    gen = batcher.submit_stream([5, 9], _cfg(max_steps=2), timeout=0.2)
+    with pytest.raises(TimeoutError, match="no PCM block"):
+        next(gen)
+
+
 def test_service_multichunk_parallel_through_batcher(model):
     """Multi-chunk text submits all chunks concurrently to the batcher and
     yields them in order, matching sequential synthesis at temp 0."""
