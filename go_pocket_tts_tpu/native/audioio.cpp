@@ -17,12 +17,17 @@ extern "C" {
 
 // Clamp float32 samples to [-1, 1] and convert to little-endian int16.
 // dst must hold n int16 values. Returns n.
+//
+// Truncates toward zero (plain C cast) — NOT round-to-nearest — so the bytes
+// are identical to the NumPy fallback (`utils/wav.py` astype) and the
+// on-device conversion (`runtime/generate.py` jnp int16 convert): golden and
+// parity sha256es must not depend on whether this library loads.
 size_t pcm16_from_f32(const float* src, int16_t* dst, size_t n) {
     for (size_t i = 0; i < n; ++i) {
         float v = src[i];
         if (v > 1.0f) v = 1.0f;
         if (v < -1.0f) v = -1.0f;
-        dst[i] = (int16_t)lrintf(v * 32767.0f);
+        dst[i] = (int16_t)(v * 32767.0f);
     }
     return n;
 }
@@ -36,6 +41,23 @@ float peak_abs_f32(const float* src, size_t n) {
         if (v > peak) peak = v;
     }
     return peak;
+}
+
+// Direct-form-I biquad over float32 samples with float64 state — the
+// sequential recursion behind the serving-path `--dc-block` flag
+// (`internal/audio/dsp.go:12-78` uses algo-dsp's highpass; the coefficients
+// are computed by the Python caller). One pass, n multiply-adds.
+size_t biquad_df1_f32(const float* src, float* dst, size_t n,
+                      double b0, double b1, double b2, double a1, double a2) {
+    double x1 = 0.0, x2 = 0.0, y1 = 0.0, y2 = 0.0;
+    for (size_t i = 0; i < n; ++i) {
+        const double xi = (double)src[i];
+        const double yi = b0 * xi + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2;
+        x2 = x1; x1 = xi;
+        y2 = y1; y1 = yi;
+        dst[i] = (float)yi;
+    }
+    return n;
 }
 
 // Interleave/scale int16 → float32 (WAV decode hot path).

@@ -35,6 +35,12 @@ class _AudioIO:
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_size_t,
         ]
+        lib.biquad_df1_f32.restype = ctypes.c_size_t
+        lib.biquad_df1_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_size_t,
+        ] + [ctypes.c_double] * 5
 
     def pcm16_from_f32(self, samples: np.ndarray) -> bytes:
         src = np.ascontiguousarray(samples, dtype=np.float32)
@@ -59,6 +65,19 @@ class _AudioIO:
             src.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             src.size,
+        )
+        return out
+
+    def biquad_df1(
+        self, samples: np.ndarray, b0: float, b1: float, b2: float, a1: float, a2: float
+    ) -> np.ndarray:
+        src = np.ascontiguousarray(samples, dtype=np.float32)
+        out = np.empty(src.size, dtype=np.float32)
+        self._lib.biquad_df1_f32(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            src.size,
+            b0, b1, b2, a1, a2,
         )
         return out
 
@@ -92,6 +111,17 @@ def load() -> Optional[_AudioIO]:
         try:
             _loaded = _AudioIO(ctypes.CDLL(_LIB_PATH))
         except OSError:
+            _load_failed = True
+            return None
+        except AttributeError:
+            # Stale .so from an older source revision missing a newer symbol;
+            # rebuild once (make tracks the .cpp dependency) and retry.
+            if _try_build():
+                try:
+                    _loaded = _AudioIO(ctypes.CDLL(_LIB_PATH))
+                    return _loaded
+                except (OSError, AttributeError):
+                    pass
             _load_failed = True
             return None
         return _loaded

