@@ -41,6 +41,17 @@ log = logging.getLogger("pockettts.server")
 __all__ = ["Server", "make_handler", "probe_http"]
 
 
+def _accepts_deadline(service) -> bool:
+    """Test stubs may expose a narrower synthesize_stream signature."""
+    import inspect
+
+    try:
+        sig = inspect.signature(service.synthesize_stream)
+    except (TypeError, ValueError):
+        return False
+    return "deadline" in sig.parameters
+
+
 class _WorkerPool:
     """Bounded worker pool with cancellable waits (`server.go:398-421`)."""
 
@@ -177,8 +188,13 @@ def make_handler(
             try:
                 deadline = start + request_timeout
                 samples: List[np.ndarray] = []
+                # The deadline is also handed to the Service, which clamps
+                # each chunk's max_steps to the remaining budget — on-device
+                # programs can't be aborted mid-run, so this is what makes a
+                # 504 fire on time even for single-chunk requests.
+                kwargs = {"deadline": deadline} if _accepts_deadline(service) else {}
                 for chunk in service.synthesize_stream(
-                    text, voice_path, cancel=lambda: time.monotonic() > deadline
+                    text, voice_path, cancel=lambda: time.monotonic() > deadline, **kwargs
                 ):
                     samples.append(chunk.samples)
                     if time.monotonic() > deadline:
@@ -189,7 +205,11 @@ def make_handler(
                 self._error(504, "synthesis timed out")
                 return
             except Exception as exc:  # noqa: BLE001 - surface as 500 like the reference
-                if "cancelled" in str(exc).lower():
+                if (
+                    "cancelled" in str(exc).lower()
+                    or "deadline" in str(exc).lower()
+                    or type(exc).__name__ == "CancelledError"
+                ):
                     self._error(504, "synthesis timed out")
                     return
                 log.error("synthesis failed: %s", exc)
@@ -237,6 +257,8 @@ def make_handler(
                 stream_kwargs = {}
                 if getattr(service, "supports_frame_streaming", False):
                     stream_kwargs["frame_streaming"] = True
+                if _accepts_deadline(service):
+                    stream_kwargs["deadline"] = deadline
                 for chunk in service.synthesize_stream(
                     text,
                     voice_path,

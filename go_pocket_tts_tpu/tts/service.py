@@ -188,10 +188,21 @@ class Service:
 
     # -- synthesis ---------------------------------------------------------
 
-    def _generate_config(self, chunk: ChunkMetadata) -> GenerateConfig:
+    def _generate_config(
+        self, chunk: ChunkMetadata, deadline: Optional[float] = None
+    ) -> GenerateConfig:
         """Per-chunk config with the dynamic step limit (`service.go:255-278`):
         the estimate wins unless the user overrode max_steps away from the
-        default."""
+        default.
+
+        ``deadline`` (absolute ``time.monotonic()`` seconds) additionally
+        clamps the step budget: one step = one 80 ms latent frame, so the
+        remaining wall-clock budget maps directly to a frame bound whenever
+        generation runs at ≥1× real time. On-device programs cannot be
+        aborted mid-run, so this is how a request timeout fires on time even
+        for single-chunk requests (the reference cancels via ctx inside its
+        generation loop, `runtime_native_safetensors.go:155-201`).
+        """
         frame_rate, _enc, _steps = self.runtime.mimi_timing()
         estimated = estimate_max_frames(chunk.num_tokens, frame_rate)
         configured = self.tts_cfg.max_steps
@@ -199,6 +210,21 @@ class Service:
             max_steps = estimated
         else:
             max_steps = configured
+        if deadline is not None:
+            import time as _time
+
+            remaining = deadline - _time.monotonic()
+            if remaining <= 0:
+                raise CancelledError("request deadline exceeded before dispatch")
+            budget = max(int(remaining * frame_rate), 1)
+            if budget < max_steps:
+                log.info(
+                    "clamping max_steps %d -> %d (%.1fs deadline budget)",
+                    max_steps,
+                    budget,
+                    remaining,
+                )
+                max_steps = budget
         return GenerateConfig(
             temperature=self.tts_cfg.temperature,
             eos_threshold=self.tts_cfg.eos_threshold,
@@ -213,10 +239,16 @@ class Service:
         input_text: str,
         voice_path: str = "",
         cancel: Optional[Callable[[], bool]] = None,
+        deadline: Optional[float] = None,
     ) -> np.ndarray:
         """Full-text synthesis → float32 PCM (`service.go:115-156`)."""
         return np.concatenate(
-            [c.samples for c in self.synthesize_stream(input_text, voice_path, cancel)]
+            [
+                c.samples
+                for c in self.synthesize_stream(
+                    input_text, voice_path, cancel, deadline=deadline
+                )
+            ]
             or [np.zeros(0, np.float32)]
         )
 
@@ -232,6 +264,7 @@ class Service:
         voice_path: str = "",
         cancel: Optional[Callable[[], bool]] = None,
         frame_streaming: bool = False,
+        deadline: Optional[float] = None,
     ) -> Iterator[PCMChunk]:
         """Streaming generator.
 
@@ -263,7 +296,7 @@ class Service:
         ):
             futures = []
             for chunk in chunks:
-                cfg = self._generate_config(chunk)
+                cfg = self._generate_config(chunk, deadline)
                 conditioning.apply_to(cfg)
                 futures.append(self.runtime.batcher.submit(chunk.token_ids, cfg))
             for i, fut in enumerate(futures):
@@ -279,7 +312,7 @@ class Service:
         for i, chunk in enumerate(chunks):
             if cancel is not None and cancel():
                 raise CancelledError("synthesis cancelled")
-            cfg = self._generate_config(chunk)
+            cfg = self._generate_config(chunk, deadline)
             conditioning.apply_to(cfg)
             last_chunk = i == len(chunks) - 1
             if use_frames:

@@ -76,6 +76,41 @@ def test_service_cancel(jax_model):
         list(svc.synthesize_stream("hello world.", cancel=lambda: True))
 
 
+def test_service_deadline_clamps_max_steps(jax_model):
+    """A request deadline bounds max_steps at dispatch: one step = one 80 ms
+    frame, so the remaining budget maps to a frame bound (VERDICT r1 #8)."""
+    import time
+
+    from go_pocket_tts_tpu.text import ChunkMetadata
+
+    rt = TPURuntime(jax_model, seed=5, frame_bucket=64)
+    svc = Service(rt, _WordTokenizer(), _tts_cfg(max_steps=0))
+    chunk = ChunkMetadata(text="x", token_ids=[1] * 30, num_tokens=30, num_words=30)
+
+    unclamped = svc._generate_config(chunk)
+    assert unclamped.max_steps > 25  # estimate for 30 tokens: ceil((10+2)*12.5)=150
+
+    clamped = svc._generate_config(chunk, deadline=time.monotonic() + 2.0)
+    assert 1 <= clamped.max_steps <= 25  # 2 s * 12.5 fps = 25 frames
+
+    from go_pocket_tts_tpu.tts.service import CancelledError
+
+    with pytest.raises(CancelledError):
+        svc._generate_config(chunk, deadline=time.monotonic() - 1.0)
+
+
+def test_service_deadline_threads_through_stream(jax_model):
+    """synthesize_stream(deadline=past) raises before any device work."""
+    import time
+
+    from go_pocket_tts_tpu.tts.service import CancelledError
+
+    rt = TPURuntime(jax_model, seed=5, frame_bucket=64)
+    svc = Service(rt, _WordTokenizer(), _tts_cfg())
+    with pytest.raises(CancelledError):
+        list(svc.synthesize_stream("hello world.", deadline=time.monotonic() - 1.0))
+
+
 def test_voice_manager(tmp_path):
     voice_file = tmp_path / "v1.safetensors"
     write_file(voice_file, {"audio_prompt": np.zeros((2, 8), np.float32)})
