@@ -107,6 +107,7 @@ def main() -> int:
         runs.append((audio_sec / wall, wall, audio_sec))
 
     x_rt = sorted(r[0] for r in runs)[len(runs) // 2]
+    history_note = _record_history(x_rt)
     payload = {
         "metric": "x_realtime_20w_single_chip",
         "value": round(x_rt, 3),
@@ -125,8 +126,67 @@ def main() -> int:
             "device": str(jax.devices()[0]),
         },
     }
+    if history_note:
+        payload["extra"]["history"] = history_note
     print(json.dumps(payload))
     return 0
+
+
+HISTORY_PATH = os.environ.get("POCKETTTS_BENCH_HISTORY", "bench_history.jsonl")
+
+
+def _record_history(x_rt: float) -> str:
+    """Append this run to the perf history and flag regressions (>10% below
+    the median of the last 5 recorded runs) — the per-commit perf gate
+    VERDICT r1 asked for. Returns a note for the payload ('' if fine)."""
+    note = ""
+    try:
+        prior = []
+        if os.path.exists(HISTORY_PATH):
+            with open(HISTORY_PATH, "r", encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        try:
+                            prior.append(json.loads(line))
+                        except json.JSONDecodeError:
+                            continue
+        recent = [p["x_realtime"] for p in prior[-5:] if "x_realtime" in p]
+        if recent:
+            ref = sorted(recent)[len(recent) // 2]
+            if x_rt < 0.9 * ref:
+                note = (
+                    f"REGRESSION: {x_rt:.1f}x is >10% below recent median {ref:.1f}x"
+                )
+                print(f"bench.py WARNING {note}", file=sys.stderr)
+
+        commit = ""
+        try:
+            import subprocess
+
+            commit = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+        except Exception:  # noqa: BLE001
+            pass
+        with open(HISTORY_PATH, "a", encoding="utf-8") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                        "commit": commit,
+                        "x_realtime": round(x_rt, 3),
+                        "dtype": DTYPE,
+                        "int8_weights": QUANT,
+                        "runs": RUNS,
+                    }
+                )
+                + "\n"
+            )
+    except OSError:
+        pass
+    return note
 
 
 if __name__ == "__main__":
