@@ -18,10 +18,13 @@ Both backends implement ``encode(text) -> List[int]`` (the contract
 
 from __future__ import annotations
 
+import logging
 import struct
 import unicodedata
 from dataclasses import dataclass, field
 from typing import Dict, Iterator, List, Optional, Tuple
+
+log = logging.getLogger("pockettts.tokenizer")
 
 __all__ = ["SentencePieceModel", "SentencePieceTokenizer", "load_tokenizer"]
 
@@ -314,6 +317,16 @@ class SentencePieceTokenizer:
             if backend == "hf" and self._hf is None:
                 raise RuntimeError("tokenizers (HF) backend unavailable")
         self.backend = "hf" if self._hf is not None else "pure"
+        if self.backend == "pure" and model.precompiled_charsmap:
+            # The pure fallback approximates the model's precompiled charsmap
+            # with NFKC — exact for ASCII, possibly divergent elsewhere. Wrong
+            # token IDs mean wrong speech with no error, so shout.
+            log.warning(
+                "sentencepiece: HF `tokenizers` backend unavailable; pure "
+                "fallback approximates this model's precompiled charsmap "
+                "normalizer with NFKC (exact only for ASCII). Install "
+                "`tokenizers` for exact normalization."
+            )
 
     @property
     def vocab_size(self) -> int:
