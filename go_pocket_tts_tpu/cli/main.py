@@ -339,6 +339,27 @@ def cmd_model_verify(args) -> int:
     return 0 if res.ok else 1
 
 
+def cmd_model_download_bundle(args) -> int:
+    """Archive-bundle download (`internal/model/onnx_bundle.go:19-120`
+    analogue): lock-pinned or explicit-URL tar.gz/zip, sha256-gated,
+    zip-slip-safe extraction, post-extract verification."""
+    cfg = load_config(args)
+    _setup_logging(cfg.log_level)
+    from go_pocket_tts_tpu.model_assets.bundle import download_bundle
+
+    verified = download_bundle(
+        out_dir=args.out_dir,
+        bundle_url=args.bundle_url or "",
+        sha256=args.sha256 or "",
+        bundle_id=args.bundle_id or "",
+        variant=args.variant,
+        lock_file=args.lock_file,
+        log=lambda msg: print(msg, file=sys.stderr),
+    )
+    print(json.dumps({"out_dir": args.out_dir, "files": len(verified)}))
+    return 0
+
+
 def cmd_voice_download(args) -> int:
     cfg = load_config(args)
     _setup_logging(cfg.log_level)
@@ -430,6 +451,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--repo", default="", help="HF repo (default gated, auto-fallback)")
     p.add_argument("--dest", default="models", help="Destination directory")
     p.set_defaults(fn=cmd_model_download)
+    p = msub.add_parser("download-bundle", help="Download + verify a tar.gz/zip asset bundle")
+    p.add_argument("--bundle-url", default="", help="Explicit bundle URL (http(s):// or file://)")
+    p.add_argument("--bundle-id", default="", help="Bundle id from the lock file")
+    p.add_argument("--variant", default="b6369a24")
+    p.add_argument("--sha256", default="", help="Expected archive sha256 (overrides lock)")
+    p.add_argument("--lock-file", default="bundles/bundles.lock.json")
+    p.add_argument("--out-dir", required=True)
+    p.set_defaults(fn=cmd_model_download_bundle)
     p = msub.add_parser("verify")
     register_flags(p)
     p.set_defaults(fn=cmd_model_verify)
