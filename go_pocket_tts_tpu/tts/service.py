@@ -206,7 +206,14 @@ class Service:
         frame_rate, _enc, _steps = self.runtime.mimi_timing()
         estimated = estimate_max_frames(chunk.num_tokens, frame_rate)
         configured = self.tts_cfg.max_steps
-        if estimated > 0 and (configured <= 0 or configured == _DEFAULT_MAX_STEPS):
+        # An explicitly user-set max_steps wins even when it equals the
+        # default (config layer sets the marker); a non-default value also
+        # counts as user intent (direct-construction callers).
+        user_set = (
+            getattr(self.tts_cfg, "max_steps_user_set", False)
+            or configured != _DEFAULT_MAX_STEPS
+        )
+        if estimated > 0 and (configured <= 0 or not user_set):
             max_steps = estimated
         else:
             max_steps = configured

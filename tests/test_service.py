@@ -76,6 +76,36 @@ def test_service_cancel(jax_model):
         list(svc.synthesize_stream("hello world.", cancel=lambda: True))
 
 
+def test_user_set_max_steps_honored_even_at_default_value(jax_model):
+    """--max-steps 256 (the default value, explicitly set) must NOT be
+    silently overridden by the estimate (VERDICT r1 weak #7)."""
+    from go_pocket_tts_tpu.text import ChunkMetadata
+
+    rt = TPURuntime(jax_model, seed=5, frame_bucket=64)
+    chunk = ChunkMetadata(text="x", token_ids=[1] * 30, num_tokens=30, num_words=30)
+
+    # Untouched default → estimate wins.
+    svc = Service(rt, _WordTokenizer(), _tts_cfg(max_steps=256))
+    svc.tts_cfg.max_steps_user_set = False
+    assert svc._generate_config(chunk).max_steps == 150  # ceil((10+2)*12.5)
+
+    # Explicitly set to the default value → honored verbatim.
+    svc.tts_cfg.max_steps_user_set = True
+    assert svc._generate_config(chunk).max_steps == 256
+
+    # Config layer sets the marker for file/env/flag sources.
+    import argparse
+
+    from go_pocket_tts_tpu.config import load_config, register_flags
+
+    parser = argparse.ArgumentParser()
+    register_flags(parser)
+    cfg = load_config(parser.parse_args(["--max-steps", "256"]))
+    assert cfg.tts.max_steps_user_set is True
+    cfg2 = load_config(parser.parse_args([]))
+    assert cfg2.tts.max_steps_user_set is False
+
+
 def test_service_deadline_clamps_max_steps(jax_model):
     """A request deadline bounds max_steps at dispatch: one step = one 80 ms
     frame, so the remaining budget maps to a frame bound (VERDICT r1 #8)."""
