@@ -36,10 +36,44 @@ from go_pocket_tts_tpu.ops import (
     layer_norm,
 )
 
-__all__ = ["init_stream_state", "decode_block"]
+__all__ = [
+    "init_stream_state",
+    "decode_block",
+    "freeze_lanes",
+    "reset_lane",
+]
 
 Params = Dict
 State = Dict
+
+# Per-leaf lane axis in a batched stream state: kv buffers are
+# [L, B, H, S, Dh] (axis 1), everything else is batch-leading.
+_LANE_AXIS = {"kv_k": 1, "kv_v": 1}
+
+
+def freeze_lanes(new_state: State, old_state: State, live) -> State:
+    """Keep ``new_state`` for lanes where ``live`` is True, ``old_state``
+    elsewhere — idle batcher slots must not advance their stream state."""
+    out = {}
+    for key, new in new_state.items():
+        old = old_state[key]
+        axis = _LANE_AXIS.get(key, 0)
+        shape = [1] * new.ndim
+        shape[axis] = live.shape[0]
+        out[key] = jnp.where(live.reshape(shape), new, old)
+    return out
+
+
+def reset_lane(state: State, slot) -> State:
+    """Zero one lane of a batched stream state (a new streaming request was
+    admitted into that slot)."""
+    out = {}
+    for key, val in state.items():
+        axis = _LANE_AXIS.get(key, 0)
+        idx = [slice(None)] * val.ndim
+        idx[axis] = slot
+        out[key] = val.at[tuple(idx)].set(0)
+    return out
 
 
 def _conv_state_len(p: Params, dilation: int = 1) -> int:
@@ -48,10 +82,19 @@ def _conv_state_len(p: Params, dilation: int = 1) -> int:
 
 
 def init_stream_state(
-    params: Params, cfg: MimiConfig, batch: int, max_steps: int, dtype=jnp.float32
+    params: Params,
+    cfg: MimiConfig,
+    batch: int,
+    max_steps: int,
+    dtype=jnp.float32,
+    per_lane_offsets: bool = False,
 ) -> State:
     """Zero state. ``max_steps`` bounds the transformer K/V capacity in
-    encoder steps (= latent frames × 16)."""
+    encoder steps (= latent frames × 16).
+
+    ``per_lane_offsets=True`` makes ``offset`` an int32 ``[batch]`` vector so
+    each lane advances independently — the continuous batcher's shared
+    streaming state, where slots join/leave at different times."""
     tp = params["transformer"]
     d_model = tp["layers"][0]["out_proj"]["w"].shape[1] if tp["layers"] else 0
     head_dim = tp["rope_cos"].shape[1] * 2
@@ -69,7 +112,7 @@ def init_stream_state(
 
     s1, s2, s3 = cfg.seanet_strides
     state: State = {
-        "offset": jnp.int32(0),
+        "offset": jnp.zeros((batch,), jnp.int32) if per_lane_offsets else jnp.int32(0),
         "kv_k": jnp.zeros((n_layers, batch, num_heads, max_steps, head_dim), dtype),
         "kv_v": jnp.zeros((n_layers, batch, num_heads, max_steps, head_dim), dtype),
         "upsample_tail": convtr_tail(params["upsample"], cfg.steps_per_latent),
@@ -141,9 +184,17 @@ def _stream_transformer(
     num_heads = d // head_dim
     offset = state["offset"]
     capacity = state["kv_k"].shape[3]
+    per_lane = offset.ndim == 1  # continuous-batcher shared state
 
-    pos_q = offset + jnp.arange(t, dtype=jnp.int32)
-    pos_k = jnp.arange(capacity, dtype=jnp.int32)
+    if per_lane:
+        pos_q = offset[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+        pos_k = jnp.broadcast_to(jnp.arange(capacity, dtype=jnp.int32)[None, :], (b, capacity))
+        write = jax.vmap(
+            lambda buf, val, off: jax.lax.dynamic_update_slice(buf, val, (0, off, 0))
+        )
+    else:
+        pos_q = offset + jnp.arange(t, dtype=jnp.int32)
+        pos_k = jnp.arange(capacity, dtype=jnp.int32)
 
     kv_k, kv_v = state["kv_k"], state["kv_v"]
     zero = jnp.int32(0)
@@ -156,8 +207,12 @@ def _stream_transformer(
         v = v.reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
         q = apply_rope(q, tp["rope_cos"], tp["rope_sin"], offset)
         k = apply_rope(k, tp["rope_cos"], tp["rope_sin"], offset)
-        kv_k = jax.lax.dynamic_update_slice(kv_k, k[None], (i, zero, zero, offset, zero))
-        kv_v = jax.lax.dynamic_update_slice(kv_v, v[None], (i, zero, zero, offset, zero))
+        if per_lane:
+            kv_k = kv_k.at[i].set(write(kv_k[i], k, offset))
+            kv_v = kv_v.at[i].set(write(kv_v[i], v, offset))
+        else:
+            kv_k = jax.lax.dynamic_update_slice(kv_k, k[None], (i, zero, zero, offset, zero))
+            kv_v = jax.lax.dynamic_update_slice(kv_v, v[None], (i, zero, zero, offset, zero))
         a = attention_with_positions(q, kv_k[i], kv_v[i], pos_q, pos_k, cfg.context)
         a = a.transpose(0, 2, 1, 3).reshape(b, t, d)
         a = apply_linear(layer["out_proj"], a)

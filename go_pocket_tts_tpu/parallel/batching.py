@@ -163,6 +163,59 @@ def _insert_lane(
     return state
 
 
+@partial(jax.jit, static_argnames=("tcfg", "capacity"))
+def _prefill_lanes(params, tcfg, embs: jax.Array, capacity: int):
+    """Prefill ``N`` fresh lanes in ONE program: ``embs`` [N, bucket, D]
+    (zero-padded per lane) → stacked K/V ``[L, N, H, capacity, Dh]``.
+
+    All lanes share offset 0 and identical positions, so the uniform-offset
+    forward applies; K/V written past a lane's real prompt length are never
+    visible (each AR step overwrites its slot before attending — same
+    argument as the single-request ``_prefill`` padding).
+    """
+    cache = ftr.init_kv_cache(tcfg, embs.shape[0], capacity, embs.dtype)
+    _, cache = ftr.transformer_forward_cached(params["transformer"], tcfg, cache, embs)
+    return cache["k"], cache["v"]
+
+
+@partial(jax.jit, donate_argnames=("state",))
+def _insert_lanes(
+    state: Dict,
+    slots: jax.Array,  # [N] int32
+    lanes_k: jax.Array,  # [L, N, H, C, Dh]
+    lanes_v: jax.Array,
+    offsets: jax.Array,  # [N]
+    max_steps: jax.Array,
+    eos_thresholds: jax.Array,
+    frames_after_eos: jax.Array,
+    sigmas: jax.Array,
+):
+    """Splice N prefilled lanes into the batch state in one dispatch
+    (admission analogue of :func:`_insert_lane`, vectorized)."""
+    n = slots.shape[0]
+    latent_dim = state["frame"].shape[-1]
+    cache = state["cache"]
+    nan_frames = jnp.full((n, 1, latent_dim), jnp.nan, state["frame"].dtype)
+    zeros = jnp.zeros((n,), jnp.int32)
+    return {
+        **state,
+        "cache": {
+            "k": cache["k"].at[:, slots].set(lanes_k),
+            "v": cache["v"].at[:, slots].set(lanes_v),
+            "offset": cache["offset"].at[slots].set(offsets),
+        },
+        "frame": state["frame"].at[slots].set(nan_frames),
+        "n_frames": state["n_frames"].at[slots].set(zeros),
+        "countdown": state["countdown"].at[slots].set(zeros - 1),
+        "done": state["done"].at[slots].set(jnp.zeros((n,), bool)),
+        "active": state["active"].at[slots].set(jnp.ones((n,), bool)),
+        "max_steps": state["max_steps"].at[slots].set(max_steps),
+        "eos_threshold": state["eos_threshold"].at[slots].set(eos_thresholds),
+        "frames_after_eos": state["frames_after_eos"].at[slots].set(frames_after_eos),
+        "sigma": state["sigma"].at[slots].set(sigmas),
+    }
+
+
 @dataclasses.dataclass
 class _Request:
     tokens: List[int]
@@ -178,8 +231,53 @@ class _Request:
 class _SlotInfo:
     request: Optional[_Request] = None
     emitted_frames: int = 0
-    stream_state: Optional[Dict] = None
+    streaming: bool = False
     stream_parts: Optional[List[np.ndarray]] = None
+
+
+@partial(jax.jit, static_argnames=("mimi_cfg", "k"), donate_argnames=("stream_state",))
+def _batched_stream_decode(
+    params,
+    mimi_cfg,
+    stream_state: Dict,
+    frames: jax.Array,  # [B, max_frames, L]
+    starts: jax.Array,  # [B] int32: first un-emitted frame per lane
+    n_new: jax.Array,  # [B] int32: frames to emit (0 = lane idle)
+    k: int,
+):
+    """ONE streaming-decode dispatch for ALL live streaming lanes.
+
+    Each lane slices its own k-frame window at ``starts[b]`` (static width,
+    masked beyond ``n_new[b]``), the block decoder runs batched with per-lane
+    offsets, and idle lanes (``n_new == 0``) keep their previous stream state
+    (frozen). Replaces one dispatch per streaming slot per block — each
+    dispatch costs a host↔device round trip (VERDICT r1 #7)."""
+    from go_pocket_tts_tpu.models import mimi_stream
+
+    latent = jax.vmap(
+        lambda f, s: jax.lax.dynamic_slice_in_dim(f, s, k, axis=0)
+    )(frames, starts)
+    mask = (jnp.arange(k)[None, :] < n_new[:, None])[:, :, None]
+    latent = jnp.where(mask, latent, 0.0)
+
+    fused = params.get("latent_to_mimi")
+    if fused is not None:
+        out = jnp.matmul(
+            latent, fused["w"].astype(latent.dtype), preferred_element_type=jnp.float32
+        ).astype(latent.dtype)
+        mimi_latent = jnp.swapaxes(out + fused["b"].astype(latent.dtype), 1, 2)
+    else:
+        flow = params["flow_lm"]
+        denorm = latent * flow["emb_std"] + flow["emb_mean"]
+        from go_pocket_tts_tpu.models import mimi as mimi_mod
+
+        mimi_latent = mimi_mod.quantizer_project(params["mimi"], jnp.swapaxes(denorm, 1, 2))
+
+    pcm, new_state = mimi_stream.decode_block(
+        params["mimi"], mimi_cfg, stream_state, mimi_latent
+    )
+    new_state = mimi_stream.freeze_lanes(new_state, stream_state, n_new > 0)
+    return pcm, new_state
 
 
 class ContinuousBatcher:
@@ -213,6 +311,9 @@ class ContinuousBatcher:
         self.capacity = prompt_capacity + max_frames
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._slot_info = [_SlotInfo() for _ in range(slots)]
+        # Shared batched Mimi stream state (one lane per slot), created on
+        # first streaming admission.
+        self._stream_state: Optional[Dict] = None
         self._key = jax.random.PRNGKey(seed if seed is not None else time.time_ns() & 0x7FFFFFFF)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -309,17 +410,96 @@ class ContinuousBatcher:
 
     def _admit(self) -> None:
         free = self._free_slots()
+        pending = []
         while free and not self._queue.empty():
             try:
                 req = self._queue.get_nowait()
             except queue.Empty:
-                return
-            slot = free.pop(0)
+                break
+            pending.append((free.pop(0), req))
+        if not pending:
+            return
+
+        # Voice-model-state requests hydrate an existing KV cache — the
+        # single-lane path; plain requests are prefilled TOGETHER in one
+        # program + spliced in one dispatch (burst admission costs two
+        # round trips total instead of two per request).
+        batchable = []
+        for slot, req in pending:
+            if req.cfg.voice_model_state is not None:
+                try:
+                    self._prefill_into_slot(slot, req)
+                except Exception as exc:  # noqa: BLE001
+                    req.future.set_exception(exc)
+                    self._slot_info[slot].request = None
+            else:
+                batchable.append((slot, req))
+        if batchable:
+            self._admit_batch(batchable)
+
+    def _admit_batch(self, items) -> None:
+        """Prefill + splice N plain requests in two dispatches."""
+        flow = self.model.params["flow_lm"]
+        flow_cfg = self.model.config.flow_lm
+        prepped = []
+        for slot, req in items:
             try:
-                self._prefill_into_slot(slot, req)
+                cfg = req.cfg
+                tokens = np.asarray(req.tokens, np.int32)
+                max_steps = (
+                    cfg.max_steps or cfg.estimated_max_steps or estimate_max_frames(len(tokens))
+                )
+                max_steps = min(max_steps, self.max_frames)
+                emb = flm.text_embeddings(flow, jnp.asarray(tokens[None, :])).astype(self.dtype)
+                if cfg.voice_embedding is not None:
+                    emb = jnp.concatenate(
+                        [jnp.asarray(cfg.voice_embedding, self.dtype), emb], axis=1
+                    )
+                prompt_len = emb.shape[1]
+                bucket = bk.pick_bucket(prompt_len, bk.PROMPT_BUCKETS)
+                if bucket + self.max_frames > self.capacity:
+                    raise ValueError(
+                        f"prompt ({prompt_len} tokens) exceeds batcher capacity "
+                        f"{self.capacity - self.max_frames}; raise prompt_capacity"
+                    )
+                prepped.append((slot, req, emb, prompt_len, bucket, max_steps))
             except Exception as exc:  # noqa: BLE001
                 req.future.set_exception(exc)
-                self._slot_info[slot].request = None
+        if not prepped:
+            return
+
+        try:
+            # Everyone pads to the largest bucket present: one compiled
+            # variant per admission count, prefill cost is negligible.
+            bucket = max(p[4] for p in prepped)
+            embs = jnp.concatenate(
+                [
+                    jnp.pad(emb, ((0, 0), (0, bucket - plen), (0, 0)))
+                    for _s, _r, emb, plen, _b, _m in prepped
+                ],
+                axis=0,
+            )
+            lanes_k, lanes_v = _prefill_lanes(flow, flow_cfg.transformer, embs, self.capacity)
+            self._state = _insert_lanes(
+                self._state,
+                jnp.asarray([p[0] for p in prepped], jnp.int32),
+                lanes_k,
+                lanes_v,
+                jnp.asarray([p[3] for p in prepped], jnp.int32),
+                jnp.asarray([p[5] for p in prepped], jnp.int32),
+                jnp.asarray([p[1].cfg.eos_threshold for p in prepped], jnp.float32),
+                jnp.asarray([p[1].cfg.frames_after_eos for p in prepped], jnp.int32),
+                np.sqrt(
+                    np.maximum([p[1].cfg.temperature for p in prepped], 0.0)
+                ).astype(np.float32),
+            )
+        except Exception as exc:  # noqa: BLE001
+            for _slot, req, *_ in prepped:
+                if not req.future.done():
+                    req.future.set_exception(exc)
+            return
+        for slot, req, _emb, _plen, _b, _ms in prepped:
+            self._attach_request(slot, req)
 
     def _prefill_into_slot(self, slot: int, req: _Request) -> None:
         cfg = req.cfg
@@ -365,49 +545,69 @@ class ContinuousBatcher:
             jnp.int32(cfg.frames_after_eos),
             jnp.sqrt(jnp.maximum(jnp.float32(cfg.temperature), 0.0)),
         )
+        self._attach_request(slot, req)
+
+    def _attach_request(self, slot: int, req: _Request) -> None:
         info = self._slot_info[slot]
         info.request = req
         info.emitted_frames = 0
-        info.stream_state = None
+        info.streaming = req.stream is not None
         info.stream_parts = None
-        if req.stream is not None:
+        if info.streaming:
             from go_pocket_tts_tpu.models import mimi_stream
 
-            info.stream_state = mimi_stream.init_stream_state(
-                self.model.params["mimi"],
-                self.model.config.mimi,
-                batch=1,
-                max_steps=self.max_frames * self.model.config.mimi.steps_per_latent,
-                dtype=self.dtype,
+            if self._stream_state is None:
+                # Shared batched stream state, one lane per slot, created on
+                # first streaming admission (per-lane offsets: lanes join and
+                # leave at different times).
+                self._stream_state = mimi_stream.init_stream_state(
+                    self.model.params["mimi"],
+                    self.model.config.mimi,
+                    batch=self.slots,
+                    max_steps=self.max_frames * self.model.config.mimi.steps_per_latent,
+                    dtype=self.dtype,
+                    per_lane_offsets=True,
+                )
+            self._stream_state = mimi_stream.reset_lane(
+                self._stream_state, jnp.int32(slot)
             )
             info.stream_parts = []
 
     def _emit_streams(self) -> None:
-        """Push newly generated frames of streaming slots through their
-        per-slot block decoder."""
-        from go_pocket_tts_tpu.runtime.streaming import _stream_block_decode
-
+        """Push newly generated frames of ALL streaming slots through the
+        shared batched block decoder — one dispatch per block, not one per
+        slot."""
         n_frames = np.asarray(self._state["n_frames"])
         samples_per = self.model.config.mimi.samples_per_latent
         k = self.steps_per_sync
+        starts = np.zeros(self.slots, np.int32)
+        n_new = np.zeros(self.slots, np.int32)
         for slot in range(self.slots):
             info = self._slot_info[slot]
-            if info.request is None or info.stream_state is None:
+            if info.request is None or not info.streaming:
                 continue
-            n_new = int(n_frames[slot]) - info.emitted_frames
-            if n_new <= 0:
+            fresh = int(n_frames[slot]) - info.emitted_frames
+            if fresh > 0:
+                starts[slot] = info.emitted_frames
+                n_new[slot] = min(fresh, k)
+        if not n_new.any():
+            return
+        pcm, self._stream_state = _batched_stream_decode(
+            self.model.params,
+            self.model.config.mimi,
+            self._stream_state,
+            self._state["frames"],
+            jnp.asarray(starts),
+            jnp.asarray(n_new),
+            k,
+        )
+        pcm_np = np.asarray(pcm)
+        for slot in range(self.slots):
+            if n_new[slot] <= 0:
                 continue
-            # Static-width slice (k frames), masked beyond n_new.
-            latent = jax.lax.dynamic_slice_in_dim(
-                self._state["frames"][slot][None], info.emitted_frames, k, axis=1
-            )
-            mask = (jnp.arange(k) < n_new)[None, :, None]
-            latent = jnp.where(mask, latent, 0.0)
-            pcm, info.stream_state = _stream_block_decode(
-                self.model.params, self.model.config.mimi, info.stream_state, latent
-            )
-            block = np.asarray(pcm[0, 0, : n_new * samples_per], np.float32)
-            info.emitted_frames += n_new
+            info = self._slot_info[slot]
+            block = pcm_np[slot, 0, : int(n_new[slot]) * samples_per].astype(np.float32)
+            info.emitted_frames += int(n_new[slot])
             info.stream_parts.append(block)
             info.request.stream.put(block)
 
@@ -419,7 +619,7 @@ class ContinuousBatcher:
             info = self._slot_info[slot]
             if info.request is None or not (active[slot] and done[slot]):
                 continue
-            if info.stream_state is not None:
+            if info.streaming:
                 # Streamed slot: all PCM already emitted block-by-block.
                 audio = (
                     np.concatenate(info.stream_parts)
@@ -440,7 +640,7 @@ class ContinuousBatcher:
                 audio = np.asarray(pcm[0, 0, : n * samples_per], np.float32)
                 info.request.future.set_result(audio)
             info.request = None
-            info.stream_state = None
+            info.streaming = False
             info.stream_parts = None
             self._state = {
                 **self._state,

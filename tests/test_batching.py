@@ -262,9 +262,10 @@ def test_batcher_engine_crash_raises_in_stream(model):
     batcher._admit = boom
     batcher.start()
     try:
-        gen = batcher.submit_stream([5, 9], _cfg(max_steps=2), timeout=30)
+        # The exception surfaces either at submit time (engine already dead)
+        # or from the generator — never as a clean end-of-stream.
         with pytest.raises(RuntimeError, match="engine boom"):
-            list(gen)
+            list(batcher.submit_stream([5, 9], _cfg(max_steps=2), timeout=30))
     finally:
         batcher.stop()
 
