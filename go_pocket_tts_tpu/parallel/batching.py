@@ -637,7 +637,8 @@ class ContinuousBatcher:
                 latent = jnp.where(mask, latent, 0.0)
                 pcm = _decode(self.model.params, self.model.config.mimi, latent)
                 samples_per = self.model.config.mimi.samples_per_latent
-                audio = np.asarray(pcm[0, 0, : n * samples_per], np.float32)
+                # Full-buffer fetch + host trim (no per-n device slice).
+                audio = np.asarray(pcm)[0, 0, : n * samples_per].astype(np.float32)
                 info.request.future.set_result(audio)
             info.request = None
             info.streaming = False

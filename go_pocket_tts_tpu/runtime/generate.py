@@ -279,6 +279,21 @@ def _generate_fused(
 _decode = partial(jax.jit, static_argnames=("mimi_cfg",))(_decode_body)
 
 
+def _fetch_trimmed(pcm: jax.Array, n_frames: jax.Array, samples_per: int) -> np.ndarray:
+    """Fetch (pcm16 buffer, n_frames) in ONE overlapped device→host round
+    trip and trim on the host.
+
+    The previous pattern — fetch ``n`` (one blocking RTT), then device-slice
+    ``pcm[:n·1920]`` (a per-``n`` compiled slice program) and fetch it (a
+    second RTT) — cost ~2 round trips per utterance; through the tunneled
+    link here that is ~50 ms of the 20-word-utterance latency.
+    ``jax.device_get`` issues async copies for both leaves before blocking,
+    so the tiny ``n_frames`` transfer rides alongside the PCM payload."""
+    pcm_np, n_np = jax.device_get((pcm, n_frames))
+    n = int(n_np[0])
+    return pcm_np[0, 0, : n * samples_per].astype(np.float32) / 32767.0
+
+
 # -- runtime ----------------------------------------------------------------
 
 
@@ -361,12 +376,9 @@ class TPURuntime:
         pcm, n_frames, samples_per, max_steps, n_tokens = self._dispatch(tokens, cfg)
 
         def resolve() -> np.ndarray:
-            n = int(n_frames[0])
-            audio = (
-                np.asarray(pcm[0, 0, : n * samples_per]).astype(np.float32) / 32767.0
-            )
+            audio = _fetch_trimmed(pcm, n_frames, samples_per)
             if cfg.step_callback is not None:
-                cfg.step_callback(n, max_steps)
+                cfg.step_callback(len(audio) // samples_per, max_steps)
             return audio
 
         return resolve
@@ -461,8 +473,8 @@ class TPURuntime:
         """
         t0 = time.perf_counter()
         pcm, n_frames, samples_per, max_steps, n_tokens = self._dispatch(tokens, cfg)
-        n = int(n_frames[0])
-        audio = np.asarray(pcm[0, 0, : n * samples_per]).astype(np.float32) / 32767.0
+        audio = _fetch_trimmed(pcm, n_frames, samples_per)
+        n = len(audio) // samples_per
 
         if cfg.step_callback is not None:
             cfg.step_callback(n, max_steps)

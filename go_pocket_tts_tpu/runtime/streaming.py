@@ -219,10 +219,13 @@ def stream_generate(
                 dispatched += nxt[3]
             else:
                 nxt = None
+            # One overlapped fetch (block + flags), host-side trim — a
+            # device-side [:n] slice would compile one program per distinct n.
+            pcm_np, n_arr, done_arr = jax.device_get((pcm, n_arr, done_arr))
             n = int(n_arr[0])
-            done = bool(np.asarray(done_arr)[0])
+            done = bool(done_arr[0])
             if n > 0:
-                yield np.asarray(pcm[0, 0, : n * samples_per], np.float32)
+                yield pcm_np[0, 0, : n * samples_per].astype(np.float32)
             if done or n == 0 or nxt is None:
                 break
             pending = nxt
