@@ -149,6 +149,40 @@ def test_tts_timeout_504():
         srv.shutdown()
 
 
+class _DeadlineAwareStub:
+    """Stub exposing the full Service signature: records the deadline the
+    handler passes and raises like a clamped single-chunk request would."""
+
+    def __init__(self):
+        self.deadline = None
+
+    def synthesize_stream(self, text, voice_path="", cancel=None,
+                          frame_streaming=False, deadline=None):
+        self.deadline = deadline
+        from go_pocket_tts_tpu.tts.service import CancelledError
+
+        # Single chunk whose pre-dispatch budget check fails (deadline in the
+        # past by the time the chunk dispatches).
+        if deadline is not None and time.monotonic() > deadline:
+            raise CancelledError("request deadline exceeded before dispatch")
+        yield PCMChunk(samples=np.zeros(10, np.float32), chunk_index=0, final=True)
+
+
+def test_tts_single_chunk_deadline_504():
+    """A single-chunk request must 504 via the deadline handed to the
+    Service (max_steps clamping path), not only between chunks."""
+    svc = _DeadlineAwareStub()
+    srv = Server(svc, listen_addr="127.0.0.1:0", request_timeout=-0.1)
+    srv.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post(f"http://127.0.0.1:{srv.port}/tts", {"text": "hello"}, timeout=10)
+        assert exc_info.value.code == 504
+        assert svc.deadline is not None  # the handler passed the deadline through
+    finally:
+        srv.shutdown()
+
+
 def test_streaming_wav_framing(server):
     srv, _ = server
     svc = _StubService(chunks=3)

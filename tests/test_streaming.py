@@ -60,6 +60,46 @@ def test_block_decoder_single_frame_blocks(model):
     np.testing.assert_allclose(np.concatenate(outs, axis=2), whole, atol=2e-4, rtol=1e-3)
 
 
+def test_batched_per_lane_stream_decode(model):
+    """Per-lane-offset batched stream state: lanes joining at different times
+    (reset_lane) and pausing (freeze_lanes) reproduce the whole decode."""
+    rng = np.random.RandomState(5)
+    params, cfg = model.params["mimi"], model.config.mimi
+    t_total, block, lanes = 6, 2, 3
+    latents = [
+        rng.randn(1, ARCH.mimi_dim, t_total).astype(np.float32) * 0.1 for _ in range(lanes)
+    ]
+    whole = [np.asarray(model.mimi_decode(jnp.asarray(lat))) for lat in latents]
+
+    state = mimi_stream.init_stream_state(
+        params, cfg, lanes, t_total * cfg.steps_per_latent, per_lane_offsets=True
+    )
+    assert state["offset"].shape == (lanes,)
+    # Lane 2 joins late: "pollute" it first, then reset.
+    state = mimi_stream.reset_lane(state, jnp.int32(2))
+
+    outs = [[] for _ in range(lanes)]
+    # Schedule: lane0 decodes every block; lane1 skips (frozen) on block 1 and
+    # catches up after; lane2 runs normally.
+    progress = [0, 0, 0]
+    schedule = [(True, True, True), (True, False, True), (True, True, True), (False, True, False)]
+    for live_flags in schedule:
+        live = np.asarray(live_flags)
+        batch = np.zeros((lanes, ARCH.mimi_dim, block), np.float32)
+        for lane in range(lanes):
+            if live[lane] and progress[lane] < t_total:
+                batch[lane] = latents[lane][0, :, progress[lane] : progress[lane] + block]
+        pcm, new_state = mimi_stream.decode_block(params, cfg, state, jnp.asarray(batch))
+        state = mimi_stream.freeze_lanes(new_state, state, jnp.asarray(live))
+        for lane in range(lanes):
+            if live[lane] and progress[lane] < t_total:
+                outs[lane].append(np.asarray(pcm[lane : lane + 1]))
+                progress[lane] += block
+    for lane in range(lanes):
+        got = np.concatenate(outs[lane], axis=2)
+        np.testing.assert_allclose(got, whole[lane], atol=2e-4, rtol=1e-3)
+
+
 def test_stream_generate_matches_fused(model):
     """Same seed → streamed PCM == whole-utterance PCM (same RNG split
     sequence, exact block decoder)."""
