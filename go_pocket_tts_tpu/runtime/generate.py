@@ -240,56 +240,31 @@ def _embed_prefill(
     return flm.prompt(flow, flow_cfg, cache, emb, valid)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "flow_cfg", "mimi_cfg", "decode_steps", "max_frames", "decode_frames"
-    ),
-    donate_argnames=("cache",),
-)
-def _ar_decode(
+@partial(jax.jit, static_argnames=("mimi_cfg", "decode_frames"))
+def _decode_pcm16(
     params: Dict,
-    flow_cfg,
     mimi_cfg,
-    cache: Dict,
-    key: jax.Array,
-    max_steps: jax.Array,
-    eos_threshold: jax.Array,
-    temperature: jax.Array,
-    frames_after_eos: jax.Array,
-    decode_steps: int,
-    max_frames: int,
-    decode_frames: int = 0,
-) -> Tuple[jax.Array, jax.Array]:
-    """Program 2: AR while-loop → mask → fused latent→mimi → Mimi decode →
-    int16. Returns (pcm16 [B, 1, decode_frames·1920], n_frames [B]); the
-    host trims to ``n_frames·1920`` samples (everything past it is
-    causal-junk from padded frames)."""
-    flow = params["flow_lm"]
-    frames, n_frames, _ = _ar_loop_body(
-        flow,
-        flow_cfg,
-        cache,
-        key,
-        max_steps,
-        eos_threshold,
-        temperature,
-        frames_after_eos,
-        decode_steps,
-        max_frames,
-    )
-    # Decode only the frames max_steps can produce (static; n <= max_steps),
-    # not the whole frame bucket — Mimi cost is linear in T.
-    d_frames = decode_frames or max_frames
-    frames = frames[:, :d_frames]
-    mask = (jnp.arange(d_frames) < n_frames[:, None])[:, :, None]
+    frames: jax.Array,  # [B, max_frames, L]
+    n_frames: jax.Array,  # [B]
+    decode_frames: int,
+) -> jax.Array:
+    """Program 3: mask → fused latent→mimi → Mimi decode → int16.
+
+    Separate from the AR-loop program for the same layout reason as
+    ``_embed_prefill``: fusing the Mimi conv chain into the loop program
+    costs the loop ~17 ms per utterance (measured r2). Decodes only the
+    ``decode_frames`` bucket (n ≤ max_steps ≤ decode_frames) — Mimi cost and
+    the device→host payload are linear in T. Returns pcm16
+    [B, 1, decode_frames·1920]; the host trims to ``n_frames·1920`` samples
+    (everything past it is causal-junk from padded frames)."""
+    frames = frames[:, :decode_frames]
+    mask = (jnp.arange(decode_frames) < n_frames[:, None])[:, :, None]
     latent = jnp.where(mask, frames, 0.0)
     pcm = _decode_body(params, mimi_cfg, latent)
     # Convert to int16 on-device: the WAV is 16-bit PCM anyway, and this
     # quarters the device→host transfer. Truncation toward zero matches the
     # host encoder (`utils/wav.pcm16_bytes`) bit-exactly.
-    pcm16 = (jnp.clip(pcm.astype(jnp.float32), -1.0, 1.0) * 32767.0).astype(jnp.int16)
-    return pcm16, n_frames
+    return (jnp.clip(pcm.astype(jnp.float32), -1.0, 1.0) * 32767.0).astype(jnp.int16)
 
 
 _decode = partial(jax.jit, static_argnames=("mimi_cfg",))(_decode_body)
@@ -457,10 +432,12 @@ class TPURuntime:
             tokens_padded = np.zeros((1, token_bucket), np.int32)
             tokens_padded[0, : len(tok_np)] = tok_np
 
-            # -- two back-to-back async dispatches, one blocking fetch ------
-            # (prefill must NOT share a program with the AR while_loop: XLA
-            # then locks the KV cache into a prefill-shaped layout and the
-            # loop runs 2x slower — see _embed_prefill.)
+            # -- three back-to-back async dispatches, one blocking fetch ----
+            # Prefill, the AR while_loop, and the Mimi decode must each be
+            # their own program: sharing one locks buffers into the wrong
+            # layouts and slows the loop 2x (see _embed_prefill /
+            # _decode_pcm16). Async dispatch means no extra round trips —
+            # only the final fetch blocks.
             cache = _embed_prefill(
                 self.model.params,
                 flow_cfg,
@@ -471,10 +448,9 @@ class TPURuntime:
                 voice_cache=voice_cache,
                 voice_emb=voice_emb,
             )
-            pcm, n_frames = _ar_decode(
-                self.model.params,
+            frames, n_frames, _ = _ar_loop(
+                self.model.params["flow_lm"],
                 flow_cfg,
-                self.model.config.mimi,
                 cache,
                 self._next_key(),
                 jnp.int32(max_steps),
@@ -483,7 +459,13 @@ class TPURuntime:
                 jnp.int32(cfg.frames_after_eos),
                 decode_steps,
                 frame_bucket,
-                decode_frames=min(bk.round_up(max_steps, 32), frame_bucket),
+            )
+            pcm = _decode_pcm16(
+                self.model.params,
+                self.model.config.mimi,
+                frames,
+                n_frames,
+                min(bk.round_up(max_steps, 32), frame_bucket),
             )
         samples_per = self.model.config.mimi.samples_per_latent
         return pcm, n_frames, samples_per, max_steps, len(tokens)
