@@ -34,15 +34,14 @@ __all__ = ["stream_generate"]
 
 @partial(
     jax.jit,
-    static_argnames=("flow_cfg", "mimi_cfg", "decode_steps", "segment"),
-    donate_argnames=("carry", "stream_state"),
+    static_argnames=("flow_cfg", "decode_steps", "segment"),
+    donate_argnames=("cache",),
 )
-def _stream_step(
+def _stream_ar_segment(
     params: Dict,
     flow_cfg,
-    mimi_cfg,
+    cache: Dict,
     carry: Dict,
-    stream_state: Dict,
     steps: jax.Array,
     eos_threshold: jax.Array,
     temperature: jax.Array,
@@ -50,14 +49,20 @@ def _stream_step(
     decode_steps: int,
     segment: int,
 ):
-    """One streaming segment as ONE program: ``segment`` AR steps + stateful
-    block decode → (pcm, n, done, carry, stream_state). A single dispatch and
-    a single host transfer per emitted block."""
-    flow = params["flow_lm"]
+    """``segment`` AR steps, resuming from ``(cache, carry)`` →
+    (frames, n, cache, carry).
+
+    Kept SEPARATE from the block decode program: fusing the Mimi conv chain
+    (or prefill) into the while_loop program makes XLA lock the KV cache into
+    a hostile layout and the loop runs ~2x slower (measured r2, see
+    runtime.generate._embed_prefill). Only the cache is donated — the small
+    carry leaves (done/frame/countdown/key) must outlive the next dispatch,
+    since the one-deep pipeline reads segment k's ``done`` after segment k+1
+    has been dispatched."""
     frames, n, new_carry = _ar_loop_body(
-        flow,
+        params,
         flow_cfg,
-        carry["cache"],
+        cache,
         carry["key"],
         steps,
         eos_threshold,
@@ -67,30 +72,27 @@ def _stream_step(
         segment,
         carry_in=carry,
     )
+    new_cache = new_carry.pop("cache")
+    return frames, n, new_cache, new_carry
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mimi_cfg",),
+    donate_argnames=("stream_state",),
+)
+def _stream_decode_segment(
+    params: Dict,
+    mimi_cfg,
+    stream_state: Dict,
+    frames: jax.Array,  # [B, segment, L]
+    n: jax.Array,  # [B]
+):
+    """Stateful block decode of one segment → (pcm, stream_state)."""
+    segment = frames.shape[1]
     mask = (jnp.arange(segment) < n[:, None])[:, :, None]
     latent = jnp.where(mask, frames, 0.0)
 
-    fused = params.get("latent_to_mimi")
-    if fused is not None:
-        out = jnp.matmul(
-            latent, fused["w"].astype(latent.dtype), preferred_element_type=jnp.float32
-        ).astype(latent.dtype)
-        mimi_latent = jnp.swapaxes(out + fused["b"].astype(latent.dtype), 1, 2)
-    else:
-        denorm = latent * flow["emb_std"] + flow["emb_mean"]
-        from go_pocket_tts_tpu.models import mimi as mimi_mod
-
-        mimi_latent = mimi_mod.quantizer_project(params["mimi"], jnp.swapaxes(denorm, 1, 2))
-    pcm, stream_state = mimi_stream.decode_block(
-        params["mimi"], mimi_cfg, stream_state, mimi_latent
-    )
-    return pcm, n, new_carry["done"], new_carry, stream_state
-
-
-@partial(jax.jit, static_argnames=("mimi_cfg",), donate_argnames=("stream_state",))
-def _stream_block_decode(params: Dict, mimi_cfg, stream_state: Dict, latent: jax.Array):
-    """Decode-only streaming block: latent [B, Tb, L] → (pcm, stream_state).
-    Used by the continuous batcher to emit per-slot PCM between AR blocks."""
     fused = params.get("latent_to_mimi")
     if fused is not None:
         out = jnp.matmul(
@@ -167,7 +169,6 @@ def stream_generate(
 
         latent_dim = flow_cfg.latent_dim
         carry = {
-            "cache": cache,
             "frame": jnp.full((1, 1, latent_dim), jnp.nan, dtype),
             "countdown": jnp.full((1,), -1, jnp.int32),
             "done": jnp.zeros((1,), bool),
@@ -185,13 +186,14 @@ def stream_generate(
 
         def dispatch(segment: int, remaining: int):
             steps = min(segment, remaining)
-            nonlocal carry, stream_state
-            pcm, n, done, carry, stream_state = _stream_step(
-                model.params,
+            nonlocal cache, carry, stream_state
+            # Two async dispatches (AR segment, then block decode); nothing
+            # blocks until the caller fetches the pcm.
+            frames, n, cache, carry = _stream_ar_segment(
+                model.params["flow_lm"],
                 flow_cfg,
-                model.config.mimi,
+                cache,
                 carry,
-                stream_state,
                 jnp.int32(steps),
                 jnp.float32(cfg.eos_threshold),
                 jnp.float32(cfg.temperature),
@@ -199,7 +201,10 @@ def stream_generate(
                 decode_steps,
                 segment,
             )
-            return pcm, n, done, steps
+            pcm, stream_state = _stream_decode_segment(
+                model.params, model.config.mimi, stream_state, frames, n
+            )
+            return pcm, n, carry["done"], steps
 
         def next_segment(seg: int) -> int:
             return min(seg * 2, max_segment_frames, runtime.frame_bucket)
