@@ -573,11 +573,18 @@ class ContinuousBatcher:
             )
             info.stream_parts = []
 
-    def _emit_streams(self) -> None:
+    def _fetch_flags(self):
+        """One overlapped fetch of the per-slot bookkeeping flags (three
+        separate np.asarray calls would cost three host round trips per
+        block in a tunneled environment)."""
+        return jax.device_get(
+            (self._state["done"], self._state["active"], self._state["n_frames"])
+        )
+
+    def _emit_streams(self, n_frames) -> None:
         """Push newly generated frames of ALL streaming slots through the
         shared batched block decoder — one dispatch per block, not one per
         slot."""
-        n_frames = np.asarray(self._state["n_frames"])
         samples_per = self.model.config.mimi.samples_per_latent
         k = self.steps_per_sync
         starts = np.zeros(self.slots, np.int32)
@@ -611,10 +618,7 @@ class ContinuousBatcher:
             info.stream_parts.append(block)
             info.request.stream.put(block)
 
-    def _harvest(self) -> None:
-        done = np.asarray(self._state["done"])
-        active = np.asarray(self._state["active"])
-        n_frames = np.asarray(self._state["n_frames"])
+    def _harvest(self, done, active, n_frames) -> None:
         for slot in range(self.slots):
             info = self._slot_info[slot]
             if info.request is None or not (active[slot] and done[slot]):
@@ -685,7 +689,9 @@ class ContinuousBatcher:
         k = self.steps_per_sync
         while not self._stop.is_set():
             self._admit()
-            if not bool(np.any(np.asarray(self._state["active"]))):
+            # Host-side occupancy truth (slot_info tracks attach/harvest) —
+            # no device fetch needed to decide idleness.
+            if all(s.request is None for s in self._slot_info):
                 try:
                     req = self._queue.get(timeout=0.05)
                     self._queue.put(req)
@@ -705,8 +711,9 @@ class ContinuousBatcher:
                 self._state = _batched_ar_multi_step(
                     params, cfg, self._state, noise, decode_steps
                 )
-            self._emit_streams()
-            self._harvest()
+            done, active, n_frames = self._fetch_flags()
+            self._emit_streams(n_frames)
+            self._harvest(done, active, n_frames)
 
     # Convenience synchronous API ------------------------------------------
 
