@@ -85,6 +85,20 @@ def layer_norm_params(vb: VarBuilder, name: str) -> Dict[str, jnp.ndarray]:
     }
 
 
+# Backend for int8 weight-only linears: "xla" (mixed-dtype dot_general) or
+# "pallas" (ops/pallas/quantized_matmul — keeps the int8→bf16 convert inside
+# the matmul tile loop). Set once by the runtime before tracing; "pallas"
+# may carry an ":interpret" suffix for CPU testing.
+_QUANT_BACKEND = "xla"
+
+
+def set_quantized_matmul_backend(backend: str) -> None:
+    global _QUANT_BACKEND
+    if backend.split(":")[0] not in ("xla", "pallas"):
+        raise ValueError(f"unknown quantized matmul backend {backend!r}")
+    _QUANT_BACKEND = backend
+
+
 def apply_linear(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
     """``y = x @ w (+ b)`` with f32 accumulation on the MXU.
 
@@ -94,6 +108,28 @@ def apply_linear(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
     """
     w = params["w"]
     if "scale" in params and w.dtype == jnp.int8:
+        lead = x.shape[:-1]
+        k = x.shape[-1]
+        n = w.shape[1]
+        m = 1
+        for d in lead:
+            m *= d
+
+        if _QUANT_BACKEND.startswith("pallas"):
+            from go_pocket_tts_tpu.ops.pallas import quantized_matmul as qmm
+
+            if qmm.supports(m, k, n):
+                y = qmm.quantized_matmul(
+                    x.reshape(m, k),
+                    w,
+                    params["scale"],
+                    interpret=_QUANT_BACKEND.endswith(":interpret"),
+                ).reshape(*lead, n)
+                y = y.astype(x.dtype)
+                if "b" in params:
+                    y = y + params["b"].astype(x.dtype)
+                return y
+
         import jax.lax as lax
 
         # Mixed-dtype dot: the int8 operand streams from HBM at half the

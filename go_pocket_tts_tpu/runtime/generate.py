@@ -327,6 +327,13 @@ class TPURuntime:
             model = PocketTTSModel(
                 model.params, ModelConfig(flow_lm=flow_cfg, mimi=model.config.mimi)
             )
+            if quantize:
+                from go_pocket_tts_tpu.models.params import set_quantized_matmul_backend
+
+                backend = "pallas"
+                if jax.default_backend() == "cpu":
+                    backend = "pallas:interpret"
+                set_quantized_matmul_backend(backend)
         self.model = model if self.dtype == jnp.float32 else model.astype(self.dtype)
         if matmul_precision is None:
             matmul_precision = "highest" if self.dtype == jnp.float32 else "default"

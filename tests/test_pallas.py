@@ -62,3 +62,61 @@ def test_pallas_runtime_end_to_end_matches_xla():
     ref = TPURuntime(model, seed=2, frame_bucket=64).generate_audio([3, 5], cfg)
     pal = TPURuntime(model, seed=2, frame_bucket=64, pallas=True).generate_audio([3, 5], cfg)
     np.testing.assert_allclose(pal, ref, atol=1e-4, rtol=1e-3)
+
+
+# -- int8 quantized matmul kernel ---------------------------------------------
+
+
+@pytest.mark.parametrize("m,k,n", [(1, 256, 512), (8, 128, 768), (4, 512, 1536)])
+def test_quantized_matmul_matches_xla(m, k, n):
+    from go_pocket_tts_tpu.ops.pallas.quantized_matmul import quantized_matmul, supports
+
+    assert supports(m, k, n)
+    rng = np.random.RandomState(n)
+    x = jnp.asarray(rng.randn(m, k).astype(np.float32))
+    w_q = jnp.asarray(rng.randint(-127, 128, size=(k, n)).astype(np.int8))
+    scale = jnp.asarray((rng.rand(n).astype(np.float32) + 0.5) * 0.01)
+
+    want = (
+        jax.lax.dot_general(
+            x, w_q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )
+    got = quantized_matmul(x, w_q, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3, rtol=1e-4)
+
+
+def test_quantized_matmul_supports_gate():
+    from go_pocket_tts_tpu.ops.pallas.quantized_matmul import supports
+
+    assert not supports(1, 100, 512)  # K not 128-multiple
+    assert not supports(1, 256, 100)  # N not 256-multiple
+    assert not supports(128, 256, 512)  # M too large (prefill shapes use XLA)
+
+
+def test_quantized_pallas_runtime_end_to_end():
+    """TPURuntime(quantize=True, pallas=True) routes int8 linears through the
+    kernel (interpret on CPU) and matches the XLA int8 path bit-for-bit-ish."""
+    from go_pocket_tts_tpu.models import synthetic
+    from go_pocket_tts_tpu.models.model import load_model_from_store
+    from go_pocket_tts_tpu.models.params import set_quantized_matmul_backend
+    from go_pocket_tts_tpu.runtime import GenerateConfig, TPURuntime
+    from go_pocket_tts_tpu.utils.safetensors import encode_tensors, open_store_from_bytes
+
+    arch = synthetic.tiny_arch()
+    model = load_model_from_store(
+        open_store_from_bytes(encode_tensors(synthetic.build_checkpoint(arch, seed=78))),
+        num_heads=arch.num_heads,
+    )
+    cfg = GenerateConfig(temperature=0.7, eos_threshold=1e9, max_steps=4)
+    try:
+        ref = TPURuntime(model, seed=2, frame_bucket=64, quantize=True).generate_audio(
+            [3, 5], cfg
+        )
+        pal = TPURuntime(
+            model, seed=2, frame_bucket=64, quantize=True, pallas=True
+        ).generate_audio([3, 5], cfg)
+    finally:
+        set_quantized_matmul_backend("xla")
+    np.testing.assert_allclose(pal, ref, atol=1e-3, rtol=1e-3)
