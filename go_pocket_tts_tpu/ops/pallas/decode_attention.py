@@ -10,12 +10,25 @@ This kernel fuses them into one VMEM-resident pass per (batch, head):
     out    = softmax(scores) · v_cache[b, h]
 
 Equivalent to the XLA path in `models/flow_transformer.py` (tested in
-interpreter mode on CPU; opt-in on TPU via ``TPURuntime(pallas=True)`` or
-env ``POCKETTTS_PALLAS=1``).
+interpret mode on CPU and compiled on hardware; opt-in on TPU via
+``TPURuntime(pallas=True)`` or env ``POCKETTTS_PALLAS=1`` — the XLA path is
+already at the HBM roofline for this step, see PERF.md).
+
+Mosaic lowering notes (pallas_guide.md): every in-kernel value stays ≥2-D
+and masks come from ``broadcasted_iota``. RoPE is expressed in its
+"duplicated-trig + pair-swap" form so the kernel is pure elementwise math::
+
+    rope(x)[2j]   = x[2j]·cos[j] − x[2j+1]·sin[j]
+    rope(x)[2j+1] = x[2j+1]·cos[j] + x[2j]·sin[j]
+    ⇒ rope(x) = x·cos_dup + swap_pairs(x)·sin_adj
+      cos_dup[2j] = cos_dup[2j+1] = cos[j]
+      sin_adj[2j] = −sin[j], sin_adj[2j+1] = +sin[j]
+
+``swap_pairs`` of q/k and the trig rows are precomputed OUTSIDE the kernel
+(tiny [1, D] tensors; the bandwidth-relevant cache tiles never leave VMEM).
 
 The grid is (B, H); each program owns one [C, D] cache tile — C ≤ ~1k and
-D = 64, comfortably inside VMEM (pallas_guide.md: keep tiles resident, build
-masks from broadcasted_iota).
+D = 64, comfortably inside VMEM.
 """
 
 from __future__ import annotations
@@ -31,10 +44,20 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["decode_attention_step"]
 
 
+def _swap_pairs(x: jax.Array) -> jax.Array:
+    """Swap interleaved pairs along the last axis: [..., 2j]↔[..., 2j+1]."""
+    shape = x.shape
+    half = shape[-1] // 2
+    xr = x.reshape(*shape[:-1], half, 2)
+    return jnp.flip(xr, axis=-1).reshape(shape)
+
+
 def _kernel(
     off_ref,
     q_ref,
+    qs_ref,
     k_ref,
+    ks_ref,
     v_ref,
     cos_ref,
     sin_ref,
@@ -47,41 +70,39 @@ def _kernel(
     # kc/vc outputs are aliased to the inputs (input_output_aliases), so the
     # output refs already hold the cache contents; all reads/writes go
     # through them and the input refs are unused. Block shapes:
-    # q/k/v/out [1,1,1,D], caches [1,1,1,C,D], trig rows [1,D/2].
+    # q/qs/k/ks/v/out [1,1,1,D], caches [1,1,1,C,D], trig rows [1,D].
     del kc_in_ref, vc_in_ref
     offset = off_ref[0]
     c = kc_ref.shape[3]
     d = q_ref.shape[3]
-    half = d // 2
 
-    cos = cos_ref[0, :]  # [half]
-    sin = sin_ref[0, :]
+    cos = cos_ref[...]  # [1, D] duplicated-pair cos
+    sin = sin_ref[...]  # [1, D] sign-adjusted sin
 
-    def rope(vec):  # [D] f32 -> [D] f32
-        x = vec.reshape(half, 2)
-        a, b = x[:, 0], x[:, 1]
-        return jnp.stack([a * cos - b * sin, a * sin + b * cos], axis=-1).reshape(d)
+    q = q_ref[0, 0, :, :].astype(jnp.float32)  # [1, D]
+    qs = qs_ref[0, 0, :, :].astype(jnp.float32)
+    k = k_ref[0, 0, :, :].astype(jnp.float32)
+    ks = ks_ref[0, 0, :, :].astype(jnp.float32)
 
-    q = rope(q_ref[0, 0, 0, :].astype(jnp.float32))  # [D]
-    k_new = rope(k_ref[0, 0, 0, :].astype(jnp.float32))
+    q_r = q * cos + qs * sin  # [1, D]
+    k_r = k * cos + ks * sin
 
-    kc_ref[0, 0, 0, pl.ds(offset, 1), :] = k_new.reshape(1, d).astype(kc_ref.dtype)
-    vc_ref[0, 0, 0, pl.ds(offset, 1), :] = (
-        v_ref[0, 0, 0, :].reshape(1, d).astype(vc_ref.dtype)
-    )
+    kc_ref[0, 0, 0, pl.ds(offset, 1), :] = k_r.astype(kc_ref.dtype)
+    vc_ref[0, 0, 0, pl.ds(offset, 1), :] = v_ref[0, 0, :, :].astype(vc_ref.dtype)
 
     kc = kc_ref[0, 0, 0, :, :].astype(jnp.float32)  # [C, D]
-    scores = jnp.sum(kc * q[None, :], axis=-1) * (1.0 / (d**0.5))  # [C]
-    slot = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)[:, 0]
+    scores = jnp.sum(kc * q_r, axis=-1, keepdims=True) * (1.0 / (d**0.5))  # [C, 1]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
     mask = slot <= offset
     neg = jnp.finfo(jnp.float32).min
     scores = jnp.where(mask, scores, neg)
     m = jnp.max(scores)
-    e = jnp.where(mask, jnp.exp(scores - m), 0.0)
+    e = jnp.where(mask, jnp.exp(scores - m), 0.0)  # [C, 1]
     p = e / jnp.sum(e)
 
-    vc = vc_ref[0, 0, 0, :, :].astype(jnp.float32)
-    out_ref[0, 0, 0, :] = jnp.sum(vc * p[:, None], axis=0).astype(out_ref.dtype)
+    vc = vc_ref[0, 0, 0, :, :].astype(jnp.float32)  # [C, D]
+    out = jnp.sum(vc * p, axis=0, keepdims=True)  # [1, D]
+    out_ref[0, 0, :, :] = out.astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -110,11 +131,17 @@ def decode_attention_step(
 
     cos_row = jax.lax.dynamic_slice_in_dim(rope_cos, offset, 1, axis=0)  # [1, D/2]
     sin_row = jax.lax.dynamic_slice_in_dim(rope_sin, offset, 1, axis=0)
+    # Duplicated-pair trig rows + sign adjustment (see module docstring).
+    cos_dup = jnp.repeat(cos_row, 2, axis=-1)  # [1, D]
+    sign = jnp.tile(jnp.asarray([-1.0, 1.0], jnp.float32), d // 2)[None, :]
+    sin_adj = jnp.repeat(sin_row, 2, axis=-1) * sign
+    q_swap = _swap_pairs(q)
+    k_swap = _swap_pairs(k_new)
     off_arr = jnp.broadcast_to(jnp.asarray(offset, jnp.int32), (1,))
 
     bh_spec = pl.BlockSpec((1, 1, 1, d), lambda i, j: (i, j, 0, 0))
     cache_spec = pl.BlockSpec((1, 1, 1, c, d), lambda i, j: (layer, i, j, 0, 0))
-    row_spec = pl.BlockSpec((1, d // 2), lambda i, j: (0, 0))
+    row_spec = pl.BlockSpec((1, d), lambda i, j: (0, 0))
 
     out, kc, vc = pl.pallas_call(
         _kernel,
@@ -122,10 +149,12 @@ def decode_attention_step(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # offset
             bh_spec,  # q
+            bh_spec,  # q pair-swapped
             bh_spec,  # k_new
+            bh_spec,  # k_new pair-swapped
             bh_spec,  # v_new
-            row_spec,  # cos row
-            row_spec,  # sin row
+            row_spec,  # cos_dup row
+            row_spec,  # sin_adj row
             cache_spec,  # k_cache
             cache_spec,  # v_cache
         ],
@@ -135,7 +164,7 @@ def decode_attention_step(
             jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ),
-        input_output_aliases={6: 1, 7: 2},
+        input_output_aliases={8: 1, 9: 2},
         interpret=interpret,
-    )(off_arr, q, k_new, v_new, cos_row, sin_row, k_cache, v_cache)
+    )(off_arr, q, q_swap, k_new, k_swap, v_new, cos_dup, sin_adj, k_cache, v_cache)
     return out, kc, vc

@@ -316,6 +316,33 @@ class Service:
                 )
             return
 
+        # Sequential runtime + multi-chunk text + async-capable runtime:
+        # one-deep pipeline — dispatch chunk k+1 before resolving chunk k's
+        # PCM, hiding the per-chunk host↔device round trip (the reference
+        # synthesizes chunks strictly sequentially, `service.go:137-152`).
+        if (
+            not use_frames
+            and len(chunks) > 1
+            and hasattr(self.runtime, "generate_audio_async")
+        ):
+            with self._lock:
+                pending = None  # (resolver, index)
+                for i, chunk in enumerate(chunks):
+                    if cancel is not None and cancel():
+                        raise CancelledError("synthesis cancelled")
+                    cfg = self._generate_config(chunk, deadline)
+                    conditioning.apply_to(cfg)
+                    resolver = self.runtime.generate_audio_async(chunk.token_ids, cfg)
+                    if pending is not None:
+                        yield PCMChunk(
+                            samples=pending[0](), chunk_index=pending[1], final=False
+                        )
+                    pending = (resolver, i)
+                yield PCMChunk(
+                    samples=pending[0](), chunk_index=pending[1], final=True
+                )
+            return
+
         for i, chunk in enumerate(chunks):
             if cancel is not None and cancel():
                 raise CancelledError("synthesis cancelled")
