@@ -688,16 +688,17 @@ class ContinuousBatcher:
         cfg = self.model.config.flow_lm
         k = self.steps_per_sync
         while not self._stop.is_set():
-            self._admit()
             # Host-side occupancy truth (slot_info tracks attach/harvest) —
             # no device fetch needed to decide idleness.
             if all(s.request is None for s in self._slot_info):
-                try:
-                    req = self._queue.get(timeout=0.05)
-                    self._queue.put(req)
-                except queue.Empty:
+                self._admit()  # device idle anyway: admit synchronously
+                if all(s.request is None for s in self._slot_info):
+                    try:
+                        req = self._queue.get(timeout=0.05)
+                        self._queue.put(req)
+                    except queue.Empty:
+                        continue
                     continue
-                continue
             self._key, sub = jax.random.split(self._key)
             noise = (
                 jax.random.normal(sub, (k, self.slots, cfg.latent_dim), jnp.float32)
@@ -711,6 +712,13 @@ class ContinuousBatcher:
                 self._state = _batched_ar_multi_step(
                     params, cfg, self._state, noise, decode_steps
                 )
+            # Admission AFTER the block dispatch: JAX dispatch is async, so
+            # the host-side admission bookkeeping (tokenize, embed, pad,
+            # splice prep) runs WHILE the device executes the AR block, not
+            # while it sits idle. The prefill/splice programs enqueue behind
+            # the running block; admitted lanes join from the next block on
+            # (one block of extra queueing latency, bounded by k frames).
+            self._admit()
             done, active, n_frames = self._fetch_flags()
             self._emit_streams(n_frames)
             self._harvest(done, active, n_frames)

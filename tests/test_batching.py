@@ -91,6 +91,33 @@ def test_batched_eos_early_exit(model):
     assert len(out) == 4 * 1920
 
 
+def test_late_admission_does_not_disturb_running_lane(model):
+    """A request admitted mid-flight (after the first block was already
+    dispatched — the r2 overlapped-admission loop order) must neither change
+    the running lane's audio nor its own vs the single-request runtime."""
+    single = TPURuntime(model, seed=3, frame_bucket=64)
+    want_a = single.generate_audio([5, 9, 2], _cfg(max_steps=12))
+    want_b = single.generate_audio([8, 3], _cfg(max_steps=5))
+
+    batcher = ContinuousBatcher(
+        model, slots=2, prompt_capacity=64, max_frames=64, seed=3, steps_per_sync=2
+    )
+    batcher.start()
+    try:
+        import time as _t
+
+        fut_a = batcher.submit([5, 9, 2], _cfg(max_steps=12))
+        _t.sleep(0.3)  # let A run a few 2-step blocks alone
+        fut_b = batcher.submit([8, 3], _cfg(max_steps=5))
+        got_a = fut_a.result(timeout=60)
+        got_b = fut_b.result(timeout=60)
+    finally:
+        batcher.stop()
+
+    np.testing.assert_allclose(got_a, want_a, atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(got_b, want_b, atol=1e-4, rtol=1e-3)
+
+
 # -- mesh DP -----------------------------------------------------------------
 
 
