@@ -109,7 +109,13 @@ def cmd_synth(args) -> int:
     if args.fade_out_ms:
         samples = dsp.fade_out(samples, ms=args.fade_out_ms)
 
-    data = wav.encode_wav(samples)
+    fmt = args.format or ("flac" if args.out.lower().endswith(".flac") else "wav")
+    if fmt == "flac":
+        from go_pocket_tts_tpu.utils.flac import encode_flac
+
+        data = encode_flac(samples)
+    else:
+        data = wav.encode_wav(samples)
     if args.out == "-":
         sys.stdout.buffer.write(data)
     else:
@@ -390,6 +396,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = add("synth", cmd_synth, "Synthesize text to a WAV file")
     p.add_argument("--text", default="", help="Text to synthesize ('-' or empty = stdin)")
     p.add_argument("--out", default="out.wav", help="Output WAV path ('-' = stdout)")
+    p.add_argument(
+        "--format",
+        default="",
+        choices=["", "wav", "flac"],
+        help="Output format (default: wav, or inferred from --out extension)",
+    )
     p.add_argument("--voice", default="", help="Voice ID or .safetensors path")
     p.add_argument(
         "--chunk", action="store_true",

@@ -8,6 +8,9 @@ API parity with `internal/server/server.go`:
   (`server.go:175-258`)
 - ``POST /tts/stream`` — chunked streaming WAV: unknown-length header then
   PCM16 per synthesized chunk (`server.go:302-396`)
+- both accept ``"format": "flac"`` for losslessly compressed responses
+  (typically 2-3× smaller; ``audio/flac``) — beyond the reference, which
+  serves WAV only; WAV stays the default and the parity format
 - limits/timeouts: ``max_text_bytes`` → 413; queue-full → 503; per-request
   timeout → 504 (`server.go:58-73,195-233,398-421`)
 - structured request logging with voice/text_len/duration_ms/wav_bytes
@@ -120,7 +123,11 @@ def make_handler(
                     413, f"text exceeds maximum size of {max_text_bytes} bytes"
                 )
                 return None
-            return text, req.get("voice", ""), bool(req.get("chunk", False))
+            fmt = str(req.get("format", "wav")).lower()
+            if fmt not in ("wav", "flac"):
+                self._error(400, f"unsupported format {fmt!r} (wav or flac)")
+                return None
+            return text, req.get("voice", ""), bool(req.get("chunk", False)), fmt
 
         def _resolve_voice(self, voice: str) -> Optional[str]:
             if not voice:
@@ -177,7 +184,7 @@ def make_handler(
             parsed = self._read_tts_request()
             if parsed is None:
                 return
-            text, voice, _chunk = parsed
+            text, voice, _chunk, fmt = parsed
             voice_path = self._resolve_voice(voice)
             if voice_path is None:
                 return
@@ -200,7 +207,12 @@ def make_handler(
                     if time.monotonic() > deadline:
                         raise TimeoutError
                 pcm = np.concatenate(samples) if samples else np.zeros(0, np.float32)
-                body = wav.encode_wav(pcm)
+                if fmt == "flac":
+                    from go_pocket_tts_tpu.utils.flac import encode_flac
+
+                    body = encode_flac(pcm)
+                else:
+                    body = wav.encode_wav(pcm)
             except TimeoutError:
                 self._error(504, "synthesis timed out")
                 return
@@ -220,14 +232,17 @@ def make_handler(
 
             dur_ms = (time.monotonic() - start) * 1e3
             log.info(
-                "tts ok voice=%s text_len=%d duration_ms=%.0f wav_bytes=%d",
+                "tts ok voice=%s text_len=%d duration_ms=%.0f %s_bytes=%d",
                 voice,
                 len(text),
                 dur_ms,
+                fmt,
                 len(body),
             )
             self.send_response(200)
-            self.send_header("Content-Type", "audio/wav")
+            self.send_header(
+                "Content-Type", "audio/flac" if fmt == "flac" else "audio/wav"
+            )
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -236,7 +251,7 @@ def make_handler(
             parsed = self._read_tts_request()
             if parsed is None:
                 return
-            text, voice, _chunk = parsed
+            text, voice, _chunk, fmt = parsed
             voice_path = self._resolve_voice(voice)
             if voice_path is None:
                 return
@@ -245,14 +260,23 @@ def make_handler(
                 return
             start = time.monotonic()
             wrote_header = False
+            flac_enc = None
+            if fmt == "flac":
+                from go_pocket_tts_tpu.utils.flac import FlacStreamEncoder
+
+                flac_enc = FlacStreamEncoder()
             try:
                 deadline = start + request_timeout
                 self.send_response(200)
-                self.send_header("Content-Type", "audio/wav")
+                self.send_header(
+                    "Content-Type", "audio/flac" if fmt == "flac" else "audio/wav"
+                )
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
                 wrote_header = True
-                self._write_chunk(wav.streaming_wav_header())
+                self._write_chunk(
+                    flac_enc.header() if flac_enc else wav.streaming_wav_header()
+                )
                 total = 0
                 stream_kwargs = {}
                 if getattr(service, "supports_frame_streaming", False):
@@ -265,9 +289,13 @@ def make_handler(
                     cancel=lambda: time.monotonic() > deadline,
                     **stream_kwargs,
                 ):
-                    payload = wav.pcm16_bytes(chunk.samples)
+                    if flac_enc is not None:
+                        payload = flac_enc.encode_block(chunk.samples)
+                    else:
+                        payload = wav.pcm16_bytes(chunk.samples)
                     total += len(payload)
-                    self._write_chunk(payload)
+                    if payload:  # zero-length chunk would terminate the body
+                        self._write_chunk(payload)
                 self._write_chunk(b"")  # terminal chunk
                 log.info(
                     "tts/stream ok voice=%s text_len=%d duration_ms=%.0f pcm_bytes=%d",
