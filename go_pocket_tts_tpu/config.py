@@ -101,6 +101,11 @@ class TTSConfig:
     eos_threshold: float = -4.0
     max_steps: int = 256
     lsd_decode_steps: int = 1
+    # Carry the flow-LM KV state across text chunks so prosody flows through
+    # chunk boundaries (the reference resets state per chunk). Uses the same
+    # cache-hydration mechanism as voice cloning; resets when the session
+    # cache fills (~1k positions, the model's trained context).
+    continuity: bool = False
     # True when max_steps came from a file/env/flag (not the default): an
     # explicit user value is honored verbatim, even if it equals the default;
     # otherwise the per-chunk estimate wins (VERDICT r1 weak #7).
@@ -145,6 +150,8 @@ _FLAG_MAP = [
     ("eos-threshold", "tts", "eos_threshold", float, "Raw logit threshold for EOS detection"),
     ("max-steps", "tts", "max_steps", int, "Maximum autoregressive generation steps"),
     ("lsd-steps", "tts", "lsd_decode_steps", int, "Euler integration steps per latent frame"),
+    ("continuity", "tts", "continuity", _parse_bool,
+     "Carry prosody state across text chunks (resets when the cache fills)"),
     ("log-level", None, "log_level", str, "Log level (debug|info|warn|error)"),
 ]
 

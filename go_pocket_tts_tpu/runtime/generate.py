@@ -49,7 +49,24 @@ from go_pocket_tts_tpu.utils.safetensors import VoiceModelState
 
 log = logging.getLogger("pockettts.runtime")
 
-__all__ = ["GenerateConfig", "TPURuntime"]
+__all__ = ["GenerateConfig", "TPURuntime", "ContinuationState"]
+
+
+@dataclass
+class ContinuationState:
+    """Cross-chunk prosody state: the flow-LM KV cache carried from one text
+    chunk into the next (long-form continuity — the reference resets state
+    per chunk, `service.go:137-152`; this reuses the voice-state hydration
+    pattern, where frames already in the cache condition later generation).
+
+    Single-use: the cache buffer is donated to the next dispatch; always
+    thread the state returned by the latest call."""
+
+    cache: Dict
+    capacity: int
+    # Host-side upper bound on written cache slots (the true offset lives on
+    # the device; EOS can end a chunk early, so this over-counts safely).
+    used_ub: int
 
 
 @dataclass
@@ -499,6 +516,132 @@ class TPURuntime:
             (time.perf_counter() - t0) * 1e3,
         )
         return audio
+
+    # Cache size for continuity sessions. The model is trained at ~1k
+    # positions (SURVEY §2: RoPE tables cover 8192 but the reference caps
+    # context near 1k); a filled session resets rather than degrade.
+    SESSION_CAPACITY = 1024
+
+    def generate_audio_session(
+        self,
+        tokens,
+        cfg: GenerateConfig,
+        cont: Optional[ContinuationState] = None,
+        session_capacity: int = 0,
+    ) -> Tuple[np.ndarray, ContinuationState]:
+        """Synthesize one chunk, carrying KV state across calls.
+
+        Pass the returned :class:`ContinuationState` as ``cont`` for the next
+        chunk: its text is appended to the live cache (after the previous
+        chunk's frames) and generation continues with full attention over the
+        session history — prosody flows through chunk boundaries instead of
+        resetting (an upstream deviation the reference cannot express; its
+        per-chunk loop is `service.go:137-152`).
+
+        Voice conditioning applies on the first chunk only; continued chunks
+        inherit it through the carried cache. When the next chunk cannot fit
+        in the session cache, the session resets transparently (prosody
+        reset every ~1k positions ≈ 80 s of audio).
+        """
+        if len(tokens) == 0:
+            raise ValueError("generate: token slice must not be empty")
+        max_steps = cfg.max_steps or cfg.estimated_max_steps or estimate_max_frames(
+            len(tokens)
+        )
+        decode_steps = max(cfg.lsd_decode_steps, 1)
+        flow_cfg = self.model.config.flow_lm
+        flow = self.model.params["flow_lm"]
+
+        tok_np = np.asarray(tokens, np.int32)
+        n_bins = flow["conditioner_embed"].shape[0]
+        if np.any(tok_np < 0) or np.any(tok_np >= n_bins):
+            raise ValueError(f"token id out of range [0,{n_bins})")
+        token_bucket = bk.pick_bucket(len(tok_np), bk.PROMPT_BUCKETS)
+        frame_bucket = bk.pick_bucket(max_steps + 1, (self.frame_bucket, 512, 1024))
+
+        # Peak write index this chunk: prefill pads to token_bucket; the AR
+        # loop writes at offset+len(tokens)+step. Reset when it won't fit.
+        chunk_extent = max(token_bucket, len(tok_np) + max_steps)
+        if cont is not None and cont.used_ub + chunk_extent > cont.capacity:
+            log.info(
+                "continuity session full (%d + %d > %d): resetting",
+                cont.used_ub,
+                chunk_extent,
+                cont.capacity,
+            )
+            cont = None
+
+        with jax.default_matmul_precision(self.matmul_precision):
+            if cont is not None:
+                capacity = cont.capacity
+                voice_cache = cont.cache
+                voice_emb = None
+                used0 = cont.used_ub
+            else:
+                voice_emb = None
+                voice_len = 0
+                if cfg.voice_embedding is not None:
+                    voice_emb = jnp.asarray(cfg.voice_embedding, dtype=self.dtype)
+                    voice_len = voice_emb.shape[1]
+                voice_frames = 0
+                if cfg.voice_model_state is not None:
+                    first = next(iter(cfg.voice_model_state.modules.values()))
+                    voice_frames = int(np.asarray(first["offset"]).reshape(-1)[0])
+                capacity = max(
+                    session_capacity or self.SESSION_CAPACITY,
+                    bk.round_up(voice_frames + voice_len + token_bucket, 64)
+                    + frame_bucket,
+                )
+                voice_cache = None
+                if cfg.voice_model_state is not None:
+                    voice_cache = self._hydrate_voice_cache(
+                        cfg.voice_model_state, capacity
+                    )
+                used0 = voice_frames + voice_len
+
+            tokens_padded = np.zeros((1, token_bucket), np.int32)
+            tokens_padded[0, : len(tok_np)] = tok_np
+            cache = _embed_prefill(
+                self.model.params,
+                flow_cfg,
+                jnp.asarray(tokens_padded),
+                jnp.int32(len(tok_np)),
+                capacity,
+                self.dtype,
+                voice_cache=voice_cache,
+                voice_emb=voice_emb,
+            )
+            frames, n_frames, carry = _ar_loop(
+                flow,
+                flow_cfg,
+                cache,
+                self._next_key(),
+                jnp.int32(max_steps),
+                jnp.float32(cfg.eos_threshold),
+                jnp.float32(cfg.temperature),
+                jnp.int32(cfg.frames_after_eos),
+                decode_steps,
+                frame_bucket,
+            )
+            pcm = _decode_pcm16(
+                self.model.params,
+                self.model.config.mimi,
+                frames,
+                n_frames,
+                min(bk.round_up(max_steps, 32), frame_bucket),
+            )
+            samples_per = self.model.config.mimi.samples_per_latent
+            audio = _fetch_trimmed(pcm, n_frames, samples_per)
+
+        n = len(audio) // samples_per
+        if cfg.step_callback is not None:
+            cfg.step_callback(n, max_steps)
+        new_cont = ContinuationState(
+            cache=carry["cache"],
+            capacity=capacity,
+            used_ub=used0 + len(tok_np) + n,
+        )
+        return audio, new_cont
 
     def generate_audio_staged(self, tokens, cfg: GenerateConfig):
         """Profiling variant: runs prefill / AR loop / decode as separate

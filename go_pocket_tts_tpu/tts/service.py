@@ -292,6 +292,31 @@ class Service:
         conditioning = load_voice_conditioning(voice_path)
         use_frames = frame_streaming and self.supports_frame_streaming
 
+        # Long-form continuity: thread the runtime's KV state through the
+        # chunk loop so prosody carries across chunk boundaries (the
+        # reference resets per chunk, `service.go:137-152`). Sequential by
+        # nature, so it takes precedence over the parallel chunk paths.
+        if (
+            not use_frames
+            and getattr(self.tts_cfg, "continuity", False)
+            and hasattr(self.runtime, "generate_audio_session")
+        ):
+            with self._lock:
+                cont = None
+                for i, chunk in enumerate(chunks):
+                    if cancel is not None and cancel():
+                        raise CancelledError("synthesis cancelled")
+                    cfg = self._generate_config(chunk, deadline)
+                    if cont is None:  # voice applies at session start only
+                        conditioning.apply_to(cfg)
+                    pcm, cont = self.runtime.generate_audio_session(
+                        chunk.token_ids, cfg, cont
+                    )
+                    yield PCMChunk(
+                        samples=pcm, chunk_index=i, final=i == len(chunks) - 1
+                    )
+            return
+
         # Concurrency-native runtime + multi-chunk text: submit every chunk
         # up front so they generate together in the shared batch (the
         # reference synthesizes chunks strictly sequentially,

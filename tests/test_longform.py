@@ -52,6 +52,75 @@ def test_longform_bf16_multi_chunk(model):
     assert np.all(np.isfinite(audio))
 
 
+# -- long-form continuity (KV state carried across chunks) --------------------
+
+
+def test_session_first_chunk_matches_plain(model):
+    """With no prior state, the session path must produce exactly what the
+    plain path produces (same programs, same RNG stream)."""
+    from go_pocket_tts_tpu.runtime import GenerateConfig
+
+    cfg = GenerateConfig(temperature=0.7, eos_threshold=1e9, max_steps=4)
+    rt_a = TPURuntime(model, seed=11, frame_bucket=64)
+    rt_b = TPURuntime(model, seed=11, frame_bucket=64)
+    plain = rt_a.generate_audio([5, 9, 2], cfg)
+    sess, cont = rt_b.generate_audio_session([5, 9, 2], cfg, None, session_capacity=128)
+    np.testing.assert_allclose(sess, plain, atol=1e-5)
+    assert cont.capacity >= 128
+    assert cont.used_ub == 3 + 4  # tokens + frames
+
+
+def test_session_state_changes_later_chunks(model):
+    """A second chunk generated with carried state must differ from the same
+    chunk generated fresh — the state must actually condition generation."""
+    from go_pocket_tts_tpu.runtime import GenerateConfig
+
+    cfg = GenerateConfig(temperature=0.0, eos_threshold=1e9, max_steps=4)
+    rt = TPURuntime(model, seed=11, frame_bucket=64)
+    _first, cont = rt.generate_audio_session([5, 9, 2], cfg, None, session_capacity=256)
+    with_state, _ = rt.generate_audio_session([7, 1, 4], cfg, cont)
+    fresh, _ = rt.generate_audio_session([7, 1, 4], cfg, None, session_capacity=256)
+    assert with_state.shape == fresh.shape
+    # temperature=0 removes RNG: any difference comes from the carried KV.
+    assert not np.allclose(with_state, fresh, atol=1e-5)
+
+
+def test_session_resets_when_full(model):
+    """A chunk that cannot fit in the remaining capacity restarts the session
+    instead of corrupting the cache (write indices would wrap)."""
+    from go_pocket_tts_tpu.runtime import GenerateConfig
+
+    cfg = GenerateConfig(temperature=0.7, eos_threshold=1e9, max_steps=4)
+    rt = TPURuntime(model, seed=11, frame_bucket=64)
+    cont = None
+    seen = []
+    for _ in range(8):  # 8 × (32-token bucket peak) >> 128 capacity
+        audio, cont = rt.generate_audio_session(
+            [5, 9, 2], cfg, cont, session_capacity=128
+        )
+        seen.append(cont.used_ub)
+        assert len(audio) == 4 * 1920
+        assert cont.used_ub + 0 <= cont.capacity
+    assert min(seen) < max(seen)  # grew, then reset at least once
+
+
+def test_service_continuity_end_to_end(model):
+    """Service threads the continuation through the chunk loop when the
+    continuity knob is on; output chunk count and sizes match the plain path."""
+    sentences = [f"sentence number {i} about item {i}." for i in range(12)]
+    text = " ".join(sentences)
+    rt = TPURuntime(model, dtype=jnp.bfloat16, seed=5, frame_bucket=64)
+    svc = Service(
+        rt,
+        _Tok(),
+        TTSConfig(temperature=0.7, eos_threshold=1e9, max_steps=4, continuity=True),
+    )
+    chunks = list(svc.synthesize_stream(text))
+    assert len(chunks) >= 3
+    assert all(len(c.samples) == 4 * 1920 for c in chunks)
+    assert chunks[-1].final
+
+
 def test_cli_backend_subprocess(tmp_path, monkeypatch):
     """The `cli` backend shells out and decodes the WAV from stdout."""
     from go_pocket_tts_tpu.tts.runtime_cli import CLIRuntime
