@@ -322,7 +322,7 @@ def transformer_step_batched(
     ``cache['offset']`` is int32 ``[B]``; each request lane advances
     independently, so a batch can mix requests at different generation depths
     (the \"heterogeneous EOS\" case SURVEY.md §7.3 calls out). Cache writes
-    are vmapped dynamic-update-slices; RoPE and the position mask take the
+    are one in-place scatter per layer; RoPE and the position mask take the
     per-batch offset vectors directly.
     """
     assert x.shape[1] == 1, "batched step is Tq=1 only"
@@ -346,12 +346,14 @@ def transformer_step_batched(
         v = _split_heads(v, cfg.num_heads, cfg.head_dim)
         q = apply_rope_rows(q, cos_rows, sin_rows)
         k = apply_rope_rows(k, cos_rows, sin_rows)
-        # Per-slot scatter of the new token into layer i of the stacked cache.
-        write = jax.vmap(
-            lambda buf, val, off: jax.lax.dynamic_update_slice(buf, val, (0, off, 0))
-        )
-        k_all = k_all.at[i].set(write(k_all[i], k, offsets))
-        v_all = v_all.at[i].set(write(v_all[i], v, offsets))
+        # Per-slot scatter of the new token into layer i of the stacked
+        # cache, expressed as ONE in-place scatter on the stacked buffer.
+        # (A vmapped dynamic-update-slice re-materializes the whole layer
+        # slice twice per layer per step — ~130 MB/step of pure copy at
+        # batch 8, measured 0.66 ms/step vs the ~0.33 ms roofline.)
+        lanes = jnp.arange(x.shape[0], dtype=jnp.int32)
+        k_all = k_all.at[i, lanes, :, offsets, :].set(k[:, :, 0, :])
+        v_all = v_all.at[i, lanes, :, offsets, :].set(v[:, :, 0, :])
         attn = attention_with_positions(q, k_all[i], v_all[i], pos_q, pos_k, cfg.context)
         x = x + apply_linear(layer["out_proj"], _merge_heads(attn))
         n2 = layer_norm(x, layer["norm2"]["weight"], layer["norm2"]["bias"])
