@@ -338,3 +338,59 @@ def test_service_multichunk_parallel_through_batcher(model):
     sequential = list(svc2.synthesize_stream(text))
     for got, want in zip(chunks, sequential):
         np.testing.assert_allclose(got.samples, want.samples, atol=1e-4, rtol=1e-3)
+
+
+def test_batcher_midblock_finish_streams_exact(model):
+    """A request whose frame count is NOT a multiple of steps_per_sync ends
+    mid-block: the final partial block must stream exactly the remaining
+    frames (no padding audio), through the one-deep pipelined loop."""
+    batcher = ContinuousBatcher(
+        model, slots=2, prompt_capacity=64, max_frames=64, seed=3, steps_per_sync=4
+    )
+    batcher.start()
+    try:
+        whole = batcher.generate([5, 9, 2], _cfg(max_steps=7), timeout=120)
+        blocks = list(batcher.submit_stream([5, 9, 2], _cfg(max_steps=7), timeout=120))
+    finally:
+        batcher.stop()
+    assert [len(b) // 1920 for b in blocks] == [4, 3]
+    np.testing.assert_allclose(np.concatenate(blocks), whole, atol=1e-3)
+
+
+def test_batcher_sequential_waves_reuse_slots(model):
+    """Back-to-back submission waves exercise the pipeline's idle transition
+    (pending block dropped when all slots empty, fresh dispatch after):
+    wave 2 must still match wave 1 at temp=0."""
+    batcher = ContinuousBatcher(
+        model, slots=2, prompt_capacity=64, max_frames=64, seed=3, steps_per_sync=4
+    )
+    batcher.start()
+    try:
+        first = batcher.generate([5, 9, 2], _cfg(max_steps=6), timeout=120)
+        import time
+
+        time.sleep(0.3)  # let the engine drain to idle (drops pending block)
+        second = batcher.generate([5, 9, 2], _cfg(max_steps=6), timeout=120)
+    finally:
+        batcher.stop()
+    np.testing.assert_allclose(first, second, atol=0, rtol=0)
+
+
+def test_batcher_pcm16_roundtrip_matches_single_runtime(model):
+    """The batcher's on-device int16 conversion uses the same truncation
+    convention as the single runtime: re-quantized outputs agree to within
+    1 LSB (the two compiled programs differ by float-boundary noise, so a
+    handful of samples may land on opposite sides of a truncation edge)."""
+    single = TPURuntime(model, seed=3, frame_bucket=64)
+    want = single.generate_audio([5, 9, 2], _cfg(max_steps=5))
+
+    batcher = ContinuousBatcher(model, slots=2, prompt_capacity=64, max_frames=64, seed=3)
+    batcher.start()
+    try:
+        got = batcher.generate([5, 9, 2], _cfg(max_steps=5), timeout=120)
+    finally:
+        batcher.stop()
+    q = lambda a: (np.clip(a, -1.0, 1.0) * 32767.0).astype(np.int32)  # noqa: E731
+    diff = np.abs(q(got) - q(want))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 0.01
