@@ -394,3 +394,60 @@ def test_batcher_pcm16_roundtrip_matches_single_runtime(model):
     diff = np.abs(q(got) - q(want))
     assert diff.max() <= 1
     assert (diff != 0).mean() < 0.01
+
+
+def test_dp_tp_mesh_batched_step_matches_unsharded(model):
+    """One batched AR step under a 2-D (dp=2, tp=4) mesh — transformer
+    matmuls and KV-cache heads sharded over ``tp``, batch over ``dp`` —
+    matches the unsharded result. GSPMD inserts the per-layer all-reduces."""
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    from go_pocket_tts_tpu.parallel.batching import _batched_ar_step
+    from go_pocket_tts_tpu.parallel.mesh import (
+        dp_tp_mesh,
+        shard_params_tp,
+        shard_state_tp,
+    )
+
+    mesh = dp_tp_mesh(2, 4)
+    flow = model.params["flow_lm"]
+    cfg = model.config.flow_lm
+    S, L = 4, cfg.latent_dim
+
+    tcfg = cfg.transformer
+    cache_shape = (tcfg.num_layers, S, tcfg.num_heads, 32, tcfg.head_dim)
+    rng = np.random.RandomState(1)
+    state = {
+        "cache": {
+            "k": jnp.asarray(rng.randn(*cache_shape).astype(np.float32) * 0.1),
+            "v": jnp.asarray(rng.randn(*cache_shape).astype(np.float32) * 0.1),
+            "offset": jnp.asarray(rng.randint(1, 5, size=S).astype(np.int32)),
+        },
+        "frame": jnp.asarray(rng.randn(S, 1, L).astype(np.float32)),
+        "frames": jnp.zeros((S, 16, L), jnp.float32),
+        "n_frames": jnp.zeros((S,), jnp.int32),
+        "countdown": jnp.full((S,), -1, jnp.int32),
+        "done": jnp.zeros((S,), bool),
+        "active": jnp.ones((S,), bool),
+        "max_steps": jnp.full((S,), 10, jnp.int32),
+        "eos_threshold": jnp.full((S,), 1e9, jnp.float32),
+        "frames_after_eos": jnp.full((S,), 3, jnp.int32),
+        "sigma": jnp.zeros((S,), jnp.float32),
+    }
+    noise = jnp.zeros((S, L), jnp.float32)
+
+    plain = _batched_ar_step(flow, cfg, jax.tree_util.tree_map(jnp.copy, state), noise, 1)
+
+    flow_sharded = shard_params_tp(flow, mesh)
+    state_sharded = shard_state_tp(jax.tree_util.tree_map(jnp.copy, state), mesh)
+    noise_sharded = shard_batch(noise, mesh)
+    sharded = _batched_ar_step(flow_sharded, cfg, state_sharded, noise_sharded, 1)
+
+    np.testing.assert_allclose(
+        np.asarray(plain["frame"]), np.asarray(sharded["frame"]), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain["cache"]["offset"]), np.asarray(sharded["cache"]["offset"])
+    )
+    # The sharded step must KEEP the cache head-sharded (no silent gather):
+    k_sharding = sharded["cache"]["k"].sharding
+    assert "tp" in getattr(k_sharding, "spec", ())[2:3] or k_sharding.spec[2] == "tp"
