@@ -277,6 +277,11 @@ class _Request:
     # generated (None = end of stream); the future resolves with the full
     # concatenated audio as well.
     stream: Optional["queue.Queue"] = None
+    # Set when the consumer walks away (stream generator closed — e.g. the
+    # HTTP client disconnected): the engine frees the lane at the next block
+    # boundary instead of generating to max_steps for nobody (the ctx-cancel
+    # analogue of `runtime_native_safetensors.go:155-201`).
+    cancelled: threading.Event = dataclasses.field(default_factory=threading.Event)
 
 
 @dataclasses.dataclass
@@ -430,24 +435,31 @@ class ContinuousBatcher:
         q: "queue.Queue" = queue.Queue()
         if self._crashed is not None:
             raise self._crashed
-        self._queue.put(_Request(list(tokens), cfg, fut, stream=q))
+        req = _Request(list(tokens), cfg, fut, stream=q)
+        self._queue.put(req)
         if self._crashed is not None:
             # Lost the race with a crashing engine (see submit()).
             self._fail_all(self._crashed)
 
         def gen():
-            while True:
-                try:
-                    item = q.get(timeout=timeout)
-                except queue.Empty:
-                    raise TimeoutError(
-                        f"batcher stream produced no PCM block within {timeout}s"
-                    ) from None
-                if item is None:
-                    return
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
+            try:
+                while True:
+                    try:
+                        item = q.get(timeout=timeout)
+                    except queue.Empty:
+                        raise TimeoutError(
+                            f"batcher stream produced no PCM block within {timeout}s"
+                        ) from None
+                    if item is None:
+                        return
+                    if isinstance(item, BaseException):
+                        raise item
+                    yield item
+            finally:
+                # Runs on normal exhaustion (harvested already — no-op) AND
+                # on early close/GC of the generator (client disconnect):
+                # tell the engine to free the lane.
+                req.cancelled.set()
 
         return gen()
 
@@ -750,6 +762,28 @@ class ContinuousBatcher:
             if not req.future.done():
                 req.future.set_exception(exc)
 
+    def _reap_cancelled(self) -> None:
+        """Free lanes whose stream consumer walked away (generator closed).
+
+        The lane deactivates at the next block boundary — already-dispatched
+        blocks just run it frozen-for-nobody once — and the slot becomes
+        admittable immediately. The future resolves with whatever audio was
+        streamed so far (the consumer is gone; nobody should block forever
+        on a cancelled request's future)."""
+        for slot in range(self.slots):
+            info = self._slot_info[slot]
+            req = info.request
+            if req is None or not req.cancelled.is_set():
+                continue
+            if req.stream is not None:
+                req.stream.put(None)
+            if not req.future.done():
+                parts = info.stream_parts or []
+                req.future.set_result(
+                    np.concatenate(parts) if parts else np.zeros(0, np.float32)
+                )
+            self._release_slot(slot)
+
     def _resolve_block(self, blk) -> None:
         """Fetch a dispatched block's outputs and act on them (emit + harvest).
 
@@ -774,6 +808,7 @@ class ContinuousBatcher:
         k = self.steps_per_sync
         pending = None  # previous block's un-fetched outputs (one-deep pipeline)
         while not self._stop.is_set():
+            self._reap_cancelled()
             # Host-side occupancy truth (slot_info tracks attach/harvest) —
             # no device fetch needed to decide idleness.
             if all(s.request is None for s in self._slot_info):

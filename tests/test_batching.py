@@ -451,3 +451,34 @@ def test_dp_tp_mesh_batched_step_matches_unsharded(model):
     # The sharded step must KEEP the cache head-sharded (no silent gather):
     k_sharding = sharded["cache"]["k"].sharding
     assert "tp" in getattr(k_sharding, "spec", ())[2:3] or k_sharding.spec[2] == "tp"
+
+
+def test_batcher_stream_close_cancels_lane(model):
+    """Closing a stream generator mid-flight (client disconnect) frees the
+    lane at the next block boundary instead of generating to max_steps for
+    nobody; other requests are unaffected."""
+    import time
+
+    batcher = ContinuousBatcher(
+        model, slots=2, prompt_capacity=64, max_frames=64, seed=3, steps_per_sync=2
+    )
+    batcher.start()
+    try:
+        g = batcher.submit_stream([5, 9, 2], _cfg(max_steps=60), timeout=120)
+        first = next(g)
+        assert len(first) == 2 * 1920
+        g.close()  # consumer walks away
+
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            if all(s.request is None for s in batcher._slot_info):
+                break
+            time.sleep(0.05)
+        else:
+            raise AssertionError("cancelled lane was never reaped")
+
+        # Engine still healthy: a fresh request completes.
+        out = batcher.generate([7, 1, 4], _cfg(max_steps=3), timeout=120)
+        assert len(out) == 3 * 1920
+    finally:
+        batcher.stop()
