@@ -1,4 +1,4 @@
-"""HTTP server: /health /voices /tts /tts/stream.
+"""HTTP server: /health /stats /voices /tts /tts/stream.
 
 API parity with `internal/server/server.go`:
 
@@ -68,6 +68,63 @@ class _WorkerPool:
         self._sem.release()
 
 
+class _Stats:
+    """Process-lifetime serving counters for ``GET /stats``.
+
+    Beyond the reference (which has only /health + request logs): one cheap
+    mutexed snapshot for dashboards/load tests — in-flight gauge, outcome
+    counters, and the aggregate synthesis rate (audio seconds produced per
+    wall second spent synthesizing).
+    """
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.in_flight = 0
+        self.requests_total = 0
+        self.ok_total = 0
+        self.error_total = 0
+        self.busy_503_total = 0
+        self.timeout_504_total = 0
+        self.audio_seconds_total = 0.0
+        self.wall_seconds_total = 0.0
+
+    def enter(self) -> None:
+        with self._lock:
+            self.in_flight += 1
+            self.requests_total += 1
+
+    def exit(self) -> None:
+        with self._lock:
+            self.in_flight -= 1
+
+    def count(self, field: str) -> None:
+        with self._lock:
+            setattr(self, field, getattr(self, field) + 1)
+
+    def ok(self, audio_seconds: float, wall_seconds: float) -> None:
+        with self._lock:
+            self.ok_total += 1
+            self.audio_seconds_total += audio_seconds
+            self.wall_seconds_total += wall_seconds
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            wall = self.wall_seconds_total
+            return {
+                "in_flight": self.in_flight,
+                "requests_total": self.requests_total,
+                "ok_total": self.ok_total,
+                "error_total": self.error_total,
+                "busy_503_total": self.busy_503_total,
+                "timeout_504_total": self.timeout_504_total,
+                "audio_seconds_total": round(self.audio_seconds_total, 3),
+                "synthesis_wall_seconds_total": round(wall, 3),
+                "aggregate_x_realtime": (
+                    round(self.audio_seconds_total / wall, 2) if wall > 0 else None
+                ),
+            }
+
+
 def make_handler(
     service,
     voices=None,
@@ -82,6 +139,7 @@ def make_handler(
     compatible stub); ``voices`` optionally exposes ``list_voices()``.
     """
     pool = _WorkerPool(workers)
+    stats = _Stats()
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -156,6 +214,8 @@ def make_handler(
                 self._error(405, "method not allowed")
             elif self.path == "/health":
                 self._json(200, {"status": "ok", "version": __version__})
+            elif self.path == "/stats":
+                self._json(200, stats.snapshot())
             elif self.path == "/voices":
                 listing = voices.list_voices() if voices is not None else []
                 self._json(
@@ -189,8 +249,10 @@ def make_handler(
             if voice_path is None:
                 return
             if not pool.acquire(queue_timeout):
+                stats.count("busy_503_total")
                 self._error(503, "server is busy")
                 return
+            stats.enter()
             start = time.monotonic()
             try:
                 deadline = start + request_timeout
@@ -214,6 +276,7 @@ def make_handler(
                 else:
                     body = wav.encode_wav(pcm)
             except TimeoutError:
+                stats.count("timeout_504_total")
                 self._error(504, "synthesis timed out")
                 return
             except Exception as exc:  # noqa: BLE001 - surface as 500 like the reference
@@ -222,15 +285,19 @@ def make_handler(
                     or "deadline" in str(exc).lower()
                     or type(exc).__name__ == "CancelledError"
                 ):
+                    stats.count("timeout_504_total")
                     self._error(504, "synthesis timed out")
                     return
                 log.error("synthesis failed: %s", exc)
+                stats.count("error_total")
                 self._error(500, str(exc))
                 return
             finally:
                 pool.release()
+                stats.exit()
 
             dur_ms = (time.monotonic() - start) * 1e3
+            stats.ok(len(pcm) / 24_000.0, dur_ms / 1e3)
             log.info(
                 "tts ok voice=%s text_len=%d duration_ms=%.0f %s_bytes=%d",
                 voice,
@@ -256,8 +323,10 @@ def make_handler(
             if voice_path is None:
                 return
             if not pool.acquire(queue_timeout):
+                stats.count("busy_503_total")
                 self._error(503, "server is busy")
                 return
+            stats.enter()
             start = time.monotonic()
             wrote_header = False
             flac_enc = None
@@ -278,6 +347,7 @@ def make_handler(
                     flac_enc.header() if flac_enc else wav.streaming_wav_header()
                 )
                 total = 0
+                nsamples = 0
                 stream_kwargs = {}
                 if getattr(service, "supports_frame_streaming", False):
                     stream_kwargs["frame_streaming"] = True
@@ -294,9 +364,11 @@ def make_handler(
                     else:
                         payload = wav.pcm16_bytes(chunk.samples)
                     total += len(payload)
+                    nsamples += len(chunk.samples)
                     if payload:  # zero-length chunk would terminate the body
                         self._write_chunk(payload)
                 self._write_chunk(b"")  # terminal chunk
+                stats.ok(nsamples / 24_000.0, time.monotonic() - start)
                 log.info(
                     "tts/stream ok voice=%s text_len=%d duration_ms=%.0f pcm_bytes=%d",
                     voice,
@@ -306,15 +378,18 @@ def make_handler(
                 )
             except Exception as exc:  # noqa: BLE001
                 if not wrote_header:
+                    stats.count("error_total")
                     self._error(500, str(exc))
                 else:
                     log.error("streaming synthesis failed mid-stream: %s", exc)
+                    stats.count("error_total")
                     try:
                         self.connection.close()
                     except OSError:
                         pass
             finally:
                 pool.release()
+                stats.exit()
 
         def _write_chunk(self, payload: bytes) -> None:
             self.wfile.write(f"{len(payload):X}\r\n".encode() + payload + b"\r\n")

@@ -231,3 +231,40 @@ def test_worker_pool_saturation_503():
         assert 200 in codes
     finally:
         srv.shutdown()
+
+
+def test_stats_endpoint(server):
+    srv, svc = server
+    base = f"http://127.0.0.1:{srv.port}"
+    with urllib.request.urlopen(f"{base}/stats", timeout=5) as r:
+        fresh = json.loads(r.read())
+    assert fresh["requests_total"] == 0
+    assert fresh["in_flight"] == 0
+    assert fresh["aggregate_x_realtime"] is None
+
+    with _post(f"{base}/tts", {"text": "hi"}) as r:
+        assert r.status == 200
+    with _post(f"{base}/tts/stream", {"text": "hi"}) as r:
+        assert r.status == 200
+        r.read()
+
+    with urllib.request.urlopen(f"{base}/stats", timeout=5) as r:
+        after = json.loads(r.read())
+    assert after["requests_total"] == 2
+    assert after["ok_total"] == 2
+    assert after["in_flight"] == 0
+    assert after["audio_seconds_total"] > 0
+    assert after["error_total"] == 0
+
+
+def test_stats_counts_errors(server):
+    srv, svc = server
+    svc.fail = True
+    base = f"http://127.0.0.1:{srv.port}"
+    with pytest.raises(urllib.error.HTTPError):
+        _post(f"{base}/tts", {"text": "hi"})
+    with urllib.request.urlopen(f"{base}/stats", timeout=5) as r:
+        after = json.loads(r.read())
+    assert after["error_total"] == 1
+    assert after["ok_total"] == 0
+    assert after["in_flight"] == 0
