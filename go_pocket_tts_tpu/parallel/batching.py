@@ -8,11 +8,18 @@ fixed set of request *slots* stepping together:
 - each slot is a lane of the batched KV cache with its **own offset**
   (``models.flow_transformer.transformer_step_batched``) — requests join and
   leave at any step (heterogeneous prompt lengths and EOS times)
-- admission happens between steps: a new request is prefilled on the
-  single-request path, then its lane is spliced into the batch state
+- admission is burst-batched: all queued requests prefill in ONE program and
+  splice into the batch state in one dispatch (counts padded to powers of
+  two to bound compile variants), overlapped with the running AR block
+- steps run in K-frame blocks (``steps_per_sync``); the block program also
+  returns each lane's new-frame windows, counts, and a packed flags copy,
+  so streamed PCM and bookkeeping ride ONE host sync per block
+- blocks pipeline one deep: block N's fetch overlaps block N+1's compute
 - per-slot EOS countdown bookkeeping runs inside the jitted step (same
   semantics as the single-program loop in `runtime/generate.py`)
-- finished slots are harvested (frames → Mimi decode → PCM future) and freed
+- finished slots are harvested in one batched decode program (int16 PCM)
+  and freed; stream consumers that disconnect cancel their lane at the
+  next block boundary
 
 The batched step state can be sharded over a ``dp`` mesh (`parallel.mesh`)
 so the same engine drives multi-chip batch serving (BASELINE config 5).
@@ -650,9 +657,11 @@ class ContinuousBatcher:
             info.stream_parts = []
 
     def _fetch_flags(self):
-        """One overlapped fetch of the per-slot bookkeeping flags (three
-        separate np.asarray calls would cost three host round trips per
-        block in a tunneled environment)."""
+        """One overlapped fetch of the per-slot bookkeeping flags.
+
+        The engine loop itself no longer calls this — it reads the packed
+        flags copy returned by the block program (`_resolve_block`) — but
+        diagnostics and tests use it for a ground-truth device snapshot."""
         return jax.device_get(
             (self._state["done"], self._state["active"], self._state["n_frames"])
         )
