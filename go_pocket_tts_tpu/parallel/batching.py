@@ -297,6 +297,12 @@ class _SlotInfo:
     emitted_frames: int = 0
     streaming: bool = False
     stream_parts: Optional[List[np.ndarray]] = None
+    # Bumped on every attach AND release. The one-deep block pipeline
+    # resolves a block one iteration after dispatching it; if the slot was
+    # harvested and re-admitted in between, the block's flags/PCM describe
+    # the PREVIOUS occupant — the epoch recorded at dispatch time gates
+    # emit/harvest so a recycled slot never consumes a stale block (ABA).
+    epoch: int = 0
 
 
 @partial(jax.jit, static_argnames=("mimi_cfg",), donate_argnames=("stream_state",))
@@ -632,6 +638,7 @@ class ContinuousBatcher:
 
     def _attach_request(self, slot: int, req: _Request) -> None:
         info = self._slot_info[slot]
+        info.epoch += 1
         info.request = req
         info.emitted_frames = 0
         info.streaming = req.stream is not None
@@ -669,13 +676,19 @@ class ContinuousBatcher:
     def _any_streaming(self) -> bool:
         return any(s.request is not None and s.streaming for s in self._slot_info)
 
-    def _emit_streams(self, pcm_np, n_new) -> None:
+    def _emit_streams(self, pcm_np, n_new, epochs) -> None:
         """Distribute one decoded block (host arrays, already fetched) to the
-        streaming slots' queues."""
+        streaming slots' queues. ``epochs`` gates recycled slots (see
+        ``_SlotInfo.epoch``)."""
         samples_per = self.model.config.mimi.samples_per_latent
         for slot in range(self.slots):
             info = self._slot_info[slot]
-            if info.request is None or not info.streaming or int(n_new[slot]) <= 0:
+            if (
+                info.request is None
+                or not info.streaming
+                or int(n_new[slot]) <= 0
+                or info.epoch != epochs[slot]
+            ):
                 continue
             block = (
                 pcm_np[slot, 0, : int(n_new[slot]) * samples_per].astype(np.float32)
@@ -685,12 +698,14 @@ class ContinuousBatcher:
             info.stream_parts.append(block)
             info.request.stream.put(block)
 
-    def _harvest(self, done, active, n_frames) -> None:
+    def _harvest(self, done, active, n_frames, epochs) -> None:
         to_decode = []  # (slot, n) of finished plain requests
         for slot in range(self.slots):
             info = self._slot_info[slot]
             if info.request is None or not (active[slot] and done[slot]):
                 continue
+            if info.epoch != epochs[slot]:
+                continue  # stale block: flags describe the previous occupant
             if info.streaming:
                 # Streamed slot: all PCM already emitted block-by-block.
                 audio = (
@@ -733,6 +748,7 @@ class ContinuousBatcher:
 
     def _release_slot(self, slot: int) -> None:
         info = self._slot_info[slot]
+        info.epoch += 1
         info.request = None
         info.streaming = False
         info.stream_parts = None
@@ -801,14 +817,15 @@ class ContinuousBatcher:
         PCM payload) overlaps block N+1's compute instead of serializing
         with it. All fetched arrays are fresh program outputs — never the
         (since donated) state buffers."""
+        epochs = blk["epochs"]
         if blk["pcm"] is not None:
             flags, pcm_np, n_new_np = jax.device_get(
                 (blk["flags"], blk["pcm"], blk["n_new"])
             )
-            self._emit_streams(pcm_np, n_new_np)
+            self._emit_streams(pcm_np, n_new_np, epochs)
         else:
             flags = jax.device_get(blk["flags"])
-        self._harvest(flags[0].astype(bool), flags[1].astype(bool), flags[2])
+        self._harvest(flags[0].astype(bool), flags[1].astype(bool), flags[2], epochs)
 
     def _loop_inner(self) -> None:
         decode_steps = 1
@@ -870,7 +887,12 @@ class ContinuousBatcher:
             # late; streaming consumers see their audio one block later —
             # both bounded by k frames, and the sync cost stops serializing
             # with device compute.
-            prev, pending = pending, {"flags": flags, "pcm": pcm, "n_new": n_new}
+            prev, pending = pending, {
+                "flags": flags,
+                "pcm": pcm,
+                "n_new": n_new,
+                "epochs": [s_.epoch for s_ in self._slot_info],
+            }
             if prev is not None:
                 self._resolve_block(prev)
         if pending is not None:  # drain so stop() doesn't strand consumers

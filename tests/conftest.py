@@ -33,3 +33,10 @@ if _ROOT not in sys.path:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", _platform)
+
+if _platform != "cpu":
+    # On TPU, f32 matmuls default to bf16 passes; the suite's f32 parity
+    # tolerances (e.g. batched-vs-single at 1e-4) assume true f32 — pin
+    # highest precision for the hardware tier only. Production keeps the
+    # default (serving runs bf16 anyway).
+    jax.config.update("jax_default_matmul_precision", "highest")

@@ -123,7 +123,8 @@ def test_late_admission_does_not_disturb_running_lane(model):
 
 def test_dp_mesh_batched_step_matches_unsharded(model):
     """One batched AR step under an 8-device dp mesh == unsharded result."""
-    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual CPU) devices; hardware tier has 1 chip")
     from go_pocket_tts_tpu.models import flow_lm as flm
     from go_pocket_tts_tpu.models import flow_transformer as ftr
     from go_pocket_tts_tpu.parallel.batching import _batched_ar_step
@@ -212,6 +213,8 @@ def test_batcher_runtime_in_service(model):
 def test_batcher_over_dp_mesh(model):
     """The full engine sharded over a 4-device dp mesh produces the same
     audio as the single-request runtime (config 5 shape, CPU mesh)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 (virtual CPU) devices; hardware tier has 1 chip")
     mesh = dp_mesh(4)
     batcher = ContinuousBatcher(
         model, slots=4, prompt_capacity=64, max_frames=64, seed=3, mesh=mesh
@@ -400,7 +403,8 @@ def test_dp_tp_mesh_batched_step_matches_unsharded(model):
     """One batched AR step under a 2-D (dp=2, tp=4) mesh — transformer
     matmuls and KV-cache heads sharded over ``tp``, batch over ``dp`` —
     matches the unsharded result. GSPMD inserts the per-layer all-reduces."""
-    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual CPU) devices; hardware tier has 1 chip")
     from go_pocket_tts_tpu.parallel.batching import _batched_ar_step
     from go_pocket_tts_tpu.parallel.mesh import (
         dp_tp_mesh,
@@ -480,5 +484,85 @@ def test_batcher_stream_close_cancels_lane(model):
         # Engine still healthy: a fresh request completes.
         out = batcher.generate([7, 1, 4], _cfg(max_steps=3), timeout=120)
         assert len(out) == 3 * 1920
+    finally:
+        batcher.stop()
+
+
+def test_batcher_soak_random_mix(model):
+    """Stress the pipelined engine with a randomized mix of plain, streaming,
+    early-EOS, and disconnecting requests across waves — every surviving
+    request must produce exactly its expected frame count and the engine must
+    end idle and healthy (race canary for the one-deep pipeline)."""
+    import random
+    import threading
+    import time
+
+    rng = random.Random(0xC0FFEE)
+    batcher = ContinuousBatcher(
+        model, slots=4, prompt_capacity=64, max_frames=64, seed=3, steps_per_sync=3
+    )
+    batcher.start()
+    errors = []
+    try:
+        def plain(n_steps, delay):
+            time.sleep(delay)
+            try:
+                out = batcher.generate(
+                    [rng.randrange(3, 50) for _ in range(rng.randrange(1, 6))],
+                    _cfg(max_steps=n_steps),
+                    timeout=180,
+                )
+                assert len(out) == n_steps * 1920, (len(out), n_steps)
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        def streamer(n_steps, delay, abandon_after):
+            time.sleep(delay)
+            try:
+                g = batcher.submit_stream(
+                    [rng.randrange(3, 50) for _ in range(rng.randrange(1, 6))],
+                    _cfg(max_steps=n_steps),
+                    timeout=180,
+                )
+                got = 0
+                for i, blk in enumerate(g):
+                    got += len(blk)
+                    if abandon_after is not None and i >= abandon_after:
+                        g.close()
+                        return
+                assert got == n_steps * 1920, (got, n_steps)
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        threads = []
+        for _ in range(10):
+            kind = rng.random()
+            delay = rng.random() * 0.8
+            steps = rng.randrange(2, 14)
+            if kind < 0.5:
+                threads.append(threading.Thread(target=plain, args=(steps, delay)))
+            elif kind < 0.85:
+                threads.append(
+                    threading.Thread(target=streamer, args=(steps, delay, None))
+                )
+            else:
+                threads.append(
+                    threading.Thread(target=streamer, args=(steps, delay, 0))
+                )
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=240)
+            assert not t.is_alive(), "soak worker hung"
+        assert not errors, errors
+
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            if all(s.request is None for s in batcher._slot_info):
+                break
+            time.sleep(0.05)
+        else:
+            raise AssertionError("engine did not drain to idle")
+        assert batcher._crashed is None
     finally:
         batcher.stop()
