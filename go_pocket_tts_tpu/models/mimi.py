@@ -69,6 +69,10 @@ class MimiConfig:
     # (`mimi.go:582-602`).
     upsample_groups: int = 512
     seanet_strides: Tuple[int, int, int] = (6, 5, 4)
+    # Fuse res3 + ELU + final_conv into one Pallas VMEM pass at the full
+    # 24 kHz rate (ops/pallas/seanet_tail.py); falls back to the XLA chain
+    # for shapes the kernel doesn't cover.
+    use_pallas: bool = False
 
     @property
     def steps_per_latent(self) -> int:
@@ -265,6 +269,22 @@ def mimi_decode(params: Params, cfg: MimiConfig, mimi_latent: jax.Array) -> jax.
     x = _resblock(params["res2"], x)
     x = elu(x)
     x = _convtr(params["up3"], x, s3)
+    if cfg.use_pallas and x.shape[1] == 64:
+        from go_pocket_tts_tpu.ops.pallas import seanet_tail as _st
+
+        if _st.supports(x.shape[-1]):
+            r, f = params["res3"], params["final_conv"]
+            zeros = lambda n: jnp.zeros((n,), x.dtype)  # noqa: E731
+            return _st.fused_seanet_tail(
+                x,
+                r["conv1"]["w"],
+                r["conv1"].get("b", zeros(r["conv1"]["w"].shape[0])),
+                r["conv2"]["w"],
+                r["conv2"].get("b", zeros(r["conv2"]["w"].shape[0])),
+                f["w"],
+                f.get("b", zeros(1)),
+                interpret=jax.default_backend() == "cpu",
+            )
     x = _resblock(params["res3"], x)
     x = elu(x)
     x = _conv(params["final_conv"], x)

@@ -1,0 +1,129 @@
+"""Pallas TPU kernel: fused SEANet decode tail (res3 → ELU → final conv).
+
+The last Mimi decode stage runs at the full 24 kHz sample rate
+(T = 1920·frames, the largest activation in the model): a 64→32 k3 causal
+conv, k1 conv back to 64, residual add, ELU, then the 64→1 k7 causal output
+conv (`internal/native/mimi.go:719-789`; reference shapes
+`decoder.model.{9,11}`). XLA lowers each conv separately, materializing
+three full-rate [64, T] intermediates in HBM; this kernel streams the chain
+through VMEM once — the convs become per-tap [32,64]/[64,32] matmuls on the
+MXU over a T-block, so the only HBM traffic is x in, PCM out.
+
+Causal halo: each grid block needs 8 left samples of context (2 for conv1,
+6 for the final k7). The input is passed twice — once as the current block,
+once with the index map shifted one block left — and the kernel slices the
+halo from the previous block's tail (zeros for block 0, matching the
+reference's zero left-padding).
+
+Replaces the SEANet slot in SURVEY.md §7.1's kernel list. Opt-in like the
+other Pallas kernels; numerics are validated against the XLA path in
+tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu  # noqa: F401  (memory spaces)
+
+__all__ = ["fused_seanet_tail", "supports"]
+
+_HALO = 8  # conv1 (k3 causal: 2) + final conv (k7 causal: 6)
+_BLOCK_T = 1920  # = samples per latent frame = 15 * 128 lanes; divides every
+# decode bucket's T and keeps the minor dim lane-aligned.
+
+
+def supports(t: int) -> bool:
+    return t % _BLOCK_T == 0 and t >= _BLOCK_T
+
+
+def _elu(v):
+    # Mosaic has no expm1 lowering; exp(x)-1 loses ~1 ulp near 0, inside the
+    # kernel's 2e-4 parity budget.
+    return jnp.where(v > 0, v, jnp.exp(jnp.minimum(v, 0.0)) - 1.0)
+
+
+def _kernel(x_ref, prev_ref, w1_ref, b1_ref, w2_ref, b2_ref, wf_ref, bf_ref, o_ref):
+    i = pl.program_id(1)
+    tb = x_ref.shape[-1]
+
+    cur = x_ref[0]  # [64, Tb]
+    prev = prev_ref[0]  # [64, Tb] (block i-1; block 0 sees itself)
+    halo = jnp.where(i == 0, 0.0, 1.0) * prev[:, tb - _HALO :]
+    xb = jnp.concatenate([halo, cur], axis=-1)  # [64, Tb+8]
+
+    f32 = jnp.float32
+    h1 = _elu(xb.astype(f32))  # [64, Tb+8]
+
+    # conv1: 64→32, k3 causal — per-tap matmuls on the MXU.
+    w1 = w1_ref[...].astype(f32)  # [32, 64, 3]
+    u = tb + 6
+    c1 = b1_ref[...].astype(f32)[:, None]  # [32, 1] → broadcast
+    for j in range(3):
+        c1 = c1 + jax.lax.dot_general(
+            w1[:, :, j],
+            h1[:, j : j + u],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+    h2 = _elu(c1)  # [32, Tb+6]
+
+    # conv2: 32→64, k1.
+    w2 = w2_ref[...].astype(f32)  # [64, 32]
+    c2 = (
+        jax.lax.dot_general(w2, h2, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+        + b2_ref[...].astype(f32)[:, None]
+    )
+
+    # residual + ELU; zero the columns that lie before t=0 (the reference
+    # zero-pads the FINAL conv's input, not the resblock output).
+    y = _elu(xb[:, 2:].astype(f32) + c2)  # [64, Tb+6]
+    pos = i * tb - 6 + jax.lax.broadcasted_iota(jnp.int32, (1, u), 1)
+    y = jnp.where(pos >= 0, y, 0.0)
+
+    # final conv: 64→1, k7 causal.
+    wf = wf_ref[...].astype(f32)  # [64, 7]
+    out = jnp.zeros((1, tb), f32)
+    for j in range(7):
+        out = out + jnp.sum(wf[:, j][:, None] * y[:, j : j + tb], axis=0, keepdims=True)
+    o_ref[0] = (out + bf_ref[...].astype(f32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_seanet_tail(
+    x: jax.Array,  # [B, 64, T] post-up3 activations
+    w1: jax.Array,  # [32, 64, 3] res3.conv1 (torch layout)
+    b1: jax.Array,  # [32]
+    w2: jax.Array,  # [64, 32, 1] res3.conv2
+    b2: jax.Array,  # [64]
+    wf: jax.Array,  # [1, 64, 7] final_conv
+    bf: jax.Array,  # [1]
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused ``final_conv(elu(x + res3(x)))`` → ``[B, 1, T]`` PCM."""
+    b, c, t = x.shape
+    assert c == 64 and supports(t), x.shape
+    nb = t // _BLOCK_T
+
+    grid = (b, nb)
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 64, _BLOCK_T), lambda bi, i: (bi, 0, i)),
+            pl.BlockSpec((1, 64, _BLOCK_T), lambda bi, i: (bi, 0, jnp.maximum(i - 1, 0))),
+            pl.BlockSpec((32, 64, 3), lambda bi, i: (0, 0, 0)),
+            pl.BlockSpec((32,), lambda bi, i: (0,)),
+            pl.BlockSpec((64, 32), lambda bi, i: (0, 0)),
+            pl.BlockSpec((64,), lambda bi, i: (0,)),
+            pl.BlockSpec((64, 7), lambda bi, i: (0, 0)),
+            pl.BlockSpec((1,), lambda bi, i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, _BLOCK_T), lambda bi, i: (bi, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((b, 1, t), x.dtype),
+        interpret=interpret,
+    )(x, x, w1, b1, w2.reshape(64, 32), b2, wf.reshape(64, 7), bf)
+    return out

@@ -371,6 +371,9 @@ class ContinuousBatcher:
         mesh=None,
         steps_per_sync: int = 8,
     ) -> None:
+        from go_pocket_tts_tpu.models.model import auto_pallas_mimi
+
+        model = auto_pallas_mimi(model)  # fused decode tail where it pays
         self.model = model if jnp.dtype(dtype) == jnp.float32 else model.astype(dtype)
         self.dtype = jnp.dtype(dtype)
         self.slots = slots

@@ -341,8 +341,9 @@ class TPURuntime:
                 model.config.flow_lm.transformer, use_pallas=True
             )
             flow_cfg = dataclasses.replace(model.config.flow_lm, transformer=tcfg)
+            mimi_cfg = dataclasses.replace(model.config.mimi, use_pallas=True)
             model = PocketTTSModel(
-                model.params, ModelConfig(flow_lm=flow_cfg, mimi=model.config.mimi)
+                model.params, ModelConfig(flow_lm=flow_cfg, mimi=mimi_cfg)
             )
             if quantize:
                 from go_pocket_tts_tpu.models.params import set_quantized_matmul_backend
@@ -351,6 +352,9 @@ class TPURuntime:
                 if jax.default_backend() == "cpu":
                     backend = "pallas:interpret"
                 set_quantized_matmul_backend(backend)
+        from go_pocket_tts_tpu.models.model import auto_pallas_mimi
+
+        model = auto_pallas_mimi(model)
         self.model = model if self.dtype == jnp.float32 else model.astype(self.dtype)
         if matmul_precision is None:
             matmul_precision = "highest" if self.dtype == jnp.float32 else "default"

@@ -120,3 +120,56 @@ def test_quantized_pallas_runtime_end_to_end():
     finally:
         set_quantized_matmul_backend("xla")
     np.testing.assert_allclose(pal, ref, atol=1e-3, rtol=1e-3)
+
+
+# -- fused SEANet tail kernel -------------------------------------------------
+
+
+@pytest.mark.parametrize("blocks,batch", [(1, 1), (3, 2)])
+def test_fused_seanet_tail_matches_xla(blocks, batch):
+    """Fused res3+ELU+final_conv (interpret mode) == the XLA conv chain,
+    including block-boundary halos and the t<0 zero padding."""
+    from go_pocket_tts_tpu.ops.conv import causal_conv1d
+    from go_pocket_tts_tpu.ops.pallas.seanet_tail import _BLOCK_T, fused_seanet_tail
+
+    rng = np.random.RandomState(blocks * 10 + batch)
+    T = _BLOCK_T * blocks
+    x = jnp.asarray(rng.randn(batch, 64, T).astype(np.float32) * 0.5)
+    w1 = jnp.asarray(rng.randn(32, 64, 3).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.randn(32).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(64, 32, 1).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    wf = jnp.asarray(rng.randn(1, 64, 7).astype(np.float32) * 0.1)
+    bf = jnp.asarray(rng.randn(1).astype(np.float32) * 0.1)
+
+    h = causal_conv1d(jax.nn.elu(x), w1, b1)
+    h = causal_conv1d(jax.nn.elu(h), w2, b2)
+    want = causal_conv1d(jax.nn.elu(x + h), wf, bf)
+
+    got = fused_seanet_tail(x, w1, b1, w2, b2, wf, bf, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)
+
+
+def test_fused_seanet_tail_in_mimi_decode():
+    """mimi_decode with use_pallas picks the fused tail when the shape
+    qualifies and matches the XLA decode exactly at the audio level."""
+    import dataclasses
+
+    from go_pocket_tts_tpu.models import mimi as mimi_mod
+    from go_pocket_tts_tpu.models import synthetic
+    from go_pocket_tts_tpu.models.model import load_model_from_store
+    from go_pocket_tts_tpu.utils.safetensors import encode_tensors, open_store_from_bytes
+
+    arch = synthetic.real_arch()  # tail channels 64 → kernel qualifies
+    model = load_model_from_store(
+        open_store_from_bytes(encode_tensors(synthetic.build_checkpoint(arch, seed=5))),
+        num_heads=arch.num_heads,
+    )
+    rng = np.random.RandomState(0)
+    latent = jnp.asarray(rng.randn(1, 512, 2).astype(np.float32) * 0.3)
+
+    want = mimi_mod.mimi_decode(model.params["mimi"], model.config.mimi, latent)
+    cfg_p = dataclasses.replace(model.config.mimi, use_pallas=True)
+    got = mimi_mod.mimi_decode(model.params["mimi"], cfg_p, latent)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)
