@@ -371,9 +371,13 @@ class ContinuousBatcher:
         mesh=None,
         steps_per_sync: int = 8,
     ) -> None:
-        from go_pocket_tts_tpu.models.model import auto_pallas_mimi
+        if mesh is None:
+            # Fused decode tail where it pays. Skipped under a dp mesh:
+            # pallas_call does not auto-partition under GSPMD, and the
+            # harvest decode's inputs are batch-sharded there.
+            from go_pocket_tts_tpu.models.model import auto_pallas_mimi
 
-        model = auto_pallas_mimi(model)  # fused decode tail where it pays
+            model = auto_pallas_mimi(model)
         self.model = model if jnp.dtype(dtype) == jnp.float32 else model.astype(dtype)
         self.dtype = jnp.dtype(dtype)
         self.slots = slots
