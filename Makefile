@@ -1,27 +1,30 @@
-# Dev workflow (the reference's justfile equivalent).
+# Dev task runner (the TPU analogue of the reference's justfile).
+# Tests run on CPU by default (tests/conftest.py pins the platform).
 
-.PHONY: test test-fast bench native clean verify dryrun
+PY ?= python
 
-test:
-	python -m pytest tests/ -q
+.PHONY: test test-fast test-hw bench bench-batch serve lint ci
 
-test-fast:
-	python -m pytest tests/ -q -x -m "not slow"
+test:            ## full suite on CPU (~8 min)
+	$(PY) -m pytest tests/ -q
 
-native:
-	$(MAKE) -C go_pocket_tts_tpu/native
+test-fast:       ## everything except the slow batcher tier
+	$(PY) -m pytest tests/ -q --ignore=tests/test_batching.py
 
-bench:
-	python bench.py
+test-hw:         ## full suite on the real TPU chip (slow compiles)
+	JAX_COMPILATION_CACHE_DIR=/tmp/jax_comp_cache POCKETTTS_TEST_PLATFORM=axon \
+	$(PY) -m pytest tests/ -q -p no:cacheprovider
 
-dryrun:
-	XLA_FLAGS="--xla_force_host_platform_device_count=8" python -c \
-	  "import jax; jax.config.update('jax_platforms','cpu'); \
-	   import __graft_entry__ as g; g.dryrun_multichip(8); print('dryrun ok')"
+bench:           ## headline single-chip number (one JSON line)
+	$(PY) bench.py
 
-verify:
-	python -m go_pocket_tts_tpu model verify
+bench-batch:     ## continuous-batching aggregate (8 slots / 16 reqs / k=16)
+	$(PY) scripts/bench_batch.py 8 16 16
 
-clean:
-	$(MAKE) -C go_pocket_tts_tpu/native clean
-	find . -name __pycache__ -type d -exec rm -rf {} +
+serve:           ## local server on :8080
+	$(PY) -m go_pocket_tts_tpu serve --server-listen-addr 127.0.0.1:8080
+
+lint:            ## syntax check every module
+	$(PY) -m compileall -q go_pocket_tts_tpu tests scripts bench.py __graft_entry__.py
+
+ci: lint test    ## what a CI job should run
