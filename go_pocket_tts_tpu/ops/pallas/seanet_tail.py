@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu  # noqa: F401  (memory spaces)
 
-__all__ = ["fused_seanet_tail", "supports"]
+__all__ = ["fused_seanet_tail", "fused_seanet_up_tail", "supports", "supports_up"]
 
 _HALO = 8  # conv1 (k3 causal: 2) + final conv (k7 causal: 6)
 _BLOCK_T = 1920  # = samples per latent frame = 15 * 128 lanes; divides every
@@ -126,4 +126,136 @@ def fused_seanet_tail(
         out_shape=jax.ShapeDtypeStruct((b, 1, t), x.dtype),
         interpret=interpret,
     )(x, x, w1, b1, w2.reshape(64, 32), b2, wf.reshape(64, 7), bf)
+    return out
+
+
+# -- up3 fused in: polyphase transposed conv + the same tail ------------------
+#
+# STATUS: interpret-validated prototype (2e-6 vs the XLA chain, incl. block
+# halos and causal padding), but NOT wired into mimi_decode: current Mosaic
+# cannot lower the phase-interleave reshape ([64, M, 4] -> [64, 4M] minor-dims
+# merge — "infer-vector-layout: unsupported shape cast"). The fix is a
+# phase-space formulation of the tail (every conv tap becomes a per-phase
+# matmul with column shifts, no interleave needed) — a round-3 candidate
+# worth ~1 ms of decode device time. The tail-only kernel above is the one
+# enabled in production.
+
+_UP_K, _UP_S = 8, 4  # the reference's up3 (decoder.model.8): k=8, stride=4
+# Mosaic needs the block's minor dim divisible by 128: 512 input columns →
+# 2048 output samples per block. Every decode bucket (multiples of 16
+# frames → t_in = 480·f) divides; odd shapes fall back to the tail-only
+# kernel, whose 1920-sample block divides any whole-frame length.
+_QB = 512
+
+
+def supports_up(c_in: int, t_in: int, k: int) -> bool:
+    return c_in == 128 and k == _UP_K and t_in % _QB == 0 and t_in >= _QB
+
+
+def _up_tail_kernel(
+    x_ref, prev_ref, wu_ref, bu_ref, w1_ref, b1_ref, w2_ref, b2_ref, wf_ref, bf_ref, o_ref
+):
+    i = pl.program_id(1)
+    qb = x_ref.shape[-1]
+    tb = qb * _UP_S
+
+    cur = x_ref[0]  # [128, Qb]
+    prev = prev_ref[0]
+    halo = jnp.where(i == 0, 0.0, 1.0) * prev[:, qb - 3 :]
+    xh = jnp.concatenate([halo, cur], axis=-1).astype(jnp.float32)  # [128, Qb+3]
+
+    # Polyphase ConvTranspose(s=4, k=8) with the repacked (conv-style,
+    # flipped) weight W[64, 128, 8]: output sample t = 4q + r mixes
+    # A_r·x[q-1] + B_r·x[q], with A_r = W[:,:,(7-r)%4], B_r = A-tap + 4.
+    # We materialize y on [t0-8, t0+Tb) — exactly the tail's own halo — so
+    # the full-rate activation never touches HBM.
+    f32 = jnp.float32
+    wu = wu_ref[...].astype(f32)  # [64, 128, 8]
+    bu = bu_ref[...].astype(f32)
+    m_cols = tb // _UP_S + 2  # (Tb+8)/4
+    phases = []
+    for r in range(_UP_S):
+        j1 = (7 - r) % 4
+        a = jax.lax.dot_general(
+            wu[:, :, j1], xh[:, 0:m_cols], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        bmat = jax.lax.dot_general(
+            wu[:, :, j1 + 4], xh[:, 1 : m_cols + 1], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        phases.append(a + bmat)
+    # Interleave phases: y[:, 4m + r] = phases[r][:, m].
+    y_up = jnp.stack(phases, axis=-1).reshape(64, tb + 8) + bu[:, None]
+    # Positions before t=0 are the tail's causal zero padding, not
+    # up3-of-zero (which would carry the bias).
+    pos_x = i * tb - 8 + jax.lax.broadcasted_iota(jnp.int32, (1, tb + 8), 1)
+    y_up = jnp.where(pos_x >= 0, y_up, 0.0)
+
+    # -- identical tail math as _kernel, with xb := y_up ---------------------
+    xb = y_up
+    h1 = _elu(xb)
+    w1 = w1_ref[...].astype(f32)
+    u = tb + 6
+    c1 = b1_ref[...].astype(f32)[:, None]
+    for j in range(3):
+        c1 = c1 + jax.lax.dot_general(
+            w1[:, :, j], h1[:, j : j + u], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+    h2 = _elu(c1)
+    w2 = w2_ref[...].astype(f32)
+    c2 = (
+        jax.lax.dot_general(w2, h2, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+        + b2_ref[...].astype(f32)[:, None]
+    )
+    y = _elu(xb[:, 2:] + c2)
+    pos = i * tb - 6 + jax.lax.broadcasted_iota(jnp.int32, (1, u), 1)
+    y = jnp.where(pos >= 0, y, 0.0)
+    wf = wf_ref[...].astype(f32)
+    out = jnp.zeros((1, tb), f32)
+    for j in range(7):
+        out = out + jnp.sum(wf[:, j][:, None] * y[:, j : j + tb], axis=0, keepdims=True)
+    o_ref[0] = (out + bf_ref[...].astype(f32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_seanet_up_tail(
+    x: jax.Array,  # [B, 128, T/4] pre-up3 activations
+    wu: jax.Array,  # [64, 128, 8] repacked up3 kernel
+    bu: jax.Array,  # [64]
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    wf: jax.Array,
+    bf: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused ``final_conv(elu(y + res3(y)))`` with ``y = up3(x)`` computed
+    in-kernel → ``[B, 1, 4·T_in]`` PCM."""
+    b, c, t_in = x.shape
+    assert supports_up(c, t_in, wu.shape[-1]), (x.shape, wu.shape)
+    nb = t_in // _QB
+
+    grid = (b, nb)
+    out = pl.pallas_call(
+        _up_tail_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 128, _QB), lambda bi, i: (bi, 0, i)),
+            pl.BlockSpec((1, 128, _QB), lambda bi, i: (bi, 0, jnp.maximum(i - 1, 0))),
+            pl.BlockSpec((64, 128, 8), lambda bi, i: (0, 0, 0)),
+            pl.BlockSpec((64,), lambda bi, i: (0,)),
+            pl.BlockSpec((32, 64, 3), lambda bi, i: (0, 0, 0)),
+            pl.BlockSpec((32,), lambda bi, i: (0,)),
+            pl.BlockSpec((64, 32), lambda bi, i: (0, 0)),
+            pl.BlockSpec((64,), lambda bi, i: (0,)),
+            pl.BlockSpec((64, 7), lambda bi, i: (0, 0)),
+            pl.BlockSpec((1,), lambda bi, i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, _QB * _UP_S), lambda bi, i: (bi, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((b, 1, t_in * _UP_S), x.dtype),
+        interpret=interpret,
+    )(x, x, wu, bu, w1, b1, w2.reshape(64, 32), b2, wf.reshape(64, 7), bf)
     return out

@@ -173,3 +173,36 @@ def test_fused_seanet_tail_in_mimi_decode():
     got = mimi_mod.mimi_decode(model.params["mimi"], cfg_p, latent)
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("blocks,batch", [(1, 1), (2, 2)])
+def test_fused_seanet_up_tail_matches_xla(blocks, batch):
+    """Polyphase up3 (convT s4 k8) fused with the tail == the XLA chain."""
+    from go_pocket_tts_tpu.ops.conv import (
+        causal_conv1d,
+        conv_transpose1d_trim,
+        repack_conv_transpose_kernel,
+    )
+    from go_pocket_tts_tpu.ops.pallas.seanet_tail import _QB, fused_seanet_up_tail
+
+    rng = np.random.RandomState(blocks + batch)
+    T_in = _QB * blocks
+    x = jnp.asarray(rng.randn(batch, 128, T_in).astype(np.float32) * 0.5)
+    wu = repack_conv_transpose_kernel(
+        jnp.asarray(rng.randn(128, 64, 8).astype(np.float32) * 0.1)
+    )
+    bu = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rng.randn(32, 64, 3).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.randn(32).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(64, 32, 1).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    wf = jnp.asarray(rng.randn(1, 64, 7).astype(np.float32) * 0.1)
+    bf = jnp.asarray(rng.randn(1).astype(np.float32) * 0.1)
+
+    y = conv_transpose1d_trim(x, wu, bu, 4, 1)
+    h = causal_conv1d(jax.nn.elu(y), w1, b1)
+    h = causal_conv1d(jax.nn.elu(h), w2, b2)
+    want = causal_conv1d(jax.nn.elu(y + h), wf, bf)
+
+    got = fused_seanet_up_tail(x, wu, bu, w1, b1, w2, b2, wf, bf, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)
