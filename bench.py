@@ -107,6 +107,25 @@ def main() -> int:
         runs.append((audio_sec / wall, wall, audio_sec))
 
     x_rt = sorted(r[0] for r in runs)[len(runs) // 2]
+
+    # Time-to-first-audio over the frame-streaming path (p50 of a few runs;
+    # the adaptive 4->16-frame segment programs compile on the first pass and
+    # land in the persistent cache). POCKETTTS_BENCH_TTFA=0 skips.
+    ttfa_ms = None
+    if os.environ.get("POCKETTTS_BENCH_TTFA", "1") != "0":
+        from go_pocket_tts_tpu.runtime.streaming import stream_generate
+
+        ttfas = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            gen = stream_generate(rt, tokens, cfg)
+            next(gen)
+            ttfas.append((time.perf_counter() - t0) * 1e3)
+            for _blk in gen:  # drain so device state fully resolves
+                pass
+        ttfas = ttfas[1:]  # first run may include compiles
+        ttfa_ms = sorted(ttfas)[len(ttfas) // 2]
+
     history_note = _record_history(x_rt)
     payload = {
         "metric": "x_realtime_20w_single_chip",
@@ -124,6 +143,7 @@ def main() -> int:
             "tokens": len(tokens),
             "max_steps": max_steps,
             "device": str(jax.devices()[0]),
+            "ttfa_ms_p50": round(ttfa_ms, 1) if ttfa_ms is not None else None,
         },
     }
     if history_note:
