@@ -268,6 +268,25 @@ def mimi_decode(params: Params, cfg: MimiConfig, mimi_latent: jax.Array) -> jax.
     x = _convtr(params["up2"], x, s2)
     x = _resblock(params["res2"], x)
     x = elu(x)
+    if cfg.use_pallas and s3 == 4 and x.shape[1] == 128:
+        from go_pocket_tts_tpu.ops.pallas import seanet_tail as _st
+
+        wu = params["up3"]["w"]
+        if wu.shape[:2] == (64, 128) and _st.supports_up(x.shape[1], x.shape[-1], wu.shape[-1]):
+            r, f = params["res3"], params["final_conv"]
+            zeros = lambda n: jnp.zeros((n,), x.dtype)  # noqa: E731
+            return _st.fused_seanet_up_tail(
+                x,
+                wu,
+                params["up3"].get("b", zeros(64)),
+                r["conv1"]["w"],
+                r["conv1"].get("b", zeros(r["conv1"]["w"].shape[0])),
+                r["conv2"]["w"],
+                r["conv2"].get("b", zeros(r["conv2"]["w"].shape[0])),
+                f["w"],
+                f.get("b", zeros(1)),
+                interpret=jax.default_backend() == "cpu",
+            )
     x = _convtr(params["up3"], x, s3)
     if cfg.use_pallas and x.shape[1] == 64:
         from go_pocket_tts_tpu.ops.pallas import seanet_tail as _st

@@ -129,94 +129,109 @@ def fused_seanet_tail(
     return out
 
 
-# -- up3 fused in: polyphase transposed conv + the same tail ------------------
+# -- up3 fused in: phase-space polyphase convT + tail -------------------------
 #
-# STATUS: interpret-validated prototype (2e-6 vs the XLA chain, incl. block
-# halos and causal padding), but NOT wired into mimi_decode: current Mosaic
-# cannot lower the phase-interleave reshape ([64, M, 4] -> [64, 4M] minor-dims
-# merge — "infer-vector-layout: unsupported shape cast"). The fix is a
-# phase-space formulation of the tail (every conv tap becomes a per-phase
-# matmul with column shifts, no interleave needed) — a round-3 candidate
-# worth ~1 ms of decode device time. The tail-only kernel above is the one
-# enabled in production.
+# Fusing the stride-4 transposed conv (up3) into the tail removes the model's
+# largest activation ([64, 24kHz·T] f32) from HBM entirely. A first attempt
+# interleaved the 4 polyphase outputs in-kernel ([64, M, 4] → [64, 4M]), which
+# Mosaic cannot lower ("unsupported shape cast"); this version therefore stays
+# in PHASE SPACE end to end: every conv tap becomes a per-phase matmul with a
+# static column shift (time index t = 4m + r ⇒ a k-tap conv mixes phases
+# (r+e) mod 4 at column offsets ⌊e/4⌋), and the kernel writes its output
+# phases-major [B, 4, T/4] — one cheap XLA transpose+reshape restores time
+# order outside.
 
 _UP_K, _UP_S = 8, 4  # the reference's up3 (decoder.model.8): k=8, stride=4
-# Mosaic needs the block's minor dim divisible by 128: 512 input columns →
-# 2048 output samples per block. Every decode bucket (multiples of 16
-# frames → t_in = 480·f) divides; odd shapes fall back to the tail-only
-# kernel, whose 1920-sample block divides any whole-frame length.
-_QB = 512
+_QB = 512  # input columns per grid block (minor dim must divide by 128)
 
 
 def supports_up(c_in: int, t_in: int, k: int) -> bool:
     return c_in == 128 and k == _UP_K and t_in % _QB == 0 and t_in >= _QB
 
 
-def _up_tail_kernel(
+def _phase_kernel(
     x_ref, prev_ref, wu_ref, bu_ref, w1_ref, b1_ref, w2_ref, b2_ref, wf_ref, bf_ref, o_ref
 ):
     i = pl.program_id(1)
     qb = x_ref.shape[-1]
-    tb = qb * _UP_S
+    f32 = jnp.float32
 
     cur = x_ref[0]  # [128, Qb]
     prev = prev_ref[0]
-    halo = jnp.where(i == 0, 0.0, 1.0) * prev[:, qb - 3 :]
-    xh = jnp.concatenate([halo, cur], axis=-1).astype(jnp.float32)  # [128, Qb+3]
+    halo = jnp.where(i == 0, 0.0, 1.0) * prev[:, qb - 4 :]
+    xh = jnp.concatenate([halo, cur], axis=-1).astype(f32)  # [128, Qb+4]
 
-    # Polyphase ConvTranspose(s=4, k=8) with the repacked (conv-style,
-    # flipped) weight W[64, 128, 8]: output sample t = 4q + r mixes
-    # A_r·x[q-1] + B_r·x[q], with A_r = W[:,:,(7-r)%4], B_r = A-tap + 4.
-    # We materialize y on [t0-8, t0+Tb) — exactly the tail's own halo — so
-    # the full-rate activation never touches HBM.
-    f32 = jnp.float32
-    wu = wu_ref[...].astype(f32)  # [64, 128, 8]
-    bu = bu_ref[...].astype(f32)
-    m_cols = tb // _UP_S + 2  # (Tb+8)/4
-    phases = []
+    wu = wu_ref[...].astype(f32)  # [64, 128, 8] repacked (conv-style, flipped)
+    bu = bu_ref[...].astype(f32)[:, None]
+    w1 = w1_ref[...].astype(f32)  # [32, 64, 3]
+    b1 = b1_ref[...].astype(f32)[:, None]
+    w2 = w2_ref[...].astype(f32)  # [64, 32]
+    b2 = b2_ref[...].astype(f32)[:, None]
+    wf = wf_ref[...].astype(f32)  # [64, 7]
+    bf = bf_ref[...].astype(f32)
+
+    mb = qb  # output columns per phase
+    t0 = i * (mb * _UP_S)
+
+    # up3 output phases y_r over logical columns m' ∈ [-3, Mb): phase r of
+    # output sample t = t0 + 4m' + r mixes x[q0+m'-1] and x[q0+m'] through
+    # sub-kernels A_r = W[:,:,(7-r)%4] and B_r = A-tap + 4.
+    y = []
     for r in range(_UP_S):
         j1 = (7 - r) % 4
-        a = jax.lax.dot_general(
-            wu[:, :, j1], xh[:, 0:m_cols], (((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
+        yr = (
+            jax.lax.dot_general(
+                wu[:, :, j1], xh[:, 0 : mb + 3], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            + jax.lax.dot_general(
+                wu[:, :, j1 + 4], xh[:, 1 : mb + 4], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            + bu
         )
-        bmat = jax.lax.dot_general(
-            wu[:, :, j1 + 4], xh[:, 1 : m_cols + 1], (((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )
-        phases.append(a + bmat)
-    # Interleave phases: y[:, 4m + r] = phases[r][:, m].
-    y_up = jnp.stack(phases, axis=-1).reshape(64, tb + 8) + bu[:, None]
-    # Positions before t=0 are the tail's causal zero padding, not
-    # up3-of-zero (which would carry the bias).
-    pos_x = i * tb - 8 + jax.lax.broadcasted_iota(jnp.int32, (1, tb + 8), 1)
-    y_up = jnp.where(pos_x >= 0, y_up, 0.0)
+        # Causal zero padding: positions before t=0 are literal zeros.
+        pos = t0 + 4 * (jax.lax.broadcasted_iota(jnp.int32, (1, mb + 3), 1) - 3) + r
+        y.append(jnp.where(pos >= 0, yr, 0.0))
 
-    # -- identical tail math as _kernel, with xb := y_up ---------------------
-    xb = y_up
-    h1 = _elu(xb)
-    w1 = w1_ref[...].astype(f32)
-    u = tb + 6
-    c1 = b1_ref[...].astype(f32)[:, None]
-    for j in range(3):
-        c1 = c1 + jax.lax.dot_general(
-            w1[:, :, j], h1[:, j : j + u], (((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
+    h = [_elu(v) for v in y]  # [64, Mb+3] each, logical cols [-3, Mb)
+
+    # res3.conv1 (k3 causal): c1_r[m''] over logical m'' ∈ [-2, Mb) —
+    # tap d reads phase (r-2+d) mod 4 at column offset ⌊(r-2+d)/4⌋.
+    c1 = []
+    for r in range(_UP_S):
+        acc = b1
+        for d in range(3):
+            e = r - 2 + d
+            ph, off = e % 4, (e - e % 4) // 4  # off ∈ {-1, 0}
+            acc = acc + jax.lax.dot_general(
+                w1[:, :, d], h[ph][:, 1 + off : 1 + off + mb + 2],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        c1.append(acc)  # [32, Mb+2]
+
+    y2 = []
+    for r in range(_UP_S):
+        h2 = _elu(c1[r])
+        c2 = (
+            jax.lax.dot_general(w2, h2, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+            + b2
         )
-    h2 = _elu(c1)
-    w2 = w2_ref[...].astype(f32)
-    c2 = (
-        jax.lax.dot_general(w2, h2, (((1,), (0,)), ((), ())), preferred_element_type=f32)
-        + b2_ref[...].astype(f32)[:, None]
-    )
-    y = _elu(xb[:, 2:] + c2)
-    pos = i * tb - 6 + jax.lax.broadcasted_iota(jnp.int32, (1, u), 1)
-    y = jnp.where(pos >= 0, y, 0.0)
-    wf = wf_ref[...].astype(f32)
-    out = jnp.zeros((1, tb), f32)
-    for j in range(7):
-        out = out + jnp.sum(wf[:, j][:, None] * y[:, j : j + tb], axis=0, keepdims=True)
-    o_ref[0] = (out + bf_ref[...].astype(f32)).astype(o_ref.dtype)
+        v = _elu(y[r][:, 1:] + c2)  # residual: y_r logical [-2, Mb)
+        pos = t0 + 4 * (jax.lax.broadcasted_iota(jnp.int32, (1, mb + 2), 1) - 2) + r
+        y2.append(jnp.where(pos >= 0, v, 0.0))
+
+    # final conv (k7 causal): tap d reads phase (r-6+d) mod 4 at offset
+    # ⌊(r-6+d)/4⌋ ∈ {-2, -1, 0}; output phases land in o_ref[0, r, :].
+    for r in range(_UP_S):
+        acc = jnp.zeros((1, mb), f32)
+        for d in range(7):
+            e = r - 6 + d
+            ph, off = e % 4, (e - e % 4) // 4
+            sl = y2[ph][:, 2 + off : 2 + off + mb]
+            acc = acc + jnp.sum(wf[:, d][:, None] * sl, axis=0, keepdims=True)
+        o_ref[0, r] = (acc[0] + bf).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -233,14 +248,14 @@ def fused_seanet_up_tail(
     interpret: bool = False,
 ) -> jax.Array:
     """Fused ``final_conv(elu(y + res3(y)))`` with ``y = up3(x)`` computed
-    in-kernel → ``[B, 1, 4·T_in]`` PCM."""
+    in-kernel (phase space) → ``[B, 1, 4·T_in]`` PCM."""
     b, c, t_in = x.shape
     assert supports_up(c, t_in, wu.shape[-1]), (x.shape, wu.shape)
     nb = t_in // _QB
 
     grid = (b, nb)
     out = pl.pallas_call(
-        _up_tail_kernel,
+        _phase_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 128, _QB), lambda bi, i: (bi, 0, i)),
@@ -254,8 +269,9 @@ def fused_seanet_up_tail(
             pl.BlockSpec((64, 7), lambda bi, i: (0, 0)),
             pl.BlockSpec((1,), lambda bi, i: (0,)),
         ],
-        out_specs=pl.BlockSpec((1, 1, _QB * _UP_S), lambda bi, i: (bi, 0, i)),
-        out_shape=jax.ShapeDtypeStruct((b, 1, t_in * _UP_S), x.dtype),
+        out_specs=pl.BlockSpec((1, _UP_S, _QB), lambda bi, i: (bi, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((b, _UP_S, t_in), x.dtype),
         interpret=interpret,
     )(x, x, wu, bu, w1, b1, w2.reshape(64, 32), b2, wf.reshape(64, 7), bf)
-    return out
+    # Phases-major [B, 4, T/4] → time order [B, 1, T] (cheap XLA relayout).
+    return jnp.swapaxes(out, 1, 2).reshape(b, 1, t_in * _UP_S)
