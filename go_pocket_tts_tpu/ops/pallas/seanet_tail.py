@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu  # noqa: F401  (memory spaces)
 
-__all__ = ["fused_seanet_tail", "fused_seanet_up_tail", "supports", "supports_up"]
+__all__ = ["fused_seanet_tail", "fused_seanet_up_tail", "fused_up2_res", "supports", "supports_up", "supports_up2"]
 
 _HALO = 8  # conv1 (k3 causal: 2) + final conv (k7 causal: 6)
 _BLOCK_T = 1920  # = samples per latent frame = 15 * 128 lanes; divides every
@@ -275,3 +275,130 @@ def fused_seanet_up_tail(
     )(x, x, wu, bu, w1, b1, w2.reshape(64, 32), b2, wf.reshape(64, 7), bf)
     # Phases-major [B, 4, T/4] → time order [B, 1, T] (cheap XLA relayout).
     return jnp.swapaxes(out, 1, 2).reshape(b, 1, t_in * _UP_S)
+
+
+# -- up2 + res2 + ELU, same phase-space treatment (stride 5) ------------------
+#
+# STATUS: interpret-validated prototype, NOT wired into mimi_decode. The
+# kernel itself is fine, but XLA's TPU buffer assignment parks the whole
+# phases-major result (and both aliased input operands) in scoped VMEM —
+# 44 MB against the 16 MB limit — regardless of grid block size or an
+# optimization barrier; the up3+tail kernel escapes this only because its
+# phases-major output is 32x smaller ([B,4,T/4] of a 1-channel signal).
+# Fixes to explore in a future round: per-phase tuple outputs, or fusing the
+# whole up2→up3→tail cascade (20 phases) so the up2 output never
+# materializes. Expected win if landed: ~1.5 ms of decode device time.
+
+_UP2_K, _UP2_S = 10, 5  # the reference's up2 (decoder.model.5): k=10, stride=5
+# Smaller blocks than the up3 kernel: the 5-phase unroll holds ~20 live
+# [128, Qb] f32 intermediates, and 512 columns blew the 16 MB scoped-VMEM
+# limit (35 MB) on v5e. 128 columns ≈ 9 MB and still amortizes the grid.
+_QB2 = 128
+
+
+def supports_up2(c_in: int, t_in: int, k: int) -> bool:
+    return c_in == 256 and k == _UP2_K and t_in % _QB2 == 0 and t_in >= _QB2
+
+
+def _up2_kernel(x_ref, prev_ref, wu_ref, bu_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    i = pl.program_id(1)
+    qb = x_ref.shape[-1]
+    f32 = jnp.float32
+
+    cur = x_ref[0]  # [256, Qb]
+    prev = prev_ref[0]
+    halo = jnp.where(i == 0, 0.0, 1.0) * prev[:, qb - 4 :]
+    xh = jnp.concatenate([halo, cur], axis=-1).astype(f32)  # [256, Qb+4]
+
+    wu = wu_ref[...].astype(f32)  # [128, 256, 10] repacked
+    bu = bu_ref[...].astype(f32)[:, None]
+    w1 = w1_ref[...].astype(f32)  # [64, 128, 3]
+    b1 = b1_ref[...].astype(f32)[:, None]
+    w2 = w2_ref[...].astype(f32)  # [128, 64]
+    b2 = b2_ref[...].astype(f32)[:, None]
+
+    mb = qb
+    t0 = i * (mb * _UP2_S)
+
+    # Phase r of t = 5m + r mixes x[q-1] (A_r = W[:,:,(9-r)%5]) and x[q]
+    # (B_r = A-tap + 5); columns carried with 3 left halo entries.
+    y = []
+    for r in range(_UP2_S):
+        j1 = (9 - r) % 5
+        yr = (
+            jax.lax.dot_general(
+                wu[:, :, j1], xh[:, 0 : mb + 3], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            + jax.lax.dot_general(
+                wu[:, :, j1 + 5], xh[:, 1 : mb + 4], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            + bu
+        )
+        pos = t0 + _UP2_S * (jax.lax.broadcasted_iota(jnp.int32, (1, mb + 3), 1) - 3) + r
+        y.append(jnp.where(pos >= 0, yr, 0.0))
+
+    h = [_elu(v) for v in y]
+
+    # res2.conv1 (k3 causal) across 5 phases: tap d reads phase (r-2+d) mod 5
+    # at column offset floor((r-2+d)/5).
+    for r in range(_UP2_S):
+        acc = b1
+        for d in range(3):
+            e = r - 2 + d
+            ph, off = e % 5, (e - e % 5) // 5  # off ∈ {-1, 0}
+            acc = acc + jax.lax.dot_general(
+                w1[:, :, d], h[ph][:, 1 + off : 1 + off + mb + 2],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        h2 = _elu(acc)
+        c2 = (
+            jax.lax.dot_general(w2, h2, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+            + b2
+        )
+        v = _elu(y[r][:, 1:] + c2)  # residual then the decode chain's ELU
+        # Output phase: logical columns [0, Mb) = local [2, Mb+2).
+        o_ref[0, r] = v[:, 2 : 2 + mb].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_up2_res(
+    x: jax.Array,  # [B, 256, T/20] pre-up2 activations (already ELU'd)
+    wu: jax.Array,  # [128, 256, 10] repacked up2 kernel
+    bu: jax.Array,  # [128]
+    w1: jax.Array,  # [64, 128, 3] res2.conv1
+    b1: jax.Array,
+    w2: jax.Array,  # [128, 64, 1] res2.conv2
+    b2: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused ``elu(y + res2(y))`` with ``y = up2(x)`` → ``[B, 128, 5·T_in]``."""
+    b, c, t_in = x.shape
+    assert supports_up2(c, t_in, wu.shape[-1]), (x.shape, wu.shape)
+    nb = t_in // _QB2
+
+    grid = (b, nb)
+    out = pl.pallas_call(
+        _up2_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 256, _QB2), lambda bi, i: (bi, 0, i)),
+            pl.BlockSpec((1, 256, _QB2), lambda bi, i: (bi, 0, jnp.maximum(i - 1, 0))),
+            pl.BlockSpec((128, 256, 10), lambda bi, i: (0, 0, 0)),
+            pl.BlockSpec((128,), lambda bi, i: (0,)),
+            pl.BlockSpec((64, 128, 3), lambda bi, i: (0, 0, 0)),
+            pl.BlockSpec((64,), lambda bi, i: (0,)),
+            pl.BlockSpec((128, 64), lambda bi, i: (0, 0)),
+            pl.BlockSpec((128,), lambda bi, i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, _UP2_S, 128, _QB2), lambda bi, i: (bi, 0, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((b, _UP2_S, 128, t_in), x.dtype),
+        interpret=interpret,
+    )(x, x, wu, bu, w1, b1, w2.reshape(128, 64), b2)
+    # The barrier keeps XLA's buffer assignment from parking the 20 MB
+    # phases-major result in scoped VMEM (observed S(1) OOM on v5e).
+    out = jax.lax.optimization_barrier(out)
+    # Phases-major [B, 5, 128, M] → time order [B, 128, 5M].
+    return jnp.transpose(out, (0, 2, 3, 1)).reshape(b, 128, t_in * _UP2_S)

@@ -206,3 +206,34 @@ def test_fused_seanet_up_tail_matches_xla(blocks, batch):
 
     got = fused_seanet_up_tail(x, wu, bu, w1, b1, w2, b2, wf, bf, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("blocks,batch", [(1, 1), (2, 2)])
+def test_fused_up2_res_matches_xla(blocks, batch):
+    """Phase-space up2 (convT s5 k10) + res2 + ELU == the XLA chain."""
+    from go_pocket_tts_tpu.ops.conv import (
+        causal_conv1d,
+        conv_transpose1d_trim,
+        repack_conv_transpose_kernel,
+    )
+    from go_pocket_tts_tpu.ops.pallas.seanet_tail import _QB, fused_up2_res
+
+    rng = np.random.RandomState(blocks + 7 * batch)
+    T_in = _QB * blocks
+    x = jnp.asarray(rng.randn(batch, 256, T_in).astype(np.float32) * 0.5)
+    wu = repack_conv_transpose_kernel(
+        jnp.asarray(rng.randn(256, 128, 10).astype(np.float32) * 0.05)
+    )
+    bu = jnp.asarray(rng.randn(128).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rng.randn(64, 128, 3).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(128, 64, 1).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.randn(128).astype(np.float32) * 0.1)
+
+    y = conv_transpose1d_trim(x, wu, bu, 5, 1)
+    h = causal_conv1d(jax.nn.elu(y), w1, b1)
+    h = causal_conv1d(jax.nn.elu(h), w2, b2)
+    want = jax.nn.elu(y + h)
+
+    got = fused_up2_res(x, wu, bu, w1, b1, w2, b2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)
