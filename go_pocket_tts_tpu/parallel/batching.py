@@ -381,8 +381,6 @@ class ContinuousBatcher:
         self.model = model if jnp.dtype(dtype) == jnp.float32 else model.astype(dtype)
         self.dtype = jnp.dtype(dtype)
         self.slots = slots
-        self.max_frames = max_frames
-        self.capacity = prompt_capacity + max_frames
         self.mesh = mesh
         self.steps_per_sync = max(steps_per_sync, 1)
         # Streaming emission slices the frames buffer in steps_per_sync-wide
@@ -492,6 +490,12 @@ class ContinuousBatcher:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=30)
+        # Graceful stop must not strand callers: fail whatever is still
+        # attached or queued (same delivery as the crash path — exception on
+        # the future, error sentinel on streams) so a .result() with no
+        # timeout can never hang on a stopped engine.
+        if any(info.request is not None for info in self._slot_info) or not self._queue.empty():
+            self._fail_all(RuntimeError("batcher stopped with requests in flight"))
 
     # -- engine ------------------------------------------------------------
 

@@ -140,6 +140,7 @@ def make_handler(
     """
     pool = _WorkerPool(workers)
     stats = _Stats()
+    accepts_deadline = _accepts_deadline(service)
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -162,9 +163,20 @@ def make_handler(
             log.debug("http: " + fmt, *args)
 
         def _read_tts_request(self):
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                self._error(400, "invalid Content-Length")
+                return None
             if length <= 0:
                 self._error(400, "request body is required")
+                return None
+            # Enforce the size limit BEFORE reading: Content-Length is
+            # attacker-controlled, and buffering an arbitrary body to then
+            # 413 it would hand out free memory (`server.go` caps at the
+            # reader). Slack covers the JSON envelope around the text.
+            if length > max_text_bytes + 4096:
+                self._error(413, f"request exceeds maximum size ({max_text_bytes} text bytes)")
                 return None
             raw = self.rfile.read(length)
             try:
@@ -172,7 +184,13 @@ def make_handler(
             except (UnicodeDecodeError, json.JSONDecodeError) as exc:
                 self._error(400, f"invalid JSON: {exc}")
                 return None
+            if not isinstance(req, dict):
+                self._error(400, "request body must be a JSON object")
+                return None
             text = req.get("text", "")
+            if not isinstance(text, str):
+                self._error(400, "text must be a string")
+                return None
             if not text.strip():
                 self._error(400, "text field is required")
                 return None
@@ -261,7 +279,7 @@ def make_handler(
                 # each chunk's max_steps to the remaining budget — on-device
                 # programs can't be aborted mid-run, so this is what makes a
                 # 504 fire on time even for single-chunk requests.
-                kwargs = {"deadline": deadline} if _accepts_deadline(service) else {}
+                kwargs = {"deadline": deadline} if accepts_deadline else {}
                 for chunk in service.synthesize_stream(
                     text, voice_path, cancel=lambda: time.monotonic() > deadline, **kwargs
                 ):
@@ -351,7 +369,7 @@ def make_handler(
                 stream_kwargs = {}
                 if getattr(service, "supports_frame_streaming", False):
                     stream_kwargs["frame_streaming"] = True
-                if _accepts_deadline(service):
+                if accepts_deadline:
                     stream_kwargs["deadline"] = deadline
                 for chunk in service.synthesize_stream(
                     text,
@@ -377,9 +395,26 @@ def make_handler(
                     total,
                 )
             except Exception as exc:  # noqa: BLE001
+                timed_out = (
+                    "cancelled" in str(exc).lower()
+                    or "deadline" in str(exc).lower()
+                    or type(exc).__name__ == "CancelledError"
+                    or isinstance(exc, TimeoutError)
+                )
                 if not wrote_header:
-                    stats.count("error_total")
-                    self._error(500, str(exc))
+                    if timed_out:
+                        stats.count("timeout_504_total")
+                        self._error(504, "synthesis timed out")
+                    else:
+                        stats.count("error_total")
+                        self._error(500, str(exc))
+                elif timed_out:
+                    log.error("streaming synthesis timed out mid-stream")
+                    stats.count("timeout_504_total")
+                    try:
+                        self.connection.close()
+                    except OSError:
+                        pass
                 else:
                     log.error("streaming synthesis failed mid-stream: %s", exc)
                     stats.count("error_total")

@@ -566,3 +566,29 @@ def test_batcher_soak_random_mix(model):
         assert batcher._crashed is None
     finally:
         batcher.stop()
+
+
+def test_batcher_stop_fails_inflight_requests(model):
+    """Graceful stop() must not strand futures: in-flight and queued
+    requests fail with an explicit error instead of hanging forever."""
+    import concurrent.futures
+
+    batcher = ContinuousBatcher(
+        model, slots=1, prompt_capacity=64, max_frames=64, seed=3, steps_per_sync=2
+    )
+    batcher.start()
+    fut_running = batcher.submit([5, 9, 2], _cfg(max_steps=60))
+    fut_queued = batcher.submit([7, 1], _cfg(max_steps=60))  # waits for the slot
+    import time
+
+    time.sleep(0.5)  # let the first request attach and start stepping
+    batcher.stop()
+    for fut in (fut_running, fut_queued):
+        try:
+            fut.result(timeout=10)
+        except (RuntimeError, concurrent.futures.CancelledError):
+            pass  # explicit failure is the contract
+        else:
+            # A completed result is fine too (request finished before stop).
+            pass
+    assert fut_running.done() and fut_queued.done()

@@ -268,3 +268,37 @@ def test_stats_counts_errors(server):
     assert after["error_total"] == 1
     assert after["ok_total"] == 0
     assert after["in_flight"] == 0
+
+
+def test_oversize_content_length_rejected_before_read(server):
+    """Attacker-controlled Content-Length is rejected with 413 BEFORE the
+    body is buffered (the reference caps at the reader)."""
+    srv, _svc = server
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=10)
+    conn.putrequest("POST", "/tts")
+    conn.putheader("Content-Type", "application/json")
+    conn.putheader("Content-Length", str(2**31 - 1))
+    conn.endheaders()
+    # Send only a few bytes — the server must answer without waiting for 2 GB.
+    conn.send(b'{"text":')
+    resp = conn.getresponse()
+    assert resp.status == 413
+    conn.close()
+
+
+def test_non_object_json_body_400(server):
+    srv, _svc = server
+    for body in (b'"hello"', b"[1,2]", b"42", b'{"text": 7}'):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/tts",
+            data=body,
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            raise AssertionError(f"expected 400 for {body!r}")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, (body, e.code)
