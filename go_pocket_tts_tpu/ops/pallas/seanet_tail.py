@@ -280,14 +280,16 @@ def fused_seanet_up_tail(
 # -- up2 + res2 + ELU, same phase-space treatment (stride 5) ------------------
 #
 # STATUS: interpret-validated prototype, NOT wired into mimi_decode. The
-# kernel itself is fine, but XLA's TPU buffer assignment parks the whole
-# phases-major result (and both aliased input operands) in scoped VMEM —
-# 44 MB against the 16 MB limit — regardless of grid block size or an
-# optimization barrier; the up3+tail kernel escapes this only because its
-# phases-major output is 32x smaller ([B,4,T/4] of a 1-channel signal).
-# Fixes to explore in a future round: per-phase tuple outputs, or fusing the
-# whole up2→up3→tail cascade (20 phases) so the up2 output never
-# materializes. Expected win if landed: ~1.5 ms of decode device time.
+# kernel itself is fine, but this environment's AOT buffer assignment parks
+# pallas_call RESULTS in scoped VMEM (S(1)) — the ~20 MB of up2 output
+# blows the 16 MB limit whether emitted as one rank-4 buffer (44 MB scoped)
+# or as five per-phase tuple outputs (54 MB scoped), independent of grid
+# block size or an optimization barrier. The up3+tail kernel escapes only
+# because its result is the 1-channel PCM (0.6 MB). Paths forward for a
+# future round: chunk the call over T so per-call results fit the scoped
+# budget, or fuse the whole up2→up3→tail cascade (20 phases) so the up2
+# output never materializes. Expected win if landed: ~1.5 ms of decode
+# device time.
 
 _UP2_K, _UP2_S = 10, 5  # the reference's up2 (decoder.model.5): k=10, stride=5
 # Smaller blocks than the up3 kernel: the 5-phase unroll holds ~20 live
@@ -300,7 +302,7 @@ def supports_up2(c_in: int, t_in: int, k: int) -> bool:
     return c_in == 256 and k == _UP2_K and t_in % _QB2 == 0 and t_in >= _QB2
 
 
-def _up2_kernel(x_ref, prev_ref, wu_ref, bu_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+def _up2_kernel(x_ref, prev_ref, wu_ref, bu_ref, w1_ref, b1_ref, w2_ref, b2_ref, *o_refs):
     i = pl.program_id(1)
     qb = x_ref.shape[-1]
     f32 = jnp.float32
@@ -359,8 +361,10 @@ def _up2_kernel(x_ref, prev_ref, wu_ref, bu_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             + b2
         )
         v = _elu(y[r][:, 1:] + c2)  # residual then the decode chain's ELU
-        # Output phase: logical columns [0, Mb) = local [2, Mb+2).
-        o_ref[0, r] = v[:, 2 : 2 + mb].astype(o_ref.dtype)
+        # Output phase: logical columns [0, Mb) = local [2, Mb+2). Five
+        # separate refs (not one rank-4 buffer) so XLA's buffer assignment
+        # doesn't try to park a single 20 MB result in scoped VMEM.
+        o_refs[r][0] = v[:, 2 : 2 + mb].astype(o_refs[r].dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -393,12 +397,14 @@ def fused_up2_res(
             pl.BlockSpec((128, 64), lambda bi, i: (0, 0)),
             pl.BlockSpec((128,), lambda bi, i: (0,)),
         ],
-        out_specs=pl.BlockSpec((1, _UP2_S, 128, _QB2), lambda bi, i: (bi, 0, 0, i)),
-        out_shape=jax.ShapeDtypeStruct((b, _UP2_S, 128, t_in), x.dtype),
+        out_specs=[
+            pl.BlockSpec((1, 128, _QB2), lambda bi, i: (bi, 0, i))
+            for _ in range(_UP2_S)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 128, t_in), x.dtype) for _ in range(_UP2_S)
+        ],
         interpret=interpret,
     )(x, x, wu, bu, w1, b1, w2.reshape(128, 64), b2)
-    # The barrier keeps XLA's buffer assignment from parking the 20 MB
-    # phases-major result in scoped VMEM (observed S(1) OOM on v5e).
-    out = jax.lax.optimization_barrier(out)
-    # Phases-major [B, 5, 128, M] → time order [B, 128, 5M].
-    return jnp.transpose(out, (0, 2, 3, 1)).reshape(b, 128, t_in * _UP2_S)
+    # Per-phase [B, 128, M] × 5 → time order [B, 128, 5M].
+    return jnp.stack(out, axis=-1).reshape(b, 128, t_in * _UP2_S)
