@@ -914,6 +914,38 @@ class ContinuousBatcher:
     def generate(self, tokens, cfg: GenerateConfig, timeout: float = 120.0) -> np.ndarray:
         return self.submit(tokens, cfg).result(timeout=timeout)
 
+    def prewarm(self, token_lengths=(10, 30, 50), timeout: float = 600.0) -> None:
+        """Compile the engine's program variants before traffic.
+
+        First-traffic compiles otherwise stall real requests for seconds
+        each (measured 2.6-3.3 s per variant through the remote-compile
+        tunnel): burst admission pads counts to powers of two, so warm the
+        1-count and full-slot variants, the AR block, the batched streaming
+        decode, and the harvest decode bucket for each token-length bucket.
+        """
+        from go_pocket_tts_tpu.text import estimate_max_frames
+
+        for n_tokens in token_lengths:
+            steps = estimate_max_frames(n_tokens)
+            cfg = GenerateConfig(
+                temperature=0.0, eos_threshold=1e9, max_steps=steps
+            )
+            tokens = [0] * n_tokens
+            # Full-slot burst (admission variant n_pad >= slots) + the
+            # harvest decode bucket for this length.
+            futs = [self.submit(tokens, cfg) for _ in range(self.slots)]
+            for f in futs:
+                f.result(timeout=timeout)
+            log.info("prewarmed batch bucket: %d tokens x %d slots", n_tokens, self.slots)
+        # Single-request admission variant + streaming decode program.
+        short = GenerateConfig(
+            temperature=0.0, eos_threshold=1e9, max_steps=self.steps_per_sync
+        )
+        self.generate([0] * token_lengths[0], short, timeout=timeout)
+        for _ in self.submit_stream([0] * token_lengths[0], short, timeout=timeout):
+            pass
+        log.info("prewarmed single-admission + streaming decode programs")
+
 
 class BatcherRuntime:
     """Runtime adapter exposing the batcher through the Service contract.
@@ -953,6 +985,9 @@ class BatcherRuntime:
         """Frame-streaming through the shared batch (Service duck-types on
         this method for its frame_streaming mode)."""
         return self.batcher.submit_stream(tokens, cfg, timeout=self._timeout)
+
+    def prewarm(self, token_lengths=(10, 30, 50)) -> None:
+        self.batcher.prewarm(token_lengths)
 
     def close(self) -> None:
         self.batcher.stop()

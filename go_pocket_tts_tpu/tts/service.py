@@ -414,6 +414,13 @@ class Service:
         count / step budget, so dummy token IDs compile the same executables
         real requests will hit.
         """
+        own = getattr(self.runtime, "prewarm", None)
+        if own is not None:
+            # Concurrency-native runtimes (the continuous batcher) know their
+            # own program variants — burst admission counts, block decode —
+            # which the single-request warm below would miss.
+            own(token_lengths)
+            return
         gen = getattr(self.runtime, "generate_audio", None)
         if gen is None:
             return

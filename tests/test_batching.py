@@ -592,3 +592,19 @@ def test_batcher_stop_fails_inflight_requests(model):
             # A completed result is fine too (request finished before stop).
             pass
     assert fut_running.done() and fut_queued.done()
+
+
+def test_batcher_prewarm_compiles_and_engine_serves(model):
+    """prewarm() drives full-slot bursts, single admission, and streaming
+    without errors, leaving a healthy engine."""
+    batcher = ContinuousBatcher(
+        model, slots=2, prompt_capacity=64, max_frames=64, seed=3, steps_per_sync=2
+    )
+    batcher.start()
+    try:
+        batcher.prewarm(token_lengths=(3,), timeout=180)
+        out = batcher.generate([5, 9, 2], _cfg(max_steps=3), timeout=120)
+        assert len(out) == 3 * 1920
+        assert batcher._crashed is None
+    finally:
+        batcher.stop()
