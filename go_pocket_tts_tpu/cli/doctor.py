@@ -56,11 +56,45 @@ def _probe_native() -> str:
     return "libaudioio.so loaded"
 
 
+def _probe_tokenizer_backend(tokenizer_path: str) -> tuple:
+    """Which encode backend would serving use for this tokenizer file?
+
+    Returns ``(ok, detail)``. ✗ when the model carries a precompiled
+    charsmap but only the pure fallback is available: the fallback
+    approximates that normalizer with NFKC, so non-ASCII text would
+    tokenize differently from upstream — wrong tokens produce wrong
+    speech with no error anywhere else in the pipeline (VERDICT r2 #6).
+    """
+    try:
+        import tokenizers  # noqa: F401
+
+        have_fast = True
+    except Exception:  # noqa: BLE001 - optional dependency
+        have_fast = False
+
+    from go_pocket_tts_tpu.text.sentencepiece import load_tokenizer
+
+    tok = load_tokenizer(tokenizer_path)
+    has_charsmap = bool(tok.model.precompiled_charsmap)
+    detail = (
+        f"backend={tok.backend}, hf-tokenizers "
+        f"{'importable' if have_fast else 'MISSING'}, "
+        f"precompiled charsmap {'present' if has_charsmap else 'absent'}"
+    )
+    if tok.backend == "pure" and has_charsmap:
+        return False, detail + (
+            " — pure fallback approximates the charsmap with NFKC "
+            "(non-ASCII text may mis-tokenize); install `tokenizers`"
+        )
+    return True, detail
+
+
 def run_doctor(
     cfg: Config,
     out: Optional[TextIO] = None,
     jax_probe: Callable[[], str] = _probe_jax,
     native_probe: Callable[[], str] = _probe_native,
+    tokenizer_probe: Callable[[str], tuple] = _probe_tokenizer_backend,
 ) -> DoctorResult:
     res = DoctorResult()
 
@@ -87,6 +121,12 @@ def run_doctor(
 
     tok_ok = os.path.exists(cfg.paths.tokenizer_model)
     res.record("tokenizer file", tok_ok, cfg.paths.tokenizer_model)
+    if tok_ok:
+        try:
+            ok, detail = tokenizer_probe(cfg.paths.tokenizer_model)
+            res.record("tokenizer backend", ok, detail)
+        except Exception as exc:  # noqa: BLE001
+            res.record("tokenizer backend", False, str(exc))
 
     if cfg.paths.voices_manifest and os.path.exists(cfg.paths.voices_manifest):
         try:

@@ -74,7 +74,15 @@ class PocketTTSKernel:
         progress: Optional[Callable[[int, int], None]] = None,
     ) -> bytes:
         """Synthesize → WAV bytes. ``voice`` accepts either voice-file format
-        (embedding or model-state), like the WASM kernel's voice bytes."""
+        (embedding or model-state), like the WASM kernel's voice bytes.
+
+        ``progress(frames_done, frames_total_estimate)`` fires at frame-block
+        granularity (every 4–16 generated frames ≈ 320 ms–1.28 s of audio)
+        through the frame-streaming path — the reference's per-step progress
+        contract (`cmd/pockettts-wasm/main_wasm.go:75-477`) at the finest
+        granularity that doesn't force a per-frame TPU host sync. The total
+        is the frame estimate and shrinks when EOS ends a chunk early; the
+        final call is always ``(total, total)``."""
         self._require_loaded()
         voice_emb = voice_state = None
         if voice:
@@ -85,20 +93,43 @@ class PocketTTSKernel:
                 voice_emb = st.load_voice_embedding_from_bytes(voice)
 
         chunks = prepare_chunks(self.normalize(text), self._tokenizer)
+        estimates = [estimate_max_frames(c.num_tokens) for c in chunks]
+        total_est = sum(estimates)
+        samples_per = self._runtime.model.config.mimi.samples_per_latent
+        done_frames = 0
         samples: List[np.ndarray] = []
         for i, chunk in enumerate(chunks):
             cfg = GenerateConfig(
                 temperature=temperature,
                 eos_threshold=eos_threshold,
-                max_steps=estimate_max_frames(chunk.num_tokens),
+                max_steps=estimates[i],
                 lsd_decode_steps=lsd_decode_steps,
                 frames_after_eos=chunk.frames_after_eos(),
                 voice_embedding=voice_emb,
                 voice_model_state=voice_state,
             )
-            samples.append(self._runtime.generate_audio(chunk.token_ids, cfg))
-            if progress is not None:
-                progress(i + 1, len(chunks))
+            if progress is None:
+                samples.append(self._runtime.generate_audio(chunk.token_ids, cfg))
+                continue
+            # Frame streaming gives block-granular progress for free; the
+            # blocks concatenate to the same chunk audio.
+            from go_pocket_tts_tpu.runtime.streaming import stream_generate
+
+            parts: List[np.ndarray] = []
+            chunk_frames = 0
+            for block in stream_generate(self._runtime, chunk.token_ids, cfg):
+                parts.append(block)
+                chunk_frames += len(block) // samples_per
+                progress(done_frames + chunk_frames, total_est)
+            done_frames += chunk_frames
+            # EOS can end the chunk early: shrink the estimate so the bar
+            # never runs backwards and the final call is (total, total).
+            total_est -= estimates[i] - chunk_frames
+            samples.append(
+                np.concatenate(parts) if parts else np.zeros(0, np.float32)
+            )
+        if progress is not None:
+            progress(done_frames, done_frames)
         pcm = np.concatenate(samples) if samples else np.zeros(0, np.float32)
         return wav.encode_wav(pcm, self.sample_rate)
 

@@ -216,6 +216,7 @@ def stream_generate(
         seg = min(segment_frames, max_segment_frames)
         pending = dispatch(seg, max_steps)
         dispatched = pending[3]
+        emitted = 0
         while True:
             pcm, n_arr, done_arr, steps = pending
             if dispatched < max_steps:
@@ -230,6 +231,14 @@ def stream_generate(
             n = int(n_arr[0])
             done = bool(done_arr[0])
             if n > 0:
+                emitted += n
+                # Block-granular progress (the reference fires per AR frame,
+                # `internal/tts/runtime.go:42`; per-frame host sync would
+                # serialize the TPU loop, so ≤16-frame segments are the
+                # finest free granularity — ≥1 callback per ~320 ms of audio
+                # for the first segments).
+                if cfg.step_callback is not None:
+                    cfg.step_callback(emitted, max_steps)
                 yield pcm_np[0, 0, : n * samples_per].astype(np.float32)
             if done or n == 0 or nxt is None:
                 break

@@ -82,10 +82,47 @@ def test_doctor_all_green(tmp_path):
     cfg.paths.voices_manifest = ""
     out = io.StringIO()
     res = run_doctor(
-        cfg, out=out, jax_probe=lambda: "jax x.y", native_probe=lambda: "lib ok"
+        cfg,
+        out=out,
+        jax_probe=lambda: "jax x.y",
+        native_probe=lambda: "lib ok",
+        tokenizer_probe=lambda p: (True, "backend=hf"),
     )
     assert res.ok, res.lines
     assert "✓ model keys" in out.getvalue()
+    assert "✓ tokenizer backend" in out.getvalue()
+
+
+def test_doctor_flags_degraded_tokenizer_backend(tmp_path, monkeypatch):
+    """A model with a precompiled charsmap served by the pure fallback must
+    fail doctor (wrong tokens -> wrong speech with no error; VERDICT r2 #6)."""
+    from go_pocket_tts_tpu.text import sentencepiece as spm
+    from test_tokenizer import _toy_model
+
+    m = _toy_model()
+    m.precompiled_charsmap = b"\x01\x02\x03"
+    tok_path = tmp_path / "tokenizer.model"
+    tok_path.write_bytes(m.serialize())
+
+    model_path = tmp_path / "model.safetensors"
+    write_file(model_path, synthetic.build_checkpoint(synthetic.tiny_arch(), 1))
+    cfg = cfgmod.Config()
+    cfg.paths.model_path = str(model_path)
+    cfg.paths.tokenizer_model = str(tok_path)
+    cfg.paths.voices_manifest = ""
+
+    # Force the pure fallback regardless of whether HF tokenizers is in the
+    # image (the charsmap bytes are fake, so HF would reject them anyway).
+    monkeypatch.setattr(spm, "_build_hf_backend", lambda model: None)
+    res = run_doctor(cfg, jax_probe=lambda: "jax", native_probe=lambda: "ok")
+    assert "tokenizer backend" in res.failures
+    assert not res.ok
+
+    # Without a charsmap the pure backend is exact -> green.
+    m2 = _toy_model()
+    tok_path.write_bytes(m2.serialize())
+    res2 = run_doctor(cfg, jax_probe=lambda: "jax", native_probe=lambda: "ok")
+    assert "tokenizer backend" not in res2.failures
 
 
 def test_doctor_reports_failures(tmp_path):

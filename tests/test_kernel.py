@@ -51,7 +51,14 @@ def test_kernel_end_to_end(model_bytes):
     samples, rate = wav.decode_wav(data)
     assert rate == 24000
     assert len(samples) > 0 and len(samples) % 1920 == 0
-    assert progress == [(1, 1)]
+    # Block-granular progress in frame units: monotone done counts, ending
+    # exactly at (total, total) with total == generated frames.
+    n_frames = len(samples) // 1920
+    assert len(progress) >= 2  # >=1 per ~16-frame block + the final call
+    dones = [d for d, _t in progress]
+    assert dones == sorted(dones)
+    assert progress[-1] == (n_frames, n_frames)
+    assert all(d <= t for d, t in progress)
 
 
 def test_kernel_voice_bytes(model_bytes):
