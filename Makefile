@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: test test-fast test-hw bench bench-batch serve lint ci
+.PHONY: test test-fast test-hw bench bench-batch serve lint ci verify-assets
 
 test:            ## full suite on CPU (~8 min)
 	$(PY) -m pytest tests/ -q
@@ -28,3 +28,17 @@ lint:            ## syntax check every module
 	$(PY) -m compileall -q go_pocket_tts_tpu tests scripts bench.py __graft_entry__.py
 
 ci: lint test    ## what a CI job should run
+
+verify-assets:   ## run the real-asset validation tiers; prints what's pending
+	@echo "== real-asset validation (skip-if-absent tiers) =="
+	@test -f models/tts_b6369a24.safetensors \
+	  && echo "  [ok] checkpoint models/tts_b6369a24.safetensors" \
+	  || echo "  [PENDING] checkpoint models/tts_b6369a24.safetensors (python -m go_pocket_tts_tpu model download)"
+	@test -f models/tokenizer.model \
+	  && echo "  [ok] tokenizer models/tokenizer.model" \
+	  || echo "  [PENDING] tokenizer models/tokenizer.model"
+	@test -n "$$POCKETTTS_PARITY_FIXTURE" -a -f "$$POCKETTTS_PARITY_FIXTURE" \
+	  && echo "  [ok] upstream parity fixture $$POCKETTTS_PARITY_FIXTURE" \
+	  || echo "  [PENDING] upstream parity fixture (scripts/dump_parity.py --upstream on a machine with the Go reference + assets, then POCKETTTS_PARITY_FIXTURE=<file>)"
+	$(PY) -m pytest tests/test_real_checkpoint.py tests/test_parity_fixture.py \
+	  tests/test_tokenizer.py -q -rs
