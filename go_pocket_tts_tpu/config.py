@@ -81,6 +81,7 @@ class RuntimeConfig:
     quantize: bool = False  # INT8 weight-only quantization
     batch_slots: int = 0  # >1: continuous batching across concurrent requests
     dp_devices: int = 0  # >1: shard the batch over a dp mesh of N devices
+    tp_devices: int = 0  # >1: Megatron-shard the transformer over N devices
 
 
 @dataclass
@@ -138,6 +139,8 @@ _FLAG_MAP = [
      "Continuous-batching slots (>1 batches concurrent requests)"),
     ("runtime-dp", "runtime", "dp_devices", int,
      "Data-parallel devices for batch serving (shards slots over a dp mesh)"),
+    ("runtime-tp", "runtime", "tp_devices", int,
+     "Tensor-parallel devices per replica (Megatron-sharded transformer + head-sharded KV)"),
     ("server-listen-addr", "server", "listen_addr", str, "HTTP listen address"),
     ("workers", "server", "workers", int, "Max concurrent synthesis requests"),
     ("shutdown-timeout", "server", "shutdown_timeout_secs", int, "Graceful shutdown drain timeout (s)"),

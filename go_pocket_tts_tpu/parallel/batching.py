@@ -379,6 +379,18 @@ class ContinuousBatcher:
 
             model = auto_pallas_mimi(model)
         self.model = model if jnp.dtype(dtype) == jnp.float32 else model.astype(dtype)
+        if mesh is not None and "tp" in mesh.axis_names:
+            # Tensor parallelism reaches serving here (`serve --runtime-tp N`):
+            # Megatron-shard the transformer blocks + replicate the rest, so
+            # the jitted step's matmuls run sharded and GSPMD inserts the
+            # per-residual all-reduce. The KV state shards heads over ``tp``
+            # below (shard_state_tp).
+            from go_pocket_tts_tpu.models.model import PocketTTSModel as _M
+            from go_pocket_tts_tpu.parallel.mesh import shard_params_tp
+
+            self.model = _M(
+                shard_params_tp(self.model.params, mesh), self.model.config
+            )
         self.dtype = jnp.dtype(dtype)
         self.slots = slots
         self.mesh = mesh
@@ -422,9 +434,14 @@ class ContinuousBatcher:
             "sigma": jnp.zeros((slots,), jnp.float32),
         }
         if mesh is not None:
-            from go_pocket_tts_tpu.parallel.mesh import shard_state
+            if "tp" in mesh.axis_names:
+                from go_pocket_tts_tpu.parallel.mesh import shard_state_tp
 
-            self._state = shard_state(self._state, mesh)
+                self._state = shard_state_tp(self._state, mesh)
+            else:
+                from go_pocket_tts_tpu.parallel.mesh import shard_state
+
+                self._state = shard_state(self._state, mesh)
 
     # -- public API --------------------------------------------------------
 

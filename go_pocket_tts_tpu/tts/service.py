@@ -141,7 +141,13 @@ class Service:
                 from go_pocket_tts_tpu.parallel.batching import BatcherRuntime
 
                 mesh = None
-                if cfg.runtime.dp_devices > 1:
+                if cfg.runtime.tp_devices > 1:
+                    from go_pocket_tts_tpu.parallel.mesh import dp_tp_mesh
+
+                    mesh = dp_tp_mesh(
+                        max(cfg.runtime.dp_devices, 1), cfg.runtime.tp_devices
+                    )
+                elif cfg.runtime.dp_devices > 1:
                     from go_pocket_tts_tpu.parallel.mesh import dp_mesh
 
                     mesh = dp_mesh(cfg.runtime.dp_devices)
@@ -153,10 +159,11 @@ class Service:
                     mesh=mesh,
                 )
                 log.info(
-                    "loaded TPU batched runtime model=%s dtype=%s slots=%d",
+                    "loaded TPU batched runtime model=%s dtype=%s slots=%d mesh=%s",
                     cfg.paths.model_path,
                     dtype,
                     cfg.runtime.batch_slots,
+                    None if mesh is None else dict(mesh.shape),
                 )
             else:
                 runtime = TPURuntime(
