@@ -370,7 +370,17 @@ class ContinuousBatcher:
         seed: Optional[int] = None,
         mesh=None,
         steps_per_sync: int = 8,
+        quantize: bool = False,
     ) -> None:
+        if quantize:
+            # INT8 weight-only quantization of every linear: the batched AR
+            # step is weight-bandwidth-bound (~180 MB/step shared across all
+            # lanes), so halving the weight stream pays MORE at batch>1 than
+            # it does for a single request (where the wall is RTT-bound).
+            from go_pocket_tts_tpu.models.model import PocketTTSModel as _M
+            from go_pocket_tts_tpu.models.quantize import quantize_model_params
+
+            model = _M(quantize_model_params(model.params), model.config)
         if mesh is None:
             # Fused decode tail where it pays. Skipped under a dp mesh:
             # pallas_call does not auto-partition under GSPMD, and the
@@ -983,11 +993,12 @@ class BatcherRuntime:
         seed: Optional[int] = None,
         timeout: float = 300.0,
         mesh=None,
+        quantize: bool = False,
     ) -> None:
         self._model = model
         self._timeout = timeout
         self.batcher = ContinuousBatcher(
-            model, slots=slots, dtype=dtype, seed=seed, mesh=mesh
+            model, slots=slots, dtype=dtype, seed=seed, mesh=mesh, quantize=quantize
         )
         self.batcher.start()
 

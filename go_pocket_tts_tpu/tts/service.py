@@ -157,6 +157,7 @@ class Service:
                     dtype=dtype,
                     seed=seed,
                     mesh=mesh,
+                    quantize=cfg.runtime.quantize,
                 )
                 log.info(
                     "loaded TPU batched runtime model=%s dtype=%s slots=%d mesh=%s",

@@ -230,6 +230,26 @@ def test_batcher_over_dp_mesh(model):
         np.testing.assert_allclose(o, want, atol=1e-4, rtol=1e-3)
 
 
+def test_batcher_quantized(model):
+    """INT8 weight-only batcher (the BASELINE config-5 serving shape) tracks
+    the unquantized engine within quantization tolerance."""
+    ref = ContinuousBatcher(model, slots=2, prompt_capacity=64, max_frames=64, seed=3)
+    q = ContinuousBatcher(
+        model, slots=2, prompt_capacity=64, max_frames=64, seed=3, quantize=True
+    )
+    ref.start()
+    q.start()
+    try:
+        want = ref.generate([5, 9, 2], _cfg(), timeout=60)
+        got = q.generate([5, 9, 2], _cfg(), timeout=60)
+    finally:
+        ref.stop()
+        q.stop()
+    assert got.shape == want.shape
+    # int8 per-channel quantization: small relative drift, same waveform.
+    assert np.sqrt(np.mean((got - want) ** 2)) < 0.05 * (np.std(want) + 1e-6)
+
+
 def test_batcher_over_dp_tp_mesh(model):
     """The full engine on a 2-D (dp=2, tp=2) mesh — the `serve --runtime-dp 2
     --runtime-tp 2` configuration — produces the same audio as the
