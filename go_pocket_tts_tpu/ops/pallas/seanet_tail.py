@@ -29,7 +29,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu  # noqa: F401  (memory spaces)
 
-__all__ = ["fused_seanet_tail", "fused_seanet_up_tail", "fused_up2_res", "supports", "supports_up", "supports_up2"]
+__all__ = [
+    "fused_seanet_tail",
+    "fused_seanet_up_tail",
+    "fused_up2_res",
+    "fused_up2_up3_tail",
+    "supports",
+    "supports_up",
+    "supports_up2",
+    "supports_cascade",
+]
 
 _HALO = 8  # conv1 (k3 causal: 2) + final conv (k7 causal: 6)
 _BLOCK_T = 1920  # = samples per latent frame = 15 * 128 lanes; divides every
@@ -408,3 +417,221 @@ def fused_up2_res(
     )(x, x, wu, bu, w1, b1, w2.reshape(128, 64), b2)
     # Per-phase [B, 128, M] × 5 → time order [B, 128, 5M].
     return jnp.stack(out, axis=-1).reshape(b, 128, t_in * _UP2_S)
+
+
+# -- full cascade: up2 → res2 → ELU → up3 → res3 → ELU → final conv -----------
+#
+# The r2 up2+res2 kernel (above) is blocked by this environment's AOT buffer
+# assignment parking its ~20 MB result in scoped VMEM. The fix its status
+# note proposed: fuse the WHOLE up2→up3→tail cascade so the up2 output never
+# materializes anywhere — the only kernel result is the 1-channel PCM
+# (~0.6 MB), which is exactly how the up3+tail kernel escapes the same trap.
+#
+# Everything stays in phase space: time t = 20c + j (j ∈ [0, 20)) composes
+# the stride-5 up2 phases (u = 5a + s) with the stride-4 up3 phases
+# (t = 4u + r₄ ⇒ r₄ = j mod 4, u-phase g = (j − r₄)/4). Every conv tap is a
+# per-phase matmul with a static column shift; the 24 kHz activations
+# ([64, T] and [128, 5·T/20] f32) never touch HBM.
+#
+# Left-halo bookkeeping (logical columns needed left of the block):
+#   final conv reads z @ [-1, Mb)     → z  width Mb+1  (col = c+1)
+#   z (res3+ELU) reads y3 @ [-2, Mb)  → y3 width Mb+2  (col = c+2)
+#   y3 (up3) reads h2 @ [-3, Mb)      → h2 width Mb+3  (col = a+3)
+#   h2 (res2+ELU) reads y2 @ [-4, Mb) → y2 width Mb+4  (col = a+4)
+#   y2 (up2) reads x @ [-5, Mb)       → x halo = 5 columns from block i−1
+
+_CB = 128  # input columns per grid block (minor dim lane-aligned)
+
+
+def supports_cascade(c_in: int, t_in: int, k2: int, k3: int) -> bool:
+    return c_in == 256 and k2 == _UP2_K and k3 == _UP_K and t_in % _CB == 0 and t_in >= _CB
+
+
+def _cascade_kernel(
+    x_ref, prev_ref,
+    wu2_ref, bu2_ref, w1r2_ref, b1r2_ref, w2r2_ref, b2r2_ref,
+    wu3_ref, bu3_ref, w1r3_ref, b1r3_ref, w2r3_ref, b2r3_ref,
+    wf_ref, bf_ref, o_ref,
+):
+    i = pl.program_id(1)
+    mb = x_ref.shape[-1]
+    f32 = jnp.float32
+
+    cur = x_ref[0]  # [256, Mb]
+    prev = prev_ref[0]
+    halo = jnp.where(i == 0, 0.0, 1.0) * prev[:, mb - 5 :]
+    xh = jnp.concatenate([halo, cur], axis=-1).astype(f32)  # [256, Mb+5]
+
+    wu2 = wu2_ref[...].astype(f32)  # [128, 256, 10] repacked
+    bu2 = bu2_ref[...].astype(f32)[:, None]
+    w1r2 = w1r2_ref[...].astype(f32)  # [64, 128, 3]
+    b1r2 = b1r2_ref[...].astype(f32)[:, None]
+    w2r2 = w2r2_ref[...].astype(f32)  # [128, 64]
+    b2r2 = b2r2_ref[...].astype(f32)[:, None]
+    wu3 = wu3_ref[...].astype(f32)  # [64, 128, 8] repacked
+    bu3 = bu3_ref[...].astype(f32)[:, None]
+    w1r3 = w1r3_ref[...].astype(f32)  # [32, 64, 3]
+    b1r3 = b1r3_ref[...].astype(f32)[:, None]
+    w2r3 = w2r3_ref[...].astype(f32)  # [64, 32]
+    b2r3 = b2r3_ref[...].astype(f32)[:, None]
+    wf = wf_ref[...].astype(f32)  # [64, 7]
+    bf = bf_ref[...].astype(f32)
+
+    # -- up2 (stride 5, k10): y2 phases s, logical cols a ∈ [-4, Mb) ----------
+    # Phase s of u = 5a + s mixes x[a-1] (A_s = W[:,:,(9-s)%5]) and x[a].
+    y2 = []
+    for s in range(_UP2_S):
+        j1 = (9 - s) % 5
+        v = (
+            jax.lax.dot_general(
+                wu2[:, :, j1], xh[:, 0 : mb + 4], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            + jax.lax.dot_general(
+                wu2[:, :, j1 + 5], xh[:, 1 : mb + 5], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            + bu2
+        )
+        # Causal zero padding over u (positions before u=0 are literal zeros).
+        pos = 5 * (i * mb + jax.lax.broadcasted_iota(jnp.int32, (1, mb + 4), 1) - 4) + s
+        y2.append(jnp.where(pos >= 0, v, 0.0))
+
+    h = [_elu(v) for v in y2]  # [128, Mb+4], col = a+4
+
+    # -- res2 + ELU: h2 phases s, cols a ∈ [-3, Mb) ---------------------------
+    h2 = []
+    for s in range(_UP2_S):
+        acc = b1r2
+        for d in range(3):
+            e = s - 2 + d
+            ph, off = e % 5, (e - e % 5) // 5  # off ∈ {-1, 0}
+            acc = acc + jax.lax.dot_general(
+                w1r2[:, :, d], h[ph][:, 1 + off : 1 + off + mb + 3],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        c2 = (
+            jax.lax.dot_general(
+                w2r2, _elu(acc), (((1,), (0,)), ((), ())), preferred_element_type=f32
+            )
+            + b2r2
+        )
+        v = _elu(y2[s][:, 1 : mb + 4] + c2)  # [128, Mb+3], col = a+3
+        pos = 5 * (i * mb + jax.lax.broadcasted_iota(jnp.int32, (1, mb + 3), 1) - 3) + s
+        h2.append(jnp.where(pos >= 0, v, 0.0))
+
+    # -- up3 (stride 4, k8): y3 phases j ∈ [0, 20), cols c ∈ [-2, Mb) ---------
+    # t = 20c + j = 4u + r₄: u = 5c + g with r₄ = j mod 4, g = (j − r₄)/4.
+    # Phase r₄ mixes h2[u-1] (A'_{r₄} = W[:,:,(7-r₄)%4]) and h2[u].
+    y3 = []
+    for j in range(20):
+        r4, g = j % 4, (j - j % 4) // 4
+        a_w = wu3[:, :, (7 - r4) % 4]
+        b_w = wu3[:, :, (7 - r4) % 4 + 4]
+        curp = h2[g][:, 1 : 1 + mb + 2]  # u = 5c+g → phase g col a=c (idx c+3 → slice from 1)
+        if g > 0:
+            prevp = h2[g - 1][:, 1 : 1 + mb + 2]  # u-1 = 5c + (g-1)
+        else:
+            prevp = h2[4][:, 0 : mb + 2]  # u-1 = 5(c-1) + 4
+        v = (
+            jax.lax.dot_general(a_w, prevp, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+            + jax.lax.dot_general(b_w, curp, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+            + bu3
+        )
+        pos = 20 * (i * mb + jax.lax.broadcasted_iota(jnp.int32, (1, mb + 2), 1) - 2) + j
+        y3.append(jnp.where(pos >= 0, v, 0.0))
+
+    h3 = [_elu(v) for v in y3]  # [64, Mb+2], col = c+2
+
+    # -- res3 + ELU: z phases j, cols c ∈ [-1, Mb) ----------------------------
+    z = []
+    for j in range(20):
+        acc = b1r3
+        for d in range(3):
+            e = j - 2 + d
+            ph, off = e % 20, (e - e % 20) // 20  # off ∈ {-1, 0}
+            acc = acc + jax.lax.dot_general(
+                w1r3[:, :, d], h3[ph][:, 1 + off : 1 + off + mb + 1],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        c2 = (
+            jax.lax.dot_general(
+                w2r3, _elu(acc), (((1,), (0,)), ((), ())), preferred_element_type=f32
+            )
+            + b2r3
+        )
+        v = _elu(y3[j][:, 1 : mb + 2] + c2)  # [64, Mb+1], col = c+1
+        pos = 20 * (i * mb + jax.lax.broadcasted_iota(jnp.int32, (1, mb + 1), 1) - 1) + j
+        z.append(jnp.where(pos >= 0, v, 0.0))
+
+    # -- final conv (k7 causal): out phases j, cols c ∈ [0, Mb) ---------------
+    for j in range(20):
+        acc = jnp.zeros((1, mb), f32)
+        for d in range(7):
+            e = j - 6 + d
+            ph, off = e % 20, (e - e % 20) // 20
+            sl = z[ph][:, 1 + off : 1 + off + mb]
+            acc = acc + jnp.sum(wf[:, d][:, None] * sl, axis=0, keepdims=True)
+        o_ref[0, j] = (acc[0] + bf).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_up2_up3_tail(
+    x: jax.Array,  # [B, 256, T/20] pre-up2 activations (already ELU'd)
+    wu2: jax.Array,  # [128, 256, 10] repacked up2 kernel
+    bu2: jax.Array,
+    w1r2: jax.Array,  # [64, 128, 3] res2.conv1
+    b1r2: jax.Array,
+    w2r2: jax.Array,  # [128, 64, 1] res2.conv2
+    b2r2: jax.Array,
+    wu3: jax.Array,  # [64, 128, 8] repacked up3 kernel
+    bu3: jax.Array,
+    w1r3: jax.Array,  # [32, 64, 3] res3.conv1
+    b1r3: jax.Array,
+    w2r3: jax.Array,  # [64, 32, 1] res3.conv2
+    b2r3: jax.Array,
+    wf: jax.Array,  # [1, 64, 7] final conv
+    bf: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """``final(elu(res3(up3(elu(res2(up2(x)))))))`` fully in phase space →
+    ``[B, 1, 20·T_in]`` PCM (the last two decode stages in one VMEM pass)."""
+    b, c, t_in = x.shape
+    assert supports_cascade(c, t_in, wu2.shape[-1], wu3.shape[-1]), (x.shape,)
+    nb = t_in // _CB
+
+    grid = (b, nb)
+    out = pl.pallas_call(
+        _cascade_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 256, _CB), lambda bi, i: (bi, 0, i)),
+            pl.BlockSpec((1, 256, _CB), lambda bi, i: (bi, 0, jnp.maximum(i - 1, 0))),
+            pl.BlockSpec((128, 256, 10), lambda bi, i: (0, 0, 0)),
+            pl.BlockSpec((128,), lambda bi, i: (0,)),
+            pl.BlockSpec((64, 128, 3), lambda bi, i: (0, 0, 0)),
+            pl.BlockSpec((64,), lambda bi, i: (0,)),
+            pl.BlockSpec((128, 64), lambda bi, i: (0, 0)),
+            pl.BlockSpec((128,), lambda bi, i: (0,)),
+            pl.BlockSpec((64, 128, 8), lambda bi, i: (0, 0, 0)),
+            pl.BlockSpec((64,), lambda bi, i: (0,)),
+            pl.BlockSpec((32, 64, 3), lambda bi, i: (0, 0, 0)),
+            pl.BlockSpec((32,), lambda bi, i: (0,)),
+            pl.BlockSpec((64, 32), lambda bi, i: (0, 0)),
+            pl.BlockSpec((64,), lambda bi, i: (0,)),
+            pl.BlockSpec((64, 7), lambda bi, i: (0, 0)),
+            pl.BlockSpec((1,), lambda bi, i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, 20, _CB), lambda bi, i: (bi, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((b, 20, t_in), x.dtype),
+        interpret=interpret,
+    )(
+        x, x,
+        wu2, bu2, w1r2, b1r2, w2r2.reshape(128, 64), b2r2,
+        wu3, bu3, w1r3, b1r3, w2r3.reshape(64, 32), b2r3,
+        wf.reshape(64, 7), bf,
+    )
+    # Phases-major [B, 20, T/20] → time order [B, 1, T].
+    return jnp.swapaxes(out, 1, 2).reshape(b, 1, t_in * 20)

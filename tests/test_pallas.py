@@ -237,3 +237,53 @@ def test_fused_up2_res_matches_xla(blocks, batch):
 
     got = fused_up2_res(x, wu, bu, w1, b1, w2, b2, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("blocks,batch", [(1, 1), (3, 2)])
+def test_fused_up2_up3_tail_matches_xla(blocks, batch):
+    """Full phase-space cascade (up2→res2→ELU→up3→res3→ELU→final) == the
+    five-stage XLA chain (the r3 kernel replacing the VMEM-blocked up2)."""
+    from go_pocket_tts_tpu.ops.conv import (
+        causal_conv1d,
+        conv_transpose1d_trim,
+        repack_conv_transpose_kernel,
+    )
+    from go_pocket_tts_tpu.ops.pallas.seanet_tail import _CB, fused_up2_up3_tail
+
+    rng = np.random.RandomState(blocks + 13 * batch)
+    T_in = _CB * blocks
+    x = jnp.asarray(rng.randn(batch, 256, T_in).astype(np.float32) * 0.5)
+    wu2 = repack_conv_transpose_kernel(
+        jnp.asarray(rng.randn(256, 128, 10).astype(np.float32) * 0.05)
+    )
+    bu2 = jnp.asarray(rng.randn(128).astype(np.float32) * 0.1)
+    w1r2 = jnp.asarray(rng.randn(64, 128, 3).astype(np.float32) * 0.1)
+    b1r2 = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    w2r2 = jnp.asarray(rng.randn(128, 64, 1).astype(np.float32) * 0.1)
+    b2r2 = jnp.asarray(rng.randn(128).astype(np.float32) * 0.1)
+    wu3 = repack_conv_transpose_kernel(
+        jnp.asarray(rng.randn(128, 64, 8).astype(np.float32) * 0.1)
+    )
+    bu3 = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    w1r3 = jnp.asarray(rng.randn(32, 64, 3).astype(np.float32) * 0.1)
+    b1r3 = jnp.asarray(rng.randn(32).astype(np.float32) * 0.1)
+    w2r3 = jnp.asarray(rng.randn(64, 32, 1).astype(np.float32) * 0.1)
+    b2r3 = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    wf = jnp.asarray(rng.randn(1, 64, 7).astype(np.float32) * 0.1)
+    bf = jnp.asarray(rng.randn(1).astype(np.float32) * 0.1)
+
+    y2 = conv_transpose1d_trim(x, wu2, bu2, 5, 1)
+    h = causal_conv1d(jax.nn.elu(y2), w1r2, b1r2)
+    h = causal_conv1d(jax.nn.elu(h), w2r2, b2r2)
+    h2 = jax.nn.elu(y2 + h)
+    y3 = conv_transpose1d_trim(h2, wu3, bu3, 4, 1)
+    r = causal_conv1d(jax.nn.elu(y3), w1r3, b1r3)
+    r = causal_conv1d(jax.nn.elu(r), w2r3, b2r3)
+    want = causal_conv1d(jax.nn.elu(y3 + r), wf, bf)
+
+    got = fused_up2_up3_tail(
+        x, wu2, bu2, w1r2, b1r2, w2r2, b2r2,
+        wu3, bu3, w1r3, b1r3, w2r3, b2r3, wf, bf, interpret=True,
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4, rtol=3e-4)
