@@ -265,40 +265,13 @@ def mimi_decode(params: Params, cfg: MimiConfig, mimi_latent: jax.Array) -> jax.
     x = _convtr(params["up1"], x, s1)
     x = _resblock(params["res1"], x)
     x = elu(x)
-    if cfg.use_pallas and s2 == 5 and s3 == 4 and x.shape[1] == 256:
-        # Full up2→res2→up3→res3→final cascade in ONE phase-space kernel:
-        # neither 24 kHz-rate activation ([128, T/4] and [64, T]) ever
-        # touches HBM, and the scoped-VMEM parking that blocked the
-        # standalone up2 kernel (its 20 MB result) disappears because the
-        # only kernel result is the 1-channel PCM.
-        from go_pocket_tts_tpu.ops.pallas import seanet_tail as _st
-
-        wu2, wu3 = params["up2"]["w"], params["up3"]["w"]
-        if (
-            wu2.shape[:2] == (128, 256)
-            and wu3.shape[:2] == (64, 128)
-            and _st.supports_cascade(x.shape[1], x.shape[-1], wu2.shape[-1], wu3.shape[-1])
-        ):
-            r2, r3, f = params["res2"], params["res3"], params["final_conv"]
-            zeros = lambda n: jnp.zeros((n,), x.dtype)  # noqa: E731
-            return _st.fused_up2_up3_tail(
-                x,
-                wu2,
-                params["up2"].get("b", zeros(128)),
-                r2["conv1"]["w"],
-                r2["conv1"].get("b", zeros(r2["conv1"]["w"].shape[0])),
-                r2["conv2"]["w"],
-                r2["conv2"].get("b", zeros(r2["conv2"]["w"].shape[0])),
-                wu3,
-                params["up3"].get("b", zeros(64)),
-                r3["conv1"]["w"],
-                r3["conv1"].get("b", zeros(r3["conv1"]["w"].shape[0])),
-                r3["conv2"]["w"],
-                r3["conv2"].get("b", zeros(r3["conv2"]["w"].shape[0])),
-                f["w"],
-                f.get("b", zeros(1)),
-                interpret=jax.default_backend() == "cpu",
-            )
+    # (An up2→up3→tail Pallas cascade exists, interpret-validated —
+    # `ops/pallas/seanet_tail.fused_up2_up3_tail` — but Mosaic's scoped-VMEM
+    # accounting sums every temporary of its 20-phase unroll (42–102 MB vs
+    # the 16 MB limit) so it cannot compile on v5e. The up2 win is delivered
+    # instead by `ops.conv.conv_transpose1d_phases`: the same phase-space
+    # matmul formulation in plain XLA, where the interleave reshape is legal
+    # and the MXU does the work.)
     x = _convtr(params["up2"], x, s2)
     x = _resblock(params["res2"], x)
     x = elu(x)

@@ -288,17 +288,13 @@ def fused_seanet_up_tail(
 
 # -- up2 + res2 + ELU, same phase-space treatment (stride 5) ------------------
 #
-# STATUS: interpret-validated prototype, NOT wired into mimi_decode. The
-# kernel itself is fine, but this environment's AOT buffer assignment parks
-# pallas_call RESULTS in scoped VMEM (S(1)) — the ~20 MB of up2 output
-# blows the 16 MB limit whether emitted as one rank-4 buffer (44 MB scoped)
-# or as five per-phase tuple outputs (54 MB scoped), independent of grid
-# block size or an optimization barrier. The up3+tail kernel escapes only
-# because its result is the 1-channel PCM (0.6 MB). Paths forward for a
-# future round: chunk the call over T so per-call results fit the scoped
-# budget, or fuse the whole up2→up3→tail cascade (20 phases) so the up2
-# output never materializes. Expected win if landed: ~1.5 ms of decode
-# device time.
+# STATUS: interpret-validated prototype, NOT wired into mimi_decode — kept
+# as the readable two-stage derivation. This environment's AOT buffer
+# assignment parks pallas_call RESULTS in scoped VMEM (S(1)); the ~20 MB of
+# up2 output blows the 16 MB limit whether emitted as one rank-4 buffer or
+# as five per-phase tuple outputs. SUPERSEDED by ``fused_up2_up3_tail``
+# below (r3): fusing the whole up2→up3→tail cascade makes the only kernel
+# result the 1-channel PCM, which sidesteps the parking entirely.
 
 _UP2_K, _UP2_S = 10, 5  # the reference's up2 (decoder.model.5): k=10, stride=5
 # Smaller blocks than the up3 kernel: the 5-phase unroll holds ~20 live
@@ -453,51 +449,61 @@ def _cascade_kernel(
     wu3_ref, bu3_ref, w1r3_ref, b1r3_ref, w2r3_ref, b2r3_ref,
     wf_ref, bf_ref, o_ref,
 ):
+    # VMEM-stack discipline (the binding constraint — a naive 20-phase unroll
+    # needed 42 MB against the 16 MB scoped limit): (1) inter-stage phase
+    # buffers are stored in the INPUT dtype (bf16 on TPU — exactly where the
+    # XLA chain also rounds, at stage boundaries) with f32 accumulation
+    # inside each conv; (2) the two shifted column views each stage needs
+    # (offset −1 / 0) are materialized ONCE per phase and reused by every
+    # tap, instead of one slice per tap (the final conv alone otherwise
+    # slices 140 buffers); (3) the k7 output conv is a [1,64]×[64,Mb] dot
+    # per tap, not a broadcast-multiply-reduce (whose 140 [64, Mb] f32
+    # products dominated the stack).
     i = pl.program_id(1)
     mb = x_ref.shape[-1]
     f32 = jnp.float32
+    sdt = x_ref.dtype
 
     cur = x_ref[0]  # [256, Mb]
     prev = prev_ref[0]
-    halo = jnp.where(i == 0, 0.0, 1.0) * prev[:, mb - 5 :]
-    xh = jnp.concatenate([halo, cur], axis=-1).astype(f32)  # [256, Mb+5]
+    halo = (jnp.where(i == 0, 0.0, 1.0) * prev[:, mb - 5 :]).astype(sdt)
+    xh = jnp.concatenate([halo, cur], axis=-1)  # [256, Mb+5], sdt
 
-    wu2 = wu2_ref[...].astype(f32)  # [128, 256, 10] repacked
+    wu2 = wu2_ref[...]  # [128, 256, 10] repacked, sdt
     bu2 = bu2_ref[...].astype(f32)[:, None]
-    w1r2 = w1r2_ref[...].astype(f32)  # [64, 128, 3]
+    w1r2 = w1r2_ref[...]  # [64, 128, 3]
     b1r2 = b1r2_ref[...].astype(f32)[:, None]
-    w2r2 = w2r2_ref[...].astype(f32)  # [128, 64]
+    w2r2 = w2r2_ref[...]  # [128, 64]
     b2r2 = b2r2_ref[...].astype(f32)[:, None]
-    wu3 = wu3_ref[...].astype(f32)  # [64, 128, 8] repacked
+    wu3 = wu3_ref[...]  # [64, 128, 8] repacked
     bu3 = bu3_ref[...].astype(f32)[:, None]
-    w1r3 = w1r3_ref[...].astype(f32)  # [32, 64, 3]
+    w1r3 = w1r3_ref[...]  # [32, 64, 3]
     b1r3 = b1r3_ref[...].astype(f32)[:, None]
-    w2r3 = w2r3_ref[...].astype(f32)  # [64, 32]
+    w2r3 = w2r3_ref[...]  # [64, 32]
     b2r3 = b2r3_ref[...].astype(f32)[:, None]
-    wf = wf_ref[...].astype(f32)  # [64, 7]
+    wf = wf_ref[...]  # [64, 7]
     bf = bf_ref[...].astype(f32)
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32)
 
     # -- up2 (stride 5, k10): y2 phases s, logical cols a ∈ [-4, Mb) ----------
     # Phase s of u = 5a + s mixes x[a-1] (A_s = W[:,:,(9-s)%5]) and x[a].
-    y2 = []
+    xh0, xh1 = xh[:, 0 : mb + 4], xh[:, 1 : mb + 5]
+    y2, h = [], []
     for s in range(_UP2_S):
         j1 = (9 - s) % 5
-        v = (
-            jax.lax.dot_general(
-                wu2[:, :, j1], xh[:, 0 : mb + 4], (((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
-            + jax.lax.dot_general(
-                wu2[:, :, j1 + 5], xh[:, 1 : mb + 5], (((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
-            + bu2
-        )
+        v = dot(wu2[:, :, j1], xh0) + dot(wu2[:, :, j1 + 5], xh1) + bu2
         # Causal zero padding over u (positions before u=0 are literal zeros).
         pos = 5 * (i * mb + jax.lax.broadcasted_iota(jnp.int32, (1, mb + 4), 1) - 4) + s
-        y2.append(jnp.where(pos >= 0, v, 0.0))
+        keep = pos >= 0
+        # ELU computed from the f32 accumulator here (Mosaic has no bf16
+        # compare), both stored in sdt.
+        y2.append(jnp.where(keep, v, 0.0).astype(sdt))
+        h.append(jnp.where(keep, _elu(v), 0.0).astype(sdt))
 
-    h = [_elu(v) for v in y2]  # [128, Mb+4], col = a+4
+    # h: elu(y2) [128, Mb+4], col = a+4, sdt
+    hv = [(v[:, 0 : mb + 3], v[:, 1 : mb + 4]) for v in h]  # offsets −1 / 0
 
     # -- res2 + ELU: h2 phases s, cols a ∈ [-3, Mb) ---------------------------
     h2 = []
@@ -505,44 +511,30 @@ def _cascade_kernel(
         acc = b1r2
         for d in range(3):
             e = s - 2 + d
-            ph, off = e % 5, (e - e % 5) // 5  # off ∈ {-1, 0}
-            acc = acc + jax.lax.dot_general(
-                w1r2[:, :, d], h[ph][:, 1 + off : 1 + off + mb + 3],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
-        c2 = (
-            jax.lax.dot_general(
-                w2r2, _elu(acc), (((1,), (0,)), ((), ())), preferred_element_type=f32
-            )
-            + b2r2
-        )
-        v = _elu(y2[s][:, 1 : mb + 4] + c2)  # [128, Mb+3], col = a+3
+            acc = acc + dot(w1r2[:, :, d], hv[e % 5][(e - e % 5) // 5 + 1])
+        c2 = dot(w2r2, _elu(acc).astype(sdt)) + b2r2
+        v = _elu(y2[s][:, 1 : mb + 4].astype(f32) + c2)  # [128, Mb+3], col = a+3
         pos = 5 * (i * mb + jax.lax.broadcasted_iota(jnp.int32, (1, mb + 3), 1) - 3) + s
-        h2.append(jnp.where(pos >= 0, v, 0.0))
+        h2.append(jnp.where(pos >= 0, v, 0.0).astype(sdt))
+
+    h2v = [(v[:, 0 : mb + 2], v[:, 1 : mb + 3]) for v in h2]  # offsets −1 / 0
 
     # -- up3 (stride 4, k8): y3 phases j ∈ [0, 20), cols c ∈ [-2, Mb) ---------
     # t = 20c + j = 4u + r₄: u = 5c + g with r₄ = j mod 4, g = (j − r₄)/4.
     # Phase r₄ mixes h2[u-1] (A'_{r₄} = W[:,:,(7-r₄)%4]) and h2[u].
-    y3 = []
+    y3, h3 = [], []
     for j in range(20):
         r4, g = j % 4, (j - j % 4) // 4
-        a_w = wu3[:, :, (7 - r4) % 4]
-        b_w = wu3[:, :, (7 - r4) % 4 + 4]
-        curp = h2[g][:, 1 : 1 + mb + 2]  # u = 5c+g → phase g col a=c (idx c+3 → slice from 1)
-        if g > 0:
-            prevp = h2[g - 1][:, 1 : 1 + mb + 2]  # u-1 = 5c + (g-1)
-        else:
-            prevp = h2[4][:, 0 : mb + 2]  # u-1 = 5(c-1) + 4
-        v = (
-            jax.lax.dot_general(a_w, prevp, (((1,), (0,)), ((), ())), preferred_element_type=f32)
-            + jax.lax.dot_general(b_w, curp, (((1,), (0,)), ((), ())), preferred_element_type=f32)
-            + bu3
-        )
+        curp = h2v[g][1]  # u = 5c+g → phase g col c
+        prevp = h2v[g - 1][1] if g > 0 else h2v[4][0]  # u-1 wraps to phase 4, col c-1
+        v = dot(wu3[:, :, (7 - r4) % 4], prevp) + dot(wu3[:, :, (7 - r4) % 4 + 4], curp) + bu3
         pos = 20 * (i * mb + jax.lax.broadcasted_iota(jnp.int32, (1, mb + 2), 1) - 2) + j
-        y3.append(jnp.where(pos >= 0, v, 0.0))
+        keep = pos >= 0
+        y3.append(jnp.where(keep, v, 0.0).astype(sdt))
+        h3.append(jnp.where(keep, _elu(v), 0.0).astype(sdt))
 
-    h3 = [_elu(v) for v in y3]  # [64, Mb+2], col = c+2
+    # h3: elu(y3) [64, Mb+2], col = c+2, sdt
+    h3v = [(v[:, 0 : mb + 1], v[:, 1 : mb + 2]) for v in h3]
 
     # -- res3 + ELU: z phases j, cols c ∈ [-1, Mb) ----------------------------
     z = []
@@ -550,31 +542,21 @@ def _cascade_kernel(
         acc = b1r3
         for d in range(3):
             e = j - 2 + d
-            ph, off = e % 20, (e - e % 20) // 20  # off ∈ {-1, 0}
-            acc = acc + jax.lax.dot_general(
-                w1r3[:, :, d], h3[ph][:, 1 + off : 1 + off + mb + 1],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
-        c2 = (
-            jax.lax.dot_general(
-                w2r3, _elu(acc), (((1,), (0,)), ((), ())), preferred_element_type=f32
-            )
-            + b2r3
-        )
-        v = _elu(y3[j][:, 1 : mb + 2] + c2)  # [64, Mb+1], col = c+1
+            acc = acc + dot(w1r3[:, :, d], h3v[e % 20][(e - e % 20) // 20 + 1])
+        c2 = dot(w2r3, _elu(acc).astype(sdt)) + b2r3
+        v = _elu(y3[j][:, 1 : mb + 2].astype(f32) + c2)  # [64, Mb+1], col = c+1
         pos = 20 * (i * mb + jax.lax.broadcasted_iota(jnp.int32, (1, mb + 1), 1) - 1) + j
-        z.append(jnp.where(pos >= 0, v, 0.0))
+        z.append(jnp.where(pos >= 0, v, 0.0).astype(sdt))
+
+    zv = [(v[:, 0:mb], v[:, 1 : mb + 1]) for v in z]
 
     # -- final conv (k7 causal): out phases j, cols c ∈ [0, Mb) ---------------
     for j in range(20):
         acc = jnp.zeros((1, mb), f32)
         for d in range(7):
             e = j - 6 + d
-            ph, off = e % 20, (e - e % 20) // 20
-            sl = z[ph][:, 1 + off : 1 + off + mb]
-            acc = acc + jnp.sum(wf[:, d][:, None] * sl, axis=0, keepdims=True)
-        o_ref[0, j] = (acc[0] + bf).astype(o_ref.dtype)
+            acc = acc + dot(wf[:, d][None, :], zv[e % 20][(e - e % 20) // 20 + 1])
+        o_ref[0, j] = (acc + bf).astype(o_ref.dtype)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

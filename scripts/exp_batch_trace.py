@@ -1,0 +1,111 @@
+"""Per-op device-time breakdown of the batched AR block (r3, VERDICT #1a).
+
+Runs _batched_ar_multi_step under jax.profiler.trace and aggregates the
+xplane's TPU op durations (via tensorboard_plugin_profile's proto parser),
+to see where the ~0.08 ms/step of non-roofline time goes at batch 8.
+
+Usage: python scripts/exp_batch_trace.py [k] [slots]
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+from go_pocket_tts_tpu.models import synthetic
+from go_pocket_tts_tpu.models.model import load_model_from_store
+from go_pocket_tts_tpu.parallel.batching import _batched_ar_multi_step
+from go_pocket_tts_tpu.utils.safetensors import encode_tensors, open_store_from_bytes
+
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+SLOTS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+CAP = 224
+
+arch = synthetic.real_arch()
+store = open_store_from_bytes(encode_tensors(synthetic.build_checkpoint(arch, seed=0)))
+model = load_model_from_store(store, num_heads=arch.num_heads).astype(jnp.bfloat16)
+params = model.params["flow_lm"]
+cfg = model.config.flow_lm
+tcfg = cfg.transformer
+L = cfg.latent_dim
+
+
+def fresh_state():
+    shape = (tcfg.num_layers, SLOTS, tcfg.num_heads, CAP, tcfg.head_dim)
+    return {
+        "cache": {
+            "k": jnp.zeros(shape, jnp.bfloat16),
+            "v": jnp.zeros(shape, jnp.bfloat16),
+            "offset": jnp.zeros((SLOTS,), jnp.int32),
+        },
+        "frame": jnp.full((SLOTS, 1, L), jnp.nan, jnp.bfloat16),
+        "frames": jnp.zeros((SLOTS, 176, L), jnp.bfloat16),
+        "n_frames": jnp.zeros((SLOTS,), jnp.int32),
+        "countdown": jnp.full((SLOTS,), -1, jnp.int32),
+        "done": jnp.zeros((SLOTS,), bool),
+        "active": jnp.ones((SLOTS,), bool),
+        "max_steps": jnp.full((SLOTS,), 10_000, jnp.int32),
+        "eos_threshold": jnp.full((SLOTS,), 1e9, jnp.float32),
+        "frames_after_eos": jnp.full((SLOTS,), 3, jnp.int32),
+        "sigma": jnp.full((SLOTS,), 0.84, jnp.float32),
+    }
+
+
+key = jax.random.PRNGKey(0)
+state = fresh_state()
+key, sub = jax.random.split(key)
+noise = jax.random.normal(sub, (K, SLOTS, L), jnp.bfloat16)
+state, w, n, _f = _batched_ar_multi_step(params, cfg, state, noise, 1)  # compile
+jax.block_until_ready(state["n_frames"])
+
+trace_dir = "/tmp/batch_trace"
+os.system(f"rm -rf {trace_dir}")
+with jax.profiler.trace(trace_dir):
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        noise = jax.random.normal(sub, (K, SLOTS, L), jnp.bfloat16)
+        state, w, n, _f = _batched_ar_multi_step(params, cfg, state, noise, 1)
+    jax.block_until_ready(n)
+
+# -- parse the xplane: sum device op durations by op category ----------------
+from tensorboard_plugin_profile.protobuf import xplane_pb2
+
+paths = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
+assert paths, f"no xplane under {trace_dir}"
+totals = defaultdict(float)
+plane_names = []
+for path in paths:
+    xs = xplane_pb2.XSpace()
+    with open(path, "rb") as fh:
+        xs.ParseFromString(fh.read())
+    for plane in xs.planes:
+        plane_names.append(plane.name)
+        if "TPU" not in plane.name and "Device" not in plane.name:
+            continue
+        for line in plane.lines:
+            if "XLA Ops" not in line.name and "Ops" not in line.name:
+                continue
+            for ev in line.events:
+                name = plane.event_metadata[ev.metadata_id].name
+                totals[name] += ev.duration_ps / 1e12
+print("# planes:", sorted(set(plane_names)))
+agg = defaultdict(float)
+for name, secs in totals.items():
+    key_ = name.split(".")[0].split("(")[0]
+    agg[key_] += secs
+total = sum(agg.values())
+print(f"total device op time: {total*1e3:.2f} ms over 3x{K} steps "
+      f"-> {total/3/K*1e3:.4f} ms/step")
+for name, secs in sorted(agg.items(), key=lambda kv: -kv[1])[:30]:
+    print(f"  {secs/3/K*1e6:9.2f} us/step  {100*secs/total:5.1f}%  {name}")

@@ -232,6 +232,11 @@ def test_causal_conv1d_matches_torch(in_ch, out_ch, k, stride, dilation, groups)
         (16, 8, 8, 4, 1),
         (8, 8, 16, 16, 8),  # grouped (the 512-group Mimi upsample, scaled down)
         (6, 6, 2, 2, 6),
+        # Non-multiple k/stride combos exercise the phase-space matmul
+        # path's general tap loop (conv_transpose1d_phases).
+        (16, 8, 7, 3, 1),
+        (16, 8, 3, 2, 1),
+        (16, 8, 5, 5, 1),
     ],
 )
 def test_conv_transpose1d_trim_matches_torch(in_ch, out_ch, k, stride, groups):
