@@ -136,10 +136,13 @@ def _ar_step_body(
 
     max_frames = state["frames"].shape[1]
     idx = jnp.minimum(state["n_frames"], max_frames - 1)
-    written = jax.vmap(
-        lambda buf, val, i: jax.lax.dynamic_update_slice(buf, val[None, :], (i, 0))
-    )(state["frames"], decoded, idx)
-    frames = jnp.where(live[:, None, None], written, state["frames"])
+    # One in-place scatter row write per step. The vmapped
+    # dynamic_update_slice this replaces lowered to a serialized per-lane
+    # while loop — 17 µs of the 407 µs batch-8 step (r3 xplane trace).
+    lanes = jnp.arange(state["frames"].shape[0], dtype=jnp.int32)
+    old_rows = state["frames"][lanes, idx]
+    rows = jnp.where(live[:, None], decoded, old_rows)
+    frames = state["frames"].at[lanes, idx].set(rows)
 
     is_eos = eos_logit > state["eos_threshold"]
     newly = is_eos & (state["countdown"] < 0) & live

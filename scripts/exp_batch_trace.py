@@ -79,33 +79,33 @@ with jax.profiler.trace(trace_dir):
     jax.block_until_ready(n)
 
 # -- parse the xplane: sum device op durations by op category ----------------
-from tensorboard_plugin_profile.protobuf import xplane_pb2
+# (the xplane proto ships inside tensorflow's tsl tree in this image)
+from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
 paths = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
 assert paths, f"no xplane under {trace_dir}"
-totals = defaultdict(float)
-plane_names = []
+import re
+
+steps = 3 * K
 for path in paths:
     xs = xplane_pb2.XSpace()
     with open(path, "rb") as fh:
         xs.ParseFromString(fh.read())
     for plane in xs.planes:
-        plane_names.append(plane.name)
-        if "TPU" not in plane.name and "Device" not in plane.name:
+        if plane.name != "/device:TPU:0":
             continue
+        meta = plane.event_metadata
         for line in plane.lines:
-            if "XLA Ops" not in line.name and "Ops" not in line.name:
+            if line.name != "XLA Ops":
                 continue
+            totals = defaultdict(float)
+            counts = defaultdict(int)
             for ev in line.events:
-                name = plane.event_metadata[ev.metadata_id].name
-                totals[name] += ev.duration_ps / 1e12
-print("# planes:", sorted(set(plane_names)))
-agg = defaultdict(float)
-for name, secs in totals.items():
-    key_ = name.split(".")[0].split("(")[0]
-    agg[key_] += secs
-total = sum(agg.values())
-print(f"total device op time: {total*1e3:.2f} ms over 3x{K} steps "
-      f"-> {total/3/K*1e3:.4f} ms/step")
-for name, secs in sorted(agg.items(), key=lambda kv: -kv[1])[:30]:
-    print(f"  {secs/3/K*1e6:9.2f} us/step  {100*secs/total:5.1f}%  {name}")
+                name = meta[ev.metadata_id].name
+                key = re.sub(r"[.\d]+$", "", name).split(" = ")[0]
+                totals[key] += ev.duration_ps / 1e12
+                counts[key] += 1
+            # NB: enclosing while ops double-count their body's fusions;
+            # the top-level while IS the true per-step wall.
+            for k_, s_ in sorted(totals.items(), key=lambda kv: -kv[1])[:30]:
+                print(f"  {s_/steps*1e6:9.2f} us/step  n={counts[k_]:6d}  {k_[:90]}")
