@@ -59,11 +59,13 @@ def _probe_native() -> str:
 def _probe_tokenizer_backend(tokenizer_path: str) -> tuple:
     """Which encode backend would serving use for this tokenizer file?
 
-    Returns ``(ok, detail)``. ✗ when the model carries a precompiled
-    charsmap but only the pure fallback is available: the fallback
-    approximates that normalizer with NFKC, so non-ASCII text would
-    tokenize differently from upstream — wrong tokens produce wrong
-    speech with no error anywhere else in the pipeline (VERDICT r2 #6).
+    Returns ``(ok, detail)``. The pure fallback applies the model's
+    precompiled charsmap exactly (darts-clone reader, ``text/charsmap.py``),
+    so ✗ only when the model carries a charsmap the reader could NOT parse
+    and the fast backend is also unavailable: normalization then degrades to
+    an NFKC approximation and non-ASCII text would tokenize differently from
+    upstream — wrong tokens produce wrong speech with no error anywhere else
+    in the pipeline (VERDICT r2 #6).
     """
     try:
         import tokenizers  # noqa: F401
@@ -76,15 +78,17 @@ def _probe_tokenizer_backend(tokenizer_path: str) -> tuple:
 
     tok = load_tokenizer(tokenizer_path)
     has_charsmap = bool(tok.model.precompiled_charsmap)
+    charsmap_err = tok.charsmap_error
     detail = (
         f"backend={tok.backend}, hf-tokenizers "
         f"{'importable' if have_fast else 'MISSING'}, "
         f"precompiled charsmap {'present' if has_charsmap else 'absent'}"
     )
-    if tok.backend == "pure" and has_charsmap:
+    if tok.backend == "pure" and charsmap_err is not None:
         return False, detail + (
-            " — pure fallback approximates the charsmap with NFKC "
-            "(non-ASCII text may mis-tokenize); install `tokenizers`"
+            f" — charsmap failed to parse ({charsmap_err}); normalization "
+            "degrades to NFKC (non-ASCII text may mis-tokenize); install "
+            "`tokenizers`"
         )
     return True, detail
 

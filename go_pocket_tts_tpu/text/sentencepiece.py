@@ -9,8 +9,9 @@ built from first principles:
 - a fast backend bridging to HuggingFace ``tokenizers`` (Rust): ``Unigram``
   model + ``Precompiled`` charsmap normalizer + ``Metaspace`` pre-tokenizer,
   the same construction `transformers` uses for SPM conversion
-- a pure-Python Viterbi UNIGRAM encoder fallback (NFKC approximation of the
-  precompiled charsmap; exact for ASCII) with byte-fallback support
+- a pure-Python Viterbi UNIGRAM encoder fallback with byte-fallback support
+  and an exact precompiled-charsmap normalizer (darts-clone trie reader,
+  ``text/charsmap.py``); NFKC approximation only if the blob fails to parse
 
 Both backends implement ``encode(text) -> List[int]`` (the contract
 `internal/text/prepare.go:14-16` consumes) and ``decode``.
@@ -183,12 +184,24 @@ class SentencePieceModel:
 class _PureViterbi:
     """Pure-Python UNIGRAM Viterbi encoder.
 
-    Normalization approximates the precompiled charsmap with NFKC (exact for
-    the ASCII inputs the TTS front-end produces after `prepare_text`).
+    Normalization applies the model's precompiled charsmap exactly
+    (sentencepiece ``NormalizePrefix`` longest-match semantics via
+    ``text/charsmap.py``); when the model carries no charsmap — or the blob
+    fails to parse — it falls back to ``unicodedata`` NFKC (exact for the
+    ASCII inputs the TTS front-end produces after ``prepare_text``).
     """
 
     def __init__(self, model: SentencePieceModel) -> None:
         self.m = model
+        self.charsmap = None
+        self.charsmap_error: Optional[str] = None
+        if model.precompiled_charsmap:
+            try:
+                from go_pocket_tts_tpu.text.charsmap import PrecompiledCharsmap
+
+                self.charsmap = PrecompiledCharsmap(model.precompiled_charsmap)
+            except ValueError as exc:
+                self.charsmap_error = str(exc)
         self.piece_to_id: Dict[str, int] = {}
         for i, (piece, ptype) in enumerate(zip(model.pieces, model.types)):
             if ptype in (_TYPE_NORMAL, _TYPE_USER_DEFINED) and piece not in self.piece_to_id:
@@ -205,7 +218,10 @@ class _PureViterbi:
         self.unk_score = self.min_score - 10.0
 
     def normalize(self, text: str) -> str:
-        s = unicodedata.normalize("NFKC", text)
+        if self.charsmap is not None:
+            s = self.charsmap.normalize(text)
+        else:
+            s = unicodedata.normalize("NFKC", text)
         if self.m.remove_extra_whitespaces:
             s = " ".join(x for x in s.split(" ") if x != "") if s.strip(" ") else ""
             # preserve a completely-whitespace string as empty
@@ -317,20 +333,27 @@ class SentencePieceTokenizer:
             if backend == "hf" and self._hf is None:
                 raise RuntimeError("tokenizers (HF) backend unavailable")
         self.backend = "hf" if self._hf is not None else "pure"
-        if self.backend == "pure" and model.precompiled_charsmap:
-            # The pure fallback approximates the model's precompiled charsmap
-            # with NFKC — exact for ASCII, possibly divergent elsewhere. Wrong
-            # token IDs mean wrong speech with no error, so shout.
+        if self.backend == "pure" and self._pure.charsmap_error is not None:
+            # The model carries a precompiled charsmap the pure reader could
+            # not parse, so normalization degrades to the NFKC approximation
+            # — exact for ASCII, possibly divergent elsewhere. Wrong token
+            # IDs mean wrong speech with no error, so shout.
             log.warning(
-                "sentencepiece: HF `tokenizers` backend unavailable; pure "
-                "fallback approximates this model's precompiled charsmap "
-                "normalizer with NFKC (exact only for ASCII). Install "
-                "`tokenizers` for exact normalization."
+                "sentencepiece: precompiled charsmap failed to parse (%s); "
+                "pure fallback approximates it with NFKC (exact only for "
+                "ASCII). Install `tokenizers` for exact normalization.",
+                self._pure.charsmap_error,
             )
 
     @property
     def vocab_size(self) -> int:
         return len(self.model.pieces)
+
+    @property
+    def charsmap_error(self) -> Optional[str]:
+        """Parse error of the model's precompiled charsmap, if any (the pure
+        backend then approximates normalization with NFKC)."""
+        return self._pure.charsmap_error
 
     def encode(self, text: str) -> List[int]:
         if not text:
