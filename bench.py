@@ -208,33 +208,27 @@ def _measure_batched_step_ms(model, slots, dtype):
     import jax
     import jax.numpy as jnp
 
-    from go_pocket_tts_tpu.parallel.batching import _batched_ar_multi_step
+    from go_pocket_tts_tpu.parallel.batching import (
+        _batched_ar_multi_step,
+        make_batched_state,
+    )
 
     params = model.params["flow_lm"]
     cfg = model.config.flow_lm
-    tcfg = cfg.transformer
     L = cfg.latent_dim
-    cap = 224
 
     def fresh_state():
-        shape = (tcfg.num_layers, slots, tcfg.num_heads, cap, tcfg.head_dim)
-        return {
-            "cache": {
-                "k": jnp.zeros(shape, dtype),
-                "v": jnp.zeros(shape, dtype),
-                "offset": jnp.zeros((slots,), jnp.int32),
-            },
-            "frame": jnp.full((slots, 1, L), jnp.nan, dtype),
-            "frames": jnp.zeros((slots, 176, L), dtype),
-            "n_frames": jnp.zeros((slots,), jnp.int32),
-            "countdown": jnp.full((slots,), -1, jnp.int32),
-            "done": jnp.zeros((slots,), bool),
-            "active": jnp.ones((slots,), bool),
-            "max_steps": jnp.full((slots,), 10_000, jnp.int32),
-            "eos_threshold": jnp.full((slots,), 1e9, jnp.float32),
-            "frames_after_eos": jnp.full((slots,), 3, jnp.int32),
-            "sigma": jnp.full((slots,), 0.84, jnp.float32),
-        }
+        state = make_batched_state(
+            cfg, slots, capacity=224, max_frames=160, steps_per_sync=16, dtype=dtype
+        )
+        state.update(
+            active=jnp.ones((slots,), bool),
+            max_steps=jnp.full((slots,), 10_000, jnp.int32),
+            eos_threshold=jnp.full((slots,), 1e9, jnp.float32),
+            frames_after_eos=jnp.full((slots,), 3, jnp.int32),
+            sigma=jnp.full((slots,), 0.84, jnp.float32),
+        )
+        return state
 
     key = jax.random.PRNGKey(0)
 

@@ -180,6 +180,10 @@ def conv_transpose1d_phases(
             )
             acc = term if acc is None else acc + term
             j, d = j + 1, d + s
+        if acc is None:
+            # K < S leaves phases with no taps (every S-th output sample has
+            # no contributing input): correct value is zero, not a crash.
+            acc = jnp.zeros((o, b, t), jnp.float32)
         phases.append(acc)
     y = jnp.stack(phases, axis=-1)  # [O, B, T, S]
     y = jnp.transpose(y, (1, 0, 2, 3)).reshape(b, o, t * s).astype(x.dtype)

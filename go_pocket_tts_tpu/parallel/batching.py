@@ -167,6 +167,45 @@ def _ar_step_body(
     }
 
 
+def make_batched_state(
+    flow_cfg,
+    slots: int,
+    capacity: int,
+    max_frames: int,
+    steps_per_sync: int,
+    dtype,
+) -> Dict:
+    """The per-lane engine state dict ``_ar_step_body`` consumes — the ONE
+    place its schema is defined (the batcher, ``bench.py`` and the
+    ``scripts/exp_*`` measurement harnesses all build state through here, so
+    a schema change cannot silently skew a benchmark).
+
+    All lanes start inactive/zeroed; ``frames`` is ``steps_per_sync`` wider
+    than ``max_frames`` so the block-window slice in
+    ``_batched_ar_multi_step`` never clamps its start.
+    """
+    tcfg = flow_cfg.transformer
+    latent = flow_cfg.latent_dim
+    cache_shape = (tcfg.num_layers, slots, tcfg.num_heads, capacity, tcfg.head_dim)
+    return {
+        "cache": {
+            "k": jnp.zeros(cache_shape, dtype),
+            "v": jnp.zeros(cache_shape, dtype),
+            "offset": jnp.zeros((slots,), jnp.int32),
+        },
+        "frame": jnp.full((slots, 1, latent), jnp.nan, dtype),
+        "frames": jnp.zeros((slots, max_frames + steps_per_sync, latent), dtype),
+        "n_frames": jnp.zeros((slots,), jnp.int32),
+        "countdown": jnp.full((slots,), -1, jnp.int32),
+        "done": jnp.zeros((slots,), bool),
+        "active": jnp.zeros((slots,), bool),
+        "max_steps": jnp.zeros((slots,), jnp.int32),
+        "eos_threshold": jnp.zeros((slots,), jnp.float32),
+        "frames_after_eos": jnp.zeros((slots,), jnp.int32),
+        "sigma": jnp.zeros((slots,), jnp.float32),
+    }
+
+
 @partial(jax.jit, donate_argnames=("state",))
 def _insert_lane(
     state: Dict,
@@ -423,29 +462,14 @@ class ContinuousBatcher:
         self._thread: Optional[threading.Thread] = None
         self._crashed: Optional[Exception] = None
 
-        flow_cfg = self.model.config.flow_lm
-        tcfg = flow_cfg.transformer
-        L = flow_cfg.latent_dim
-        cache_shape = (tcfg.num_layers, slots, tcfg.num_heads, self.capacity, tcfg.head_dim)
-        self._state: Dict = {
-            "cache": {
-                "k": jnp.zeros(cache_shape, self.dtype),
-                "v": jnp.zeros(cache_shape, self.dtype),
-                "offset": jnp.zeros((slots,), jnp.int32),
-            },
-            "frame": jnp.full((slots, 1, L), jnp.nan, self.dtype),
-            # +steps_per_sync: the block-window slice in _batched_ar_multi_step
-            # must never clamp its start (see its docstring).
-            "frames": jnp.zeros((slots, max_frames + self.steps_per_sync, L), self.dtype),
-            "n_frames": jnp.zeros((slots,), jnp.int32),
-            "countdown": jnp.full((slots,), -1, jnp.int32),
-            "done": jnp.zeros((slots,), bool),
-            "active": jnp.zeros((slots,), bool),
-            "max_steps": jnp.zeros((slots,), jnp.int32),
-            "eos_threshold": jnp.zeros((slots,), jnp.float32),
-            "frames_after_eos": jnp.zeros((slots,), jnp.int32),
-            "sigma": jnp.zeros((slots,), jnp.float32),
-        }
+        self._state: Dict = make_batched_state(
+            self.model.config.flow_lm,
+            slots,
+            self.capacity,
+            max_frames,
+            self.steps_per_sync,
+            self.dtype,
+        )
         if mesh is not None:
             if "tp" in mesh.axis_names:
                 from go_pocket_tts_tpu.parallel.mesh import shard_state_tp

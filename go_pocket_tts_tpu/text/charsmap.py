@@ -1,12 +1,17 @@
 """SentencePiece *precompiled charsmap* normalizer — dependency-free.
 
-The reference's vendored Go encoder consumes ``tokenizer.model`` whose
-NormalizerSpec carries a precompiled charsmap blob
-(`internal/tokenizer/sentencepiece.go:13-46`); upstream sentencepiece
-compiles its normalization rules (NMT_NFKC) into this blob. Until round 3
-the pure-Python backend approximated the blob with ``unicodedata`` NFKC —
-exact for ASCII, divergent elsewhere. This module implements the real
-thing so the fallback is exact without HF ``tokenizers``.
+``tokenizer.model``'s NormalizerSpec carries a precompiled charsmap blob:
+upstream sentencepiece compiles its normalization rules (NMT_NFKC) into it,
+and that upstream semantic is the ground truth the published model was
+trained against. The reference only APPROXIMATES it — its vendored Go
+encoder (`internal/tokenizer/sentencepiece.go:13-46` delegating to
+go-sentencepiece-encoder) and its WASM mirror
+(`internal/tokenizer/sentencepiece_bytes_wasm.go:225-276`) do a hardcoded
+control-strip + whitespace fold + plain NFKC and never read the blob. Until
+round 3 this repo's pure-Python backend made the same NFKC approximation;
+this module implements the real charsmap semantics, so the pure fallback is
+now exact w.r.t. upstream (beyond reference parity) without HF
+``tokenizers``.
 
 Blob layout (sentencepiece ``normalizer.cc:DecodePrecompiledCharsMap``,
 mirrored by HF tokenizers' ``spm_precompiled``):

@@ -167,6 +167,16 @@ class Service:
                     None if mesh is None else dict(mesh.shape),
                 )
             else:
+                if cfg.runtime.tp_devices > 1 or cfg.runtime.dp_devices > 1:
+                    # Mesh execution rides the continuous batcher; a silent
+                    # single-chip fallback would report wrong benchmark
+                    # numbers as "N-way parallel", so refuse loudly.
+                    raise ValueError(
+                        "--runtime-tp/--runtime-dp require the batched runtime: "
+                        "set --runtime-batch-slots > 1 (got "
+                        f"tp={cfg.runtime.tp_devices} dp={cfg.runtime.dp_devices} "
+                        f"batch_slots={cfg.runtime.batch_slots})"
+                    )
                 runtime = TPURuntime(
                     model,
                     dtype=dtype,

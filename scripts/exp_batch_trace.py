@@ -25,7 +25,10 @@ import jax.numpy as jnp
 
 from go_pocket_tts_tpu.models import synthetic
 from go_pocket_tts_tpu.models.model import load_model_from_store
-from go_pocket_tts_tpu.parallel.batching import _batched_ar_multi_step
+from go_pocket_tts_tpu.parallel.batching import (
+    _batched_ar_multi_step,
+    make_batched_state,
+)
 from go_pocket_tts_tpu.utils.safetensors import encode_tensors, open_store_from_bytes
 
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 64
@@ -42,24 +45,17 @@ L = cfg.latent_dim
 
 
 def fresh_state():
-    shape = (tcfg.num_layers, SLOTS, tcfg.num_heads, CAP, tcfg.head_dim)
-    return {
-        "cache": {
-            "k": jnp.zeros(shape, jnp.bfloat16),
-            "v": jnp.zeros(shape, jnp.bfloat16),
-            "offset": jnp.zeros((SLOTS,), jnp.int32),
-        },
-        "frame": jnp.full((SLOTS, 1, L), jnp.nan, jnp.bfloat16),
-        "frames": jnp.zeros((SLOTS, 176, L), jnp.bfloat16),
-        "n_frames": jnp.zeros((SLOTS,), jnp.int32),
-        "countdown": jnp.full((SLOTS,), -1, jnp.int32),
-        "done": jnp.zeros((SLOTS,), bool),
-        "active": jnp.ones((SLOTS,), bool),
-        "max_steps": jnp.full((SLOTS,), 10_000, jnp.int32),
-        "eos_threshold": jnp.full((SLOTS,), 1e9, jnp.float32),
-        "frames_after_eos": jnp.full((SLOTS,), 3, jnp.int32),
-        "sigma": jnp.full((SLOTS,), 0.84, jnp.float32),
-    }
+    state = make_batched_state(
+        cfg, SLOTS, capacity=CAP, max_frames=160, steps_per_sync=16, dtype=jnp.bfloat16
+    )
+    state.update(
+        active=jnp.ones((SLOTS,), bool),
+        max_steps=jnp.full((SLOTS,), 10_000, jnp.int32),
+        eos_threshold=jnp.full((SLOTS,), 1e9, jnp.float32),
+        frames_after_eos=jnp.full((SLOTS,), 3, jnp.int32),
+        sigma=jnp.full((SLOTS,), 0.84, jnp.float32),
+    )
+    return state
 
 
 key = jax.random.PRNGKey(0)

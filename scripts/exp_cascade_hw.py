@@ -1,8 +1,13 @@
-"""Hardware validation + timing of the up2→up3→tail cascade kernel (r3).
+"""Hardware timing of the Mimi decode upsampling variants (r3).
 
-Compares full mimi_decode wall time (160-frame bucket, differencing over
-repeats) for: XLA chain | up3+tail kernel (r2 default) | full cascade, and
-checks numerics on-chip against the XLA chain.
+Compares full mimi_decode wall time (160-frame bucket, min over repeats)
+for the two SHIPPING variants — the pure-XLA chain (with the phase-space
+convT) vs the up3+tail Pallas kernel (TPU default) — and checks numerics
+on-chip. The fully-fused up2→up3→tail cascade kernel this script once
+targeted is NOT measurable: Mosaic's scoped-VMEM accounting rejects it on
+v5e (42–102 MB of unrolled temporaries vs the 16 MB limit; PERF.md
+"Mosaic scoped-VMEM lesson"), so the cascade never gated mimi_decode and
+was dropped.
 
 Usage: python scripts/exp_cascade_hw.py [frames]
 """
@@ -27,7 +32,6 @@ import numpy as np
 from go_pocket_tts_tpu.models import mimi as mimi_mod
 from go_pocket_tts_tpu.models import synthetic
 from go_pocket_tts_tpu.models.model import load_model_from_store
-from go_pocket_tts_tpu.ops.pallas import seanet_tail as st
 from go_pocket_tts_tpu.utils.safetensors import encode_tensors, open_store_from_bytes
 
 FRAMES = int(sys.argv[1]) if len(sys.argv) > 1 else 160
@@ -43,18 +47,11 @@ rng = np.random.RandomState(3)
 latent = jnp.asarray(rng.randn(1, 512, FRAMES).astype(np.float32) * 0.3, DTYPE)
 
 
-def decode_fn(use_pallas, cascade):
+def decode_fn(use_pallas):
     c = dataclasses.replace(cfg, use_pallas=use_pallas)
-    sup = st.supports_cascade
-
-    if use_pallas and not cascade:
-        # Disable the cascade gate so the r2 up3+tail path runs instead.
-        st.supports_cascade = lambda *a: False
-
     f = jax.jit(lambda lat: mimi_mod.mimi_decode(params, c, lat))
     out = f(latent)  # compile
     jax.block_until_ready(out)
-    st.supports_cascade = sup
 
     def run(n=8):
         t0 = time.perf_counter()
@@ -65,9 +62,9 @@ def decode_fn(use_pallas, cascade):
     return out, min(run() for _ in range(3))
 
 
-out_xla, t_xla = decode_fn(False, False)
+out_xla, t_xla = decode_fn(False)
 print(f"  xla(+phases convt) {t_xla*1e3:7.2f} ms", flush=True)
-out_up3, t_up3 = decode_fn(True, False)
+out_up3, t_up3 = decode_fn(True)
 print(f"  up3+tail kernel    {t_up3*1e3:7.2f} ms", flush=True)
 
 a = np.asarray(out_xla, np.float32)

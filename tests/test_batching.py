@@ -309,6 +309,29 @@ def test_service_runtime_tp_config_builds_mesh(model, tmp_path, monkeypatch):
         svc.runtime.close()
 
 
+def test_service_rejects_tp_without_batch_slots(model, tmp_path):
+    """`--runtime-tp N` without `--runtime-batch-slots > 1` must refuse, not
+    silently fall back to a single-chip runtime (a user would read unsharded
+    numbers as N-way TP)."""
+    from go_pocket_tts_tpu.config import Config
+    from go_pocket_tts_tpu.tts.service import Service
+    from go_pocket_tts_tpu.utils.safetensors import write_file
+
+    model_path = tmp_path / "model.safetensors"
+    write_file(model_path, synthetic.build_checkpoint(ARCH, seed=55))
+    from test_kernel import _tokenizer_bytes
+
+    tok_path = tmp_path / "tokenizer.model"
+    tok_path.write_bytes(_tokenizer_bytes())
+
+    cfg = Config()
+    cfg.paths.model_path = str(model_path)
+    cfg.paths.tokenizer_model = str(tok_path)
+    cfg.runtime.tp_devices = 2  # batch_slots stays 1
+    with pytest.raises(ValueError, match="runtime-batch-slots"):
+        Service.from_config(cfg)
+
+
 def test_batcher_frame_streaming(model):
     """submit_stream emits PCM blocks that concatenate to the non-streamed
     result (temp=0); per-slot block decoder is sample-exact."""

@@ -108,8 +108,10 @@ def test_longest_match_semantics():
 def test_hf_grapheme_divergence_is_ours_to_keep():
     """A combining mark on a mapped base: sentencepiece (and this reader)
     rewrites the base and KEEPS the mark; HF's spm_precompiled replaces the
-    whole grapheme, dropping the mark. We follow sentencepiece — it is the
-    ground truth the reference's vendored encoder matches."""
+    whole grapheme, dropping the mark. We follow upstream sentencepiece —
+    the semantics the published tokenizer.model encodes. (The Go reference
+    never reads the charsmap at all; it approximates with NFKC,
+    `internal/tokenizer/sentencepiece_bytes_wasm.go:225-276`.)"""
     cm = PrecompiledCharsmap(build_charsmap({"⼓": "勹"}))
     assert cm.normalize("⼓̏") == "勹̏"
 

@@ -237,6 +237,10 @@ def test_causal_conv1d_matches_torch(in_ch, out_ch, k, stride, dilation, groups)
         (16, 8, 7, 3, 1),
         (16, 8, 3, 2, 1),
         (16, 8, 5, 5, 1),
+        # k < stride: some phases have zero taps (their output samples are
+        # bias-only) — regression for the acc=None crash in the phases path.
+        (16, 8, 2, 4, 1),
+        (16, 8, 1, 5, 1),
     ],
 )
 def test_conv_transpose1d_trim_matches_torch(in_ch, out_ch, k, stride, groups):
@@ -251,6 +255,12 @@ def test_conv_transpose1d_trim_matches_torch(in_ch, out_ch, k, stride, groups):
     )
     full = F.conv_transpose1d(_t(x), _t(w), _t(b), stride=stride, groups=groups).numpy()
     trim = k - stride
-    want = full[:, :, : full.shape[2] - trim] if trim > 0 else full
+    if trim > 0:
+        want = full[:, :, : full.shape[2] - trim]
+    elif trim == 0:
+        want = full
+    else:  # streaming output is T*stride: the tail past torch's length is bias
+        want = np.tile(b[None, :, None], (2, 1, t * stride)).astype(np.float32)
+        want[:, :, : full.shape[2]] = full
     assert got.shape == want.shape == (2, out_ch, t * stride)
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
