@@ -79,6 +79,7 @@ class RuntimeConfig:
     frame_bucket: int = 256
     seed: int = -1  # -1 = time-seeded
     quantize: bool = False  # INT8 weight-only quantization
+    kv_quantize: bool = False  # INT8 KV cache (batched runtime only)
     batch_slots: int = 0  # >1: continuous batching across concurrent requests
     dp_devices: int = 0  # >1: shard the batch over a dp mesh of N devices
     tp_devices: int = 0  # >1: Megatron-shard the transformer over N devices
@@ -135,6 +136,8 @@ _FLAG_MAP = [
     ("runtime-frame-bucket", "runtime", "frame_bucket", int, "AR frame buffer bucket size"),
     ("runtime-seed", "runtime", "seed", int, "RNG seed (-1 = time-seeded)"),
     ("runtime-quantize", "runtime", "quantize", _parse_bool, "INT8 weight-only quantization"),
+    ("runtime-kv-quantize", "runtime", "kv_quantize", _parse_bool,
+     "INT8 KV cache with per-row scales (batched runtime; halves KV read traffic)"),
     ("runtime-batch-slots", "runtime", "batch_slots", int,
      "Continuous-batching slots (>1 batches concurrent requests)"),
     ("runtime-dp", "runtime", "dp_devices", int,

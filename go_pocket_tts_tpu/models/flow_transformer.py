@@ -43,6 +43,7 @@ from go_pocket_tts_tpu.models.params import (
 from go_pocket_tts_tpu.ops import (
     apply_rope,
     attention_with_positions,
+    attention_with_positions_int8kv,
     build_rope_tables,
     gelu_erf,
     layer_norm,
@@ -324,10 +325,17 @@ def transformer_step_batched(
     (the \"heterogeneous EOS\" case SURVEY.md §7.3 calls out). Cache writes
     are one in-place scatter per layer; RoPE and the position mask take the
     per-batch offset vectors directly.
+
+    When the cache carries ``k_scale``/``v_scale`` the K/V buffers are INT8
+    with per-row scales (``quantize_kv_rows``): new rows quantize before the
+    scatter and attention runs the mixed-dtype int8 path — at batch 8+ the
+    KV read rivals the shared weight stream, so halving it moves the step
+    roofline (PERF.md).
     """
     assert x.shape[1] == 1, "batched step is Tq=1 only"
     offsets = cache["offset"]  # [B]
     capacity = cache["k"].shape[3]
+    quantized = "k_scale" in cache
 
     pos_q = offsets[:, None]  # [B, 1]
     pos_k = jnp.broadcast_to(
@@ -337,6 +345,8 @@ def transformer_step_batched(
     cos_rows, sin_rows = rope_rows(params["rope_cos"], params["rope_sin"], offsets, 1)
 
     k_all, v_all = cache["k"], cache["v"]
+    ks_all = cache.get("k_scale")
+    vs_all = cache.get("v_scale")
     for i, layer in enumerate(params["layers"]):
         n1 = layer_norm(x, layer["norm1"]["weight"], layer["norm1"]["bias"])
         qkv = apply_linear(layer["in_proj"], n1)
@@ -352,9 +362,24 @@ def transformer_step_batched(
         # slice twice per layer per step — ~130 MB/step of pure copy at
         # batch 8, measured 0.66 ms/step vs the ~0.33 ms roofline.)
         lanes = jnp.arange(x.shape[0], dtype=jnp.int32)
-        k_all = k_all.at[i, lanes, :, offsets, :].set(k[:, :, 0, :])
-        v_all = v_all.at[i, lanes, :, offsets, :].set(v[:, :, 0, :])
-        attn = attention_with_positions(q, k_all[i], v_all[i], pos_q, pos_k, cfg.context)
+        if quantized:
+            from go_pocket_tts_tpu.models.quantize import quantize_kv_rows
+
+            kq, ks = quantize_kv_rows(k[:, :, 0, :])  # [B,H,Dh] / [B,H]
+            vq, vs = quantize_kv_rows(v[:, :, 0, :])
+            k_all = k_all.at[i, lanes, :, offsets, :].set(kq)
+            v_all = v_all.at[i, lanes, :, offsets, :].set(vq)
+            ks_all = ks_all.at[i, lanes, :, offsets].set(ks)
+            vs_all = vs_all.at[i, lanes, :, offsets].set(vs)
+            attn = attention_with_positions_int8kv(
+                q, k_all[i], ks_all[i], v_all[i], vs_all[i], pos_q, pos_k, cfg.context
+            )
+        else:
+            k_all = k_all.at[i, lanes, :, offsets, :].set(k[:, :, 0, :])
+            v_all = v_all.at[i, lanes, :, offsets, :].set(v[:, :, 0, :])
+            attn = attention_with_positions(
+                q, k_all[i], v_all[i], pos_q, pos_k, cfg.context
+            )
         x = x + apply_linear(layer["out_proj"], _merge_heads(attn))
         n2 = layer_norm(x, layer["norm2"]["weight"], layer["norm2"]["bias"])
         ff = apply_linear(layer["linear1"], n2)
@@ -362,6 +387,9 @@ def transformer_step_batched(
         x = x + apply_linear(layer["linear2"], ff)
 
     new_cache = {"k": k_all, "v": v_all, "offset": offsets + 1}
+    if quantized:
+        new_cache["k_scale"] = ks_all
+        new_cache["v_scale"] = vs_all
     return x, new_cache
 
 

@@ -19,7 +19,28 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-__all__ = ["quantize_linear", "quantize_model_params", "is_quantized"]
+__all__ = [
+    "quantize_linear",
+    "quantize_model_params",
+    "is_quantized",
+    "quantize_kv_rows",
+]
+
+
+def quantize_kv_rows(x: jax.Array):
+    """Symmetric per-row INT8 for KV-cache vectors: ``x[..., Dh]`` →
+    ``(int8[..., Dh], float32 scale[...])`` with ``scale = max|row| / 127``.
+
+    One scale per cached position vector (per lane, head, position) keeps
+    the quantization error relative to each row's own magnitude — RoPE'd
+    keys vary widely across positions, so a coarser grain measurably hurts.
+    Zero rows get scale 1 so empty cache slots stay exactly zero.
+    """
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    scale = jnp.where(scale > 0, scale, 1.0)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
 
 
 def quantize_linear(p: Dict) -> Dict:

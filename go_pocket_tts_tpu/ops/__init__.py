@@ -10,7 +10,10 @@ Here the equivalents are XLA programs (this package) and Pallas TPU kernels
 from go_pocket_tts_tpu.ops.act import elu, gelu_erf, silu
 from go_pocket_tts_tpu.ops.norms import layer_norm, modulate, rms_norm_bessel
 from go_pocket_tts_tpu.ops.rope import apply_rope, build_rope_tables
-from go_pocket_tts_tpu.ops.attention import attention_with_positions
+from go_pocket_tts_tpu.ops.attention import (
+    attention_with_positions,
+    attention_with_positions_int8kv,
+)
 from go_pocket_tts_tpu.ops.conv import (
     causal_conv1d,
     conv1d,
@@ -41,6 +44,7 @@ __all__ = [
     "apply_rope",
     "build_rope_tables",
     "attention_with_positions",
+    "attention_with_positions_int8kv",
     "causal_conv1d",
     "conv1d",
     "conv_transpose1d_trim",

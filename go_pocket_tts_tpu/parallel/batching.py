@@ -154,7 +154,7 @@ def _ar_step_body(
     # Freeze caches of non-live lanes (offset must not drift while waiting
     # for harvest or admission).
     offset = jnp.where(live, cache["offset"], state["cache"]["offset"])
-    cache = {"k": cache["k"], "v": cache["v"], "offset": offset}
+    cache = {**cache, "offset": offset}  # keeps k/v (+int8 scales, if any)
 
     return {
         **state,
@@ -174,6 +174,7 @@ def make_batched_state(
     max_frames: int,
     steps_per_sync: int,
     dtype,
+    kv_quantize: bool = False,
 ) -> Dict:
     """The per-lane engine state dict ``_ar_step_body`` consumes — the ONE
     place its schema is defined (the batcher, ``bench.py`` and the
@@ -182,17 +183,23 @@ def make_batched_state(
 
     All lanes start inactive/zeroed; ``frames`` is ``steps_per_sync`` wider
     than ``max_frames`` so the block-window slice in
-    ``_batched_ar_multi_step`` never clamps its start.
+    ``_batched_ar_multi_step`` never clamps its start. With ``kv_quantize``
+    the K/V buffers are INT8 plus per-row float32 scales
+    (``quantize_kv_rows``) and the step runs the mixed-dtype attention path.
     """
     tcfg = flow_cfg.transformer
     latent = flow_cfg.latent_dim
     cache_shape = (tcfg.num_layers, slots, tcfg.num_heads, capacity, tcfg.head_dim)
+    cache = {
+        "k": jnp.zeros(cache_shape, jnp.int8 if kv_quantize else dtype),
+        "v": jnp.zeros(cache_shape, jnp.int8 if kv_quantize else dtype),
+        "offset": jnp.zeros((slots,), jnp.int32),
+    }
+    if kv_quantize:
+        cache["k_scale"] = jnp.zeros(cache_shape[:-1], jnp.float32)
+        cache["v_scale"] = jnp.zeros(cache_shape[:-1], jnp.float32)
     return {
-        "cache": {
-            "k": jnp.zeros(cache_shape, dtype),
-            "v": jnp.zeros(cache_shape, dtype),
-            "offset": jnp.zeros((slots,), jnp.int32),
-        },
+        "cache": cache,
         "frame": jnp.full((slots, 1, latent), jnp.nan, dtype),
         "frames": jnp.zeros((slots, max_frames + steps_per_sync, latent), dtype),
         "n_frames": jnp.zeros((slots,), jnp.int32),
@@ -204,6 +211,27 @@ def make_batched_state(
         "frames_after_eos": jnp.zeros((slots,), jnp.int32),
         "sigma": jnp.zeros((slots,), jnp.float32),
     }
+
+
+def _set_cache_lanes(cache: Dict, idx, lanes_k, lanes_v, offsets) -> Dict:
+    """Write prefilled (bf16/f32) K/V lanes into the stacked cache at lane
+    index/indices ``idx``, quantizing per row first when the cache is INT8
+    (``k_scale`` present). ``lanes_k``/``lanes_v`` are ``[L, H, cap, Dh]``
+    for a scalar ``idx`` or ``[L, N, H, cap, Dh]`` for a vector."""
+    out = {"offset": cache["offset"].at[idx].set(offsets)}
+    if "k_scale" in cache:
+        from go_pocket_tts_tpu.models.quantize import quantize_kv_rows
+
+        kq, ks = quantize_kv_rows(lanes_k)
+        vq, vs = quantize_kv_rows(lanes_v)
+        out["k"] = cache["k"].at[:, idx].set(kq)
+        out["v"] = cache["v"].at[:, idx].set(vq)
+        out["k_scale"] = cache["k_scale"].at[:, idx].set(ks)
+        out["v_scale"] = cache["v_scale"].at[:, idx].set(vs)
+    else:
+        out["k"] = cache["k"].at[:, idx].set(lanes_k)
+        out["v"] = cache["v"].at[:, idx].set(lanes_v)
+    return out
 
 
 @partial(jax.jit, donate_argnames=("state",))
@@ -222,11 +250,7 @@ def _insert_lane(
     cache = state["cache"]
     state = {
         **state,
-        "cache": {
-            "k": cache["k"].at[:, slot].set(lane_k[:, 0]),
-            "v": cache["v"].at[:, slot].set(lane_v[:, 0]),
-            "offset": cache["offset"].at[slot].set(offset),
-        },
+        "cache": _set_cache_lanes(cache, slot, lane_k[:, 0], lane_v[:, 0], offset),
         "frame": state["frame"]
         .at[slot]
         .set(jnp.full((1, latent_dim), jnp.nan, state["frame"].dtype)),
@@ -278,11 +302,7 @@ def _insert_lanes(
     zeros = jnp.zeros((n,), jnp.int32)
     return {
         **state,
-        "cache": {
-            "k": cache["k"].at[:, slots].set(lanes_k),
-            "v": cache["v"].at[:, slots].set(lanes_v),
-            "offset": cache["offset"].at[slots].set(offsets),
-        },
+        "cache": _set_cache_lanes(cache, slots, lanes_k, lanes_v, offsets),
         "frame": state["frame"].at[slots].set(nan_frames),
         "n_frames": state["n_frames"].at[slots].set(zeros),
         "countdown": state["countdown"].at[slots].set(zeros - 1),
@@ -413,6 +433,7 @@ class ContinuousBatcher:
         mesh=None,
         steps_per_sync: int = 8,
         quantize: bool = False,
+        kv_quantize: bool = False,
     ) -> None:
         if quantize:
             # INT8 weight-only quantization of every linear: the batched AR
@@ -462,6 +483,7 @@ class ContinuousBatcher:
         self._thread: Optional[threading.Thread] = None
         self._crashed: Optional[Exception] = None
 
+        self.kv_quantize = kv_quantize
         self._state: Dict = make_batched_state(
             self.model.config.flow_lm,
             slots,
@@ -469,6 +491,7 @@ class ContinuousBatcher:
             max_frames,
             self.steps_per_sync,
             self.dtype,
+            kv_quantize=kv_quantize,
         )
         if mesh is not None:
             if "tp" in mesh.axis_names:
@@ -1021,11 +1044,18 @@ class BatcherRuntime:
         timeout: float = 300.0,
         mesh=None,
         quantize: bool = False,
+        kv_quantize: bool = False,
     ) -> None:
         self._model = model
         self._timeout = timeout
         self.batcher = ContinuousBatcher(
-            model, slots=slots, dtype=dtype, seed=seed, mesh=mesh, quantize=quantize
+            model,
+            slots=slots,
+            dtype=dtype,
+            seed=seed,
+            mesh=mesh,
+            quantize=quantize,
+            kv_quantize=kv_quantize,
         )
         self.batcher.start()
 

@@ -81,7 +81,10 @@ def shard_state(state, mesh: Mesh):
     """Shard the batched AR state: KV caches are ``[L, B, ...]`` (batch on
     axis 1), everything else is batch-leading."""
     def put_kv(x):
-        return jax.device_put(x, NamedSharding(mesh, P(None, "dp", None, None, None)))
+        # [L, B, H, C, Dh] buffers and their [L, B, H, C] per-row scales
+        # (int8 KV) both shard batch on axis 1.
+        spec = P(None, "dp", *([None] * (x.ndim - 2)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
 
     def put(x):
         if x.ndim >= 1:
@@ -90,9 +93,8 @@ def shard_state(state, mesh: Mesh):
 
     out = dict(state)
     out["cache"] = {
-        "k": put_kv(state["cache"]["k"]),
-        "v": put_kv(state["cache"]["v"]),
-        "offset": put(state["cache"]["offset"]),
+        key: (put(val) if key == "offset" else put_kv(val))
+        for key, val in state["cache"].items()
     }
     for key in state:
         if key != "cache":
@@ -168,7 +170,10 @@ def shard_state_tp(state, mesh: Mesh):
     """
 
     def put_kv(x):
-        return jax.device_put(x, NamedSharding(mesh, P(None, "dp", "tp", None, None)))
+        # [L, B, H, C, Dh] buffers and their [L, B, H, C] per-row scales
+        # (int8 KV): batch over dp, heads over tp.
+        spec = P(None, "dp", "tp", *([None] * (x.ndim - 3)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
 
     def put(x):
         if x.ndim >= 1:
@@ -177,9 +182,8 @@ def shard_state_tp(state, mesh: Mesh):
 
     out = dict(state)
     out["cache"] = {
-        "k": put_kv(state["cache"]["k"]),
-        "v": put_kv(state["cache"]["v"]),
-        "offset": put(state["cache"]["offset"]),
+        key: (put(val) if key == "offset" else put_kv(val))
+        for key, val in state["cache"].items()
     }
     for key in state:
         if key != "cache":

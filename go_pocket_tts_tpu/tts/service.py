@@ -158,6 +158,7 @@ class Service:
                     seed=seed,
                     mesh=mesh,
                     quantize=cfg.runtime.quantize,
+                    kv_quantize=cfg.runtime.kv_quantize,
                 )
                 log.info(
                     "loaded TPU batched runtime model=%s dtype=%s slots=%d mesh=%s",
@@ -167,6 +168,12 @@ class Service:
                     None if mesh is None else dict(mesh.shape),
                 )
             else:
+                if cfg.runtime.kv_quantize:
+                    raise ValueError(
+                        "--runtime-kv-quantize requires the batched runtime: "
+                        "set --runtime-batch-slots > 1 (the single-request AR "
+                        "step is weight-bound; int8 KV only pays at batch>1)"
+                    )
                 if cfg.runtime.tp_devices > 1 or cfg.runtime.dp_devices > 1:
                     # Mesh execution rides the continuous batcher; a silent
                     # single-chip fallback would report wrong benchmark

@@ -250,6 +250,82 @@ def test_batcher_quantized(model):
     assert np.sqrt(np.mean((got - want) ** 2)) < 0.05 * (np.std(want) + 1e-6)
 
 
+def test_batcher_kv_quantized(model):
+    """INT8 KV cache (per-row scales): the quantized-attention engine tracks
+    the bf16-cache engine within quantization tolerance, for both the plain
+    and the frame-streaming path (same cache under both)."""
+    ref = ContinuousBatcher(model, slots=2, prompt_capacity=64, max_frames=64, seed=3)
+    q = ContinuousBatcher(
+        model, slots=2, prompt_capacity=64, max_frames=64, seed=3, kv_quantize=True
+    )
+    ref.start()
+    q.start()
+    try:
+        want = ref.generate([5, 9, 2], _cfg(), timeout=60)
+        got = q.generate([5, 9, 2], _cfg(), timeout=60)
+        blocks = list(q.submit_stream([5, 9, 2], _cfg(), timeout=120))
+    finally:
+        ref.stop()
+        q.stop()
+    assert got.shape == want.shape
+    assert np.sqrt(np.mean((got - want) ** 2)) < 0.05 * (np.std(want) + 1e-6)
+    assert np.concatenate(blocks).shape == want.shape
+
+
+def test_batcher_kv_and_weight_quantized(model):
+    """The two int8 knobs compose (weights AND KV cache int8 — the max-MFU
+    batch-serving configuration)."""
+    ref = ContinuousBatcher(model, slots=2, prompt_capacity=64, max_frames=64, seed=3)
+    q = ContinuousBatcher(
+        model,
+        slots=2,
+        prompt_capacity=64,
+        max_frames=64,
+        seed=3,
+        quantize=True,
+        kv_quantize=True,
+    )
+    ref.start()
+    q.start()
+    try:
+        want = ref.generate([5, 9, 2], _cfg(), timeout=60)
+        got = q.generate([5, 9, 2], _cfg(), timeout=60)
+    finally:
+        ref.stop()
+        q.stop()
+    assert got.shape == want.shape
+    assert np.sqrt(np.mean((got - want) ** 2)) < 0.08 * (np.std(want) + 1e-6)
+
+
+def test_batcher_kv_quantized_over_dp_mesh(model):
+    """int8 KV state (incl. the per-row scale arrays) shards over a dp mesh."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2+ (virtual CPU) devices")
+    from go_pocket_tts_tpu.parallel.mesh import dp_mesh
+
+    batcher = ContinuousBatcher(
+        model,
+        slots=2,
+        prompt_capacity=64,
+        max_frames=64,
+        seed=3,
+        mesh=dp_mesh(2),
+        kv_quantize=True,
+    )
+    batcher.start()
+    try:
+        futs = [batcher.submit([5, 9, 2], _cfg(max_steps=4)) for _ in range(2)]
+        outs = [f.result(timeout=120) for f in futs]
+    finally:
+        batcher.stop()
+    want = TPURuntime(model, seed=1, frame_bucket=64).generate_audio(
+        [5, 9, 2], _cfg(max_steps=4)
+    )
+    for o in outs:
+        assert o.shape == want.shape
+        assert np.sqrt(np.mean((o - want) ** 2)) < 0.05 * (np.std(want) + 1e-6)
+
+
 def test_batcher_over_dp_tp_mesh(model):
     """The full engine on a 2-D (dp=2, tp=2) mesh — the `serve --runtime-dp 2
     --runtime-tp 2` configuration — produces the same audio as the
