@@ -203,7 +203,7 @@ def _batch_burst(batcher, tokens, cfg, n_requests):
     return (total / SR) / wall
 
 
-def _measure_batched_step_ms(model, slots, dtype):
+def _measure_batched_step_ms(model, slots, dtype, kv_quantize=False):
     """Differencing (k=16 vs k=64) on the batched AR block program."""
     import jax
     import jax.numpy as jnp
@@ -219,7 +219,13 @@ def _measure_batched_step_ms(model, slots, dtype):
 
     def fresh_state():
         state = make_batched_state(
-            cfg, slots, capacity=224, max_frames=160, steps_per_sync=16, dtype=dtype
+            cfg,
+            slots,
+            capacity=224,
+            max_frames=160,
+            steps_per_sync=16,
+            dtype=dtype,
+            kv_quantize=kv_quantize,
         )
         state.update(
             active=jnp.ones((slots,), bool),
@@ -257,7 +263,9 @@ def _measure_batched_step_ms(model, slots, dtype):
     return (t64 - t16) / 48 * 1e3
 
 
-def _bench_config4_batch(model, tokens, dtype, quantize=False, slot_counts=(8, 16)):
+def _bench_config4_batch(
+    model, tokens, dtype, quantize=False, kv_quantize=False, slot_counts=(8, 16)
+):
     """BASELINE config 4 (and the int8 half of config 5 with quantize=True):
     continuous-batching aggregate throughput at multiple slot counts."""
     from go_pocket_tts_tpu.parallel.batching import ContinuousBatcher
@@ -275,6 +283,7 @@ def _bench_config4_batch(model, tokens, dtype, quantize=False, slot_counts=(8, 1
             seed=42,
             steps_per_sync=16,
             quantize=quantize,
+            kv_quantize=kv_quantize,
         )
         b.start()
         try:
@@ -296,7 +305,7 @@ def _bench_config4_batch(model, tokens, dtype, quantize=False, slot_counts=(8, 1
     try:
         out["batched_step_ms_batch8"] = round(
             _measure_batched_step_ms(
-                qmodel if quantize else model, 8, dtype
+                qmodel if quantize else model, 8, dtype, kv_quantize=kv_quantize
             ),
             3,
         )
@@ -445,10 +454,16 @@ def main() -> int:
                 "config5_int8_batch",
                 lambda: {
                     **_bench_config4_batch(
-                        model, tokens, dtype, quantize=True, slot_counts=(8,)
+                        model,
+                        tokens,
+                        dtype,
+                        quantize=True,
+                        kv_quantize=True,
+                        slot_counts=(8,),
                     ),
-                    "note": "dp half of config 5 validated by the multichip dryrun "
-                    "(single-chip environment)",
+                    "note": "int8 weights + int8 KV cache (the measured-best "
+                    "batch config, PERF.md); dp half of config 5 validated by "
+                    "the multichip dryrun (single-chip environment)",
                 },
             ),
             ("streaming_under_load", lambda: _bench_streaming_load(model, tokens, dtype)),
