@@ -394,7 +394,7 @@ def main() -> int:
     # compiled by earlier runs (first-ever run still pays ~2-5 min).
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # noqa: BLE001 - cache is best-effort
         pass
     import jax.numpy as jnp

@@ -81,6 +81,7 @@ class RuntimeConfig:
     quantize: bool = False  # INT8 weight-only quantization
     kv_quantize: bool = False  # INT8 KV cache (batched runtime only)
     batch_slots: int = 0  # >1: continuous batching across concurrent requests
+    steps_per_sync: int = 8  # AR frames per host sync in the batched runtime
     dp_devices: int = 0  # >1: shard the batch over a dp mesh of N devices
     tp_devices: int = 0  # >1: Megatron-shard the transformer over N devices
 
@@ -140,6 +141,9 @@ _FLAG_MAP = [
      "INT8 KV cache with per-row scales (batched runtime; halves KV read traffic)"),
     ("runtime-batch-slots", "runtime", "batch_slots", int,
      "Continuous-batching slots (>1 batches concurrent requests)"),
+    ("runtime-steps-per-sync", "runtime", "steps_per_sync", int,
+     "AR frames per host sync in the batched runtime (higher = more "
+     "throughput, coarser streaming/admission latency)"),
     ("runtime-dp", "runtime", "dp_devices", int,
      "Data-parallel devices for batch serving (shards slots over a dp mesh)"),
     ("runtime-tp", "runtime", "tp_devices", int,

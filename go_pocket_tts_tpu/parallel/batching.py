@@ -1045,6 +1045,7 @@ class BatcherRuntime:
         mesh=None,
         quantize: bool = False,
         kv_quantize: bool = False,
+        steps_per_sync: int = 8,
     ) -> None:
         self._model = model
         self._timeout = timeout
@@ -1056,6 +1057,7 @@ class BatcherRuntime:
             mesh=mesh,
             quantize=quantize,
             kv_quantize=kv_quantize,
+            steps_per_sync=steps_per_sync,
         )
         self.batcher.start()
 

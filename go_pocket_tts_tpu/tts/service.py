@@ -159,6 +159,7 @@ class Service:
                     mesh=mesh,
                     quantize=cfg.runtime.quantize,
                     kv_quantize=cfg.runtime.kv_quantize,
+                    steps_per_sync=max(cfg.runtime.steps_per_sync, 1),
                 )
                 log.info(
                     "loaded TPU batched runtime model=%s dtype=%s slots=%d mesh=%s",

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from go_pocket_tts_tpu.models import synthetic
 from go_pocket_tts_tpu.models.model import load_model_from_store

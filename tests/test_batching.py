@@ -408,6 +408,60 @@ def test_service_rejects_tp_without_batch_slots(model, tmp_path):
         Service.from_config(cfg)
 
 
+def test_service_rejects_kv_quantize_without_batch_slots(model, tmp_path):
+    """`--runtime-kv-quantize` without the batched runtime must refuse (the
+    single-request AR path has no int8 cache; silently ignoring the flag
+    would misreport the serving configuration)."""
+    from go_pocket_tts_tpu.config import Config
+    from go_pocket_tts_tpu.tts.service import Service
+    from go_pocket_tts_tpu.utils.safetensors import write_file
+
+    model_path = tmp_path / "model.safetensors"
+    write_file(model_path, synthetic.build_checkpoint(ARCH, seed=55))
+    from test_kernel import _tokenizer_bytes
+
+    tok_path = tmp_path / "tokenizer.model"
+    tok_path.write_bytes(_tokenizer_bytes())
+
+    cfg = Config()
+    cfg.paths.model_path = str(model_path)
+    cfg.paths.tokenizer_model = str(tok_path)
+    cfg.runtime.kv_quantize = True  # batch_slots stays 1
+    with pytest.raises(ValueError, match="runtime-kv-quantize"):
+        Service.from_config(cfg)
+
+
+def test_service_steps_per_sync_reaches_batcher(model, tmp_path):
+    """`--runtime-steps-per-sync` (the throughput-vs-latency block size knob)
+    threads from config through BatcherRuntime to the engine."""
+    from go_pocket_tts_tpu.config import Config
+    from go_pocket_tts_tpu.tts.service import Service
+    from go_pocket_tts_tpu.utils.safetensors import write_file
+
+    model_path = tmp_path / "model.safetensors"
+    write_file(model_path, synthetic.build_checkpoint(ARCH, seed=55))
+    from test_kernel import _tokenizer_bytes
+
+    tok_path = tmp_path / "tokenizer.model"
+    tok_path.write_bytes(_tokenizer_bytes())
+
+    cfg = Config()
+    cfg.paths.model_path = str(model_path)
+    cfg.paths.tokenizer_model = str(tok_path)
+    cfg.runtime.batch_slots = 2
+    cfg.runtime.steps_per_sync = 32
+    cfg.runtime.seed = 3
+    cfg.tts.eos_threshold = 1e9
+    cfg.tts.max_steps = 4
+    svc = Service.from_config(cfg)
+    try:
+        assert svc.runtime.batcher.steps_per_sync == 32
+        pcm = svc.synthesize("hello")
+        assert len(pcm) > 0
+    finally:
+        svc.runtime.close()
+
+
 def test_batcher_frame_streaming(model):
     """submit_stream emits PCM blocks that concatenate to the non-streamed
     result (temp=0); per-slot block decoder is sample-exact."""
