@@ -82,6 +82,7 @@ class RuntimeConfig:
     kv_quantize: bool = False  # INT8 KV cache (batched runtime only)
     batch_slots: int = 0  # >1: continuous batching across concurrent requests
     steps_per_sync: int = 8  # AR frames per host sync in the batched runtime
+    steps_per_sync_burst: int = 0  # bigger block while no stream is live (0=off)
     dp_devices: int = 0  # >1: shard the batch over a dp mesh of N devices
     tp_devices: int = 0  # >1: Megatron-shard the transformer over N devices
 
@@ -144,6 +145,9 @@ _FLAG_MAP = [
     ("runtime-steps-per-sync", "runtime", "steps_per_sync", int,
      "AR frames per host sync in the batched runtime (higher = more "
      "throughput, coarser streaming/admission latency)"),
+    ("runtime-steps-per-sync-burst", "runtime", "steps_per_sync_burst", int,
+     "Adaptive block size: use this many steps per sync while no streaming "
+     "request is live (0 = off; rounded to a steps-per-sync multiple)"),
     ("runtime-dp", "runtime", "dp_devices", int,
      "Data-parallel devices for batch serving (shards slots over a dp mesh)"),
     ("runtime-tp", "runtime", "tp_devices", int,

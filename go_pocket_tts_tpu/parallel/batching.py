@@ -432,6 +432,7 @@ class ContinuousBatcher:
         seed: Optional[int] = None,
         mesh=None,
         steps_per_sync: int = 8,
+        steps_per_sync_burst: int = 0,
         quantize: bool = False,
         kv_quantize: bool = False,
     ) -> None:
@@ -468,9 +469,26 @@ class ContinuousBatcher:
         self.slots = slots
         self.mesh = mesh
         self.steps_per_sync = max(steps_per_sync, 1)
+        # Adaptive block size: while NO streaming lane is live, blocks run
+        # ``steps_per_sync_burst`` steps (the engine is paced by one host
+        # sync per block, so bigger blocks = more aggregate throughput —
+        # measured 113x -> 149x at 8 slots going 16 -> 64 on tunneled v5e);
+        # any live streaming consumer drops the next block back to
+        # ``steps_per_sync`` so emission cadence stays fine-grained. A
+        # stream admitted mid-burst waits out at most ONE burst block.
+        # 0 disables (every block is steps_per_sync).
+        burst = int(steps_per_sync_burst or 0)
+        if burst > self.steps_per_sync:
+            self.steps_per_sync_burst = bk.round_up(burst, self.steps_per_sync)
+        else:
+            self.steps_per_sync_burst = 0
+        k_max = self.steps_per_sync_burst or self.steps_per_sync
+        self._last_block_k = 0  # observability: block size of the last dispatch
         # Streaming emission slices the frames buffer in steps_per_sync-wide
-        # static windows; keep max_frames aligned so the final window fits.
-        max_frames = bk.round_up(max_frames, self.steps_per_sync)
+        # static windows; keep max_frames aligned so the final window fits
+        # (k_max is a multiple of steps_per_sync, so aligning to k_max
+        # also keeps the window slack valid for burst blocks).
+        max_frames = bk.round_up(max_frames, k_max)
         self.max_frames = max_frames
         self.capacity = prompt_capacity + max_frames
         self._queue: "queue.Queue[_Request]" = queue.Queue()
@@ -489,7 +507,7 @@ class ContinuousBatcher:
             slots,
             self.capacity,
             max_frames,
-            self.steps_per_sync,
+            k_max,  # frames slack must cover the largest (burst) block
             self.dtype,
             kv_quantize=kv_quantize,
         )
@@ -919,7 +937,8 @@ class ContinuousBatcher:
         decode_steps = 1
         params = self.model.params["flow_lm"]
         cfg = self.model.config.flow_lm
-        k = self.steps_per_sync
+        k_lo = self.steps_per_sync
+        k_hi = self.steps_per_sync_burst or k_lo
         pending = None  # previous block's un-fetched outputs (one-deep pipeline)
         while not self._stop.is_set():
             self._reap_cancelled()
@@ -938,6 +957,12 @@ class ContinuousBatcher:
                     except queue.Empty:
                         continue
                     continue
+            # Block-size policy: streaming consumers need steps_per_sync
+            # cadence; plain-only traffic takes the burst block. slot_info
+            # only changes in _admit()/harvest (this thread), so the choice
+            # here is consistent with the streaming-decode check below.
+            k = k_lo if self._any_streaming() else k_hi
+            self._last_block_k = k
             self._key, sub = jax.random.split(self._key)
             noise = (
                 jax.random.normal(sub, (k, self.slots, cfg.latent_dim), jnp.float32)
@@ -1046,6 +1071,7 @@ class BatcherRuntime:
         quantize: bool = False,
         kv_quantize: bool = False,
         steps_per_sync: int = 8,
+        steps_per_sync_burst: int = 0,
     ) -> None:
         self._model = model
         self._timeout = timeout
@@ -1058,6 +1084,7 @@ class BatcherRuntime:
             quantize=quantize,
             kv_quantize=kv_quantize,
             steps_per_sync=steps_per_sync,
+            steps_per_sync_burst=steps_per_sync_burst,
         )
         self.batcher.start()
 

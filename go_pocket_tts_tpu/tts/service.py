@@ -160,6 +160,7 @@ class Service:
                     quantize=cfg.runtime.quantize,
                     kv_quantize=cfg.runtime.kv_quantize,
                     steps_per_sync=max(cfg.runtime.steps_per_sync, 1),
+                    steps_per_sync_burst=max(cfg.runtime.steps_per_sync_burst, 0),
                 )
                 log.info(
                     "loaded TPU batched runtime model=%s dtype=%s slots=%d mesh=%s",

@@ -47,7 +47,7 @@ cfg = GenerateConfig(temperature=0.7, eos_threshold=1e9, max_steps=138)
 def burst(b) -> float:
     t0 = time.perf_counter()
     futs = [b.submit(TOKENS, cfg) for _ in range(N_REQ)]
-    total = sum(len(f.result(timeout=600)) for f in futs)
+    total = sum(len(f.result(timeout=1800)) for f in futs)
     return (total / SR) / (time.perf_counter() - t0)
 
 

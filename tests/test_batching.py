@@ -462,6 +462,38 @@ def test_service_steps_per_sync_reaches_batcher(model, tmp_path):
         svc.runtime.close()
 
 
+def test_batcher_adaptive_burst_blocks(model):
+    """steps_per_sync_burst: plain-only traffic runs burst-sized blocks,
+    a live streaming consumer drops the engine back to the base block size,
+    and both request kinds complete with the right shapes."""
+    batcher = ContinuousBatcher(
+        model,
+        slots=2,
+        prompt_capacity=64,
+        max_frames=32,
+        seed=3,
+        steps_per_sync=4,
+        steps_per_sync_burst=13,  # rounds up to 16
+    )
+    assert batcher.steps_per_sync_burst == 16
+    batcher.start()
+    try:
+        out = batcher.generate([5, 9, 2], _cfg(max_steps=24), timeout=120)
+        assert out.size > 0
+        assert batcher._last_block_k == 16  # plain traffic took burst blocks
+
+        saw_lo = False
+        blocks = []
+        for blk in batcher.submit_stream([5, 9, 2], _cfg(max_steps=24), timeout=120):
+            blocks.append(blk)
+            saw_lo = saw_lo or batcher._last_block_k == 4
+        assert saw_lo  # streaming dropped the block size to steps_per_sync
+        streamed = np.concatenate(blocks)
+        assert streamed.size == out.size
+    finally:
+        batcher.stop()
+
+
 def test_batcher_frame_streaming(model):
     """submit_stream emits PCM blocks that concatenate to the non-streamed
     result (temp=0); per-slot block decoder is sample-exact."""
