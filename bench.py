@@ -264,15 +264,26 @@ def _measure_batched_step_ms(model, slots, dtype, kv_quantize=False):
 
 
 def _bench_config4_batch(
-    model, tokens, dtype, quantize=False, kv_quantize=False, slot_counts=(8, 16)
+    model,
+    tokens,
+    dtype,
+    quantize=False,
+    kv_quantize=False,
+    slot_counts=(8, 16),
+    steps_per_sync=64,
 ):
     """BASELINE config 4 (and the int8 half of config 5 with quantize=True):
-    continuous-batching aggregate throughput at multiple slot counts."""
+    continuous-batching aggregate throughput at multiple slot counts.
+
+    steps_per_sync=64 is the measured plain-traffic sweet spot (the engine
+    is paced by one host sync per block; scripts/exp_sync_sweep.py r3:
+    113x -> 149x going 16 -> 64 at 8 slots int8+KV; k=128 adds only +5%).
+    Streaming runs keep blocks small (see _bench_streaming_load)."""
     from go_pocket_tts_tpu.parallel.batching import ContinuousBatcher
     from go_pocket_tts_tpu.runtime import GenerateConfig
 
     cfg = GenerateConfig(temperature=0.7, eos_threshold=1e9, max_steps=138)
-    out = {}
+    out = {"steps_per_sync": steps_per_sync}
     for slots in slot_counts:
         b = ContinuousBatcher(
             model,
@@ -281,7 +292,7 @@ def _bench_config4_batch(
             max_frames=160,
             dtype=dtype,
             seed=42,
-            steps_per_sync=16,
+            steps_per_sync=steps_per_sync,
             quantize=quantize,
             kv_quantize=kv_quantize,
         )
