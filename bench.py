@@ -215,7 +215,6 @@ def _measure_batched_step_ms(model, slots, dtype, kv_quantize=False):
 
     params = model.params["flow_lm"]
     cfg = model.config.flow_lm
-    L = cfg.latent_dim
 
     def fresh_state():
         state = make_batched_state(
@@ -236,25 +235,15 @@ def _measure_batched_step_ms(model, slots, dtype, kv_quantize=False):
         )
         return state
 
-    key = jax.random.PRNGKey(0)
-
     def run_blocks(k, n_blocks=6):
-        nonlocal key
         state = fresh_state()
-        key, sub = jax.random.split(key)
-        z = jax.random.normal(sub, (k, slots, L), dtype)
-        state, w, n, _f = _batched_ar_multi_step(params, cfg, state, z, 1)
+        state, w, n, _f = _batched_ar_multi_step(params, cfg, state, k, 1)
         jax.block_until_ready(state["n_frames"])
         state = fresh_state()
-        packs = []
-        for _ in range(n_blocks):
-            key, sub = jax.random.split(key)
-            packs.append(jax.random.normal(sub, (k, slots, L), dtype))
-        jax.device_get(packs[-1])
         jax.device_get(state["n_frames"])
         t0 = time.perf_counter()
-        for z in packs:
-            state, w, n, _f = _batched_ar_multi_step(params, cfg, state, z, 1)
+        for _ in range(n_blocks):
+            state, w, n, _f = _batched_ar_multi_step(params, cfg, state, k, 1)
         jax.device_get((n, w.sum()))
         return (time.perf_counter() - t0) / n_blocks
 

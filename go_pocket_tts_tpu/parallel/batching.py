@@ -56,16 +56,23 @@ log = logging.getLogger("pockettts.batching")
 __all__ = ["ContinuousBatcher"]
 
 
-@partial(jax.jit, static_argnames=("cfg", "decode_steps"), donate_argnames=("state",))
+@partial(jax.jit, static_argnames=("cfg", "k", "decode_steps"), donate_argnames=("state",))
 def _batched_ar_multi_step(
-    params, cfg, state: Dict, noise: jax.Array, decode_steps: int
+    params, cfg, state: Dict, k: int, decode_steps: int
 ):
-    """Run ``K = noise.shape[0]`` AR steps for all lanes in one program.
+    """Run ``k`` AR steps for all lanes in one program.
 
     One dispatch + one host sync per K frames instead of per frame — the
     iteration-block tradeoff of continuous batching: admission/harvest
     granularity becomes K frames (done lanes are frozen inside the block, so
     the only waste is idle lane-steps, not wrong output).
+
+    The PRNG key lives IN the state and the per-lane LSD noise is drawn
+    inside the program: generating it eagerly on the host cost 3-4 extra
+    dispatches per block (split/normal/scale/cast), and on a host where
+    every dispatch costs a ~25 ms tunnel round trip that tripled the block
+    cadence (r3 instrumented trace: resolve-to-resolve 60-100 ms vs the
+    ~30 ms one-dispatch floor).
 
     Besides the updated state, returns each lane's window of frames written
     THIS block (``windows [B, K, L]``, left-aligned) and its count
@@ -86,11 +93,18 @@ def _batched_ar_multi_step(
     time_cond = flm.fnet.precompute_time_cond(params["flow_net"], decode_steps)
     fused_ada = flm.fnet.precompute_fused_adaln(params["flow_net"])
 
+    key, sub = jax.random.split(state["key"])
+    slots, latent = state["frame"].shape[0], state["frame"].shape[2]
+    noise = (
+        jax.random.normal(sub, (k, slots, latent), jnp.float32)
+        * state["sigma"][None, :, None]
+    ).astype(state["frame"].dtype)
+    state = {**state, "key": key}
+
     def body(st, z):
         return _ar_step_body(params, cfg, st, z, decode_steps, time_cond, fused_ada), None
 
     state, _ = jax.lax.scan(body, state, noise)
-    k = noise.shape[0]
     windows = jax.vmap(
         lambda f, s: jax.lax.dynamic_slice_in_dim(f, s, k, axis=0)
     )(state["frames"], n_before)
@@ -175,6 +189,7 @@ def make_batched_state(
     steps_per_sync: int,
     dtype,
     kv_quantize: bool = False,
+    seed: Optional[int] = 0,
 ) -> Dict:
     """The per-lane engine state dict ``_ar_step_body`` consumes — the ONE
     place its schema is defined (the batcher, ``bench.py`` and the
@@ -200,6 +215,11 @@ def make_batched_state(
         cache["v_scale"] = jnp.zeros(cache_shape[:-1], jnp.float32)
     return {
         "cache": cache,
+        # The LSD noise PRNG chain: advanced inside _batched_ar_multi_step
+        # (host-side noise cost 3-4 tunnel dispatches per block).
+        "key": jax.random.PRNGKey(
+            seed if seed is not None else time.time_ns() & 0x7FFFFFFF
+        ),
         "frame": jnp.full((slots, 1, latent), jnp.nan, dtype),
         "frames": jnp.zeros((slots, max_frames + steps_per_sync, latent), dtype),
         "n_frames": jnp.zeros((slots,), jnp.int32),
@@ -496,7 +516,6 @@ class ContinuousBatcher:
         # Shared batched Mimi stream state (one lane per slot), created on
         # first streaming admission.
         self._stream_state: Optional[Dict] = None
-        self._key = jax.random.PRNGKey(seed if seed is not None else time.time_ns() & 0x7FFFFFFF)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._crashed: Optional[Exception] = None
@@ -510,6 +529,7 @@ class ContinuousBatcher:
             k_max,  # frames slack must cover the largest (burst) block
             self.dtype,
             kv_quantize=kv_quantize,
+            seed=seed,
         )
         if mesh is not None:
             if "tp" in mesh.axis_names:
@@ -597,6 +617,15 @@ class ContinuousBatcher:
     def _free_slots(self) -> List[int]:
         return [i for i, s in enumerate(self._slot_info) if s.request is None]
 
+    def _pad_count(self, n: int) -> int:
+        """Pad an admission/harvest burst count to 1 or full ``slots``.
+
+        Each padded count is its own traced+compiled program; keeping the
+        set to exactly the two variants ``prewarm`` exercises means live
+        traffic can never first-hit a cold variant (one costs ~2 s of
+        wall through a remote-compile tunnel and stalls every lane)."""
+        return 1 if n <= 1 else self.slots
+
     def _admit(self) -> None:
         free = self._free_slots()
         pending = []
@@ -659,13 +688,17 @@ class ContinuousBatcher:
 
         try:
             # Everyone pads to the largest bucket present, and the burst is
-            # padded to a power-of-two COUNT by repeating its first entry
-            # (duplicate slot writes carry identical data, so the splice is
-            # idempotent): compile variants are O(log slots · #buckets), not
-            # O(slots · #buckets) — each variant costs a full XLA compile on
-            # first-traffic admission otherwise.
+            # padded to a count of 1 or FULL SLOTS by repeating its first
+            # entry (duplicate slot writes carry identical data, so the
+            # splice is idempotent). Exactly two count variants — the two
+            # prewarm compiles — so mid-traffic admissions can never
+            # first-hit a cold variant: one un-warmed trace+compile stalls
+            # EVERY lane for ~2 s through a remote-compile tunnel (measured
+            # as a uniform streaming TTFA p50≈p95 stall; pow2 padding still
+            # left counts 2 and 4 cold). The padded prefill lanes cost only
+            # device FLOPs, far below one block sync.
             bucket = max(p[4] for p in prepped)
-            n_pad = 1 << (len(prepped) - 1).bit_length()
+            n_pad = self._pad_count(len(prepped))
             padded = prepped + [prepped[0]] * (n_pad - len(prepped))
             embs = jnp.concatenate(
                 [
@@ -826,13 +859,13 @@ class ContinuousBatcher:
                 to_decode.append((slot, int(n_frames[slot])))
         if not to_decode:
             return
-        # All finished plain slots decode in ONE program (count padded to a
-        # power of two to bound compile variants, like burst admission) with
-        # one int16 fetch; each lane trims to its own n on the host.
+        # All finished plain slots decode in ONE program (count padded to 1
+        # or full slots, like burst admission — two prewarmable variants)
+        # with one int16 fetch; each lane trims to its own n on the host.
         samples_per = self.model.config.mimi.samples_per_latent
         bucket = bk.pick_bucket(max(n for _s, n in to_decode), bk.DECODE_BUCKETS)
         bucket = min(bucket, self._state["frames"].shape[1])
-        n_pad = 1 << (len(to_decode) - 1).bit_length()
+        n_pad = self._pad_count(len(to_decode))
         slot_ids = [s for s, _n in to_decode]
         slot_ids += [slot_ids[0]] * (n_pad - len(slot_ids))
         pcm = _harvest_decode_pcm16(
@@ -963,13 +996,8 @@ class ContinuousBatcher:
             # here is consistent with the streaming-decode check below.
             k = k_lo if self._any_streaming() else k_hi
             self._last_block_k = k
-            self._key, sub = jax.random.split(self._key)
-            noise = (
-                jax.random.normal(sub, (k, self.slots, cfg.latent_dim), jnp.float32)
-                * self._state["sigma"][None, :, None]
-            ).astype(self.dtype)
             self._state, windows, n_new, flags = _batched_ar_multi_step(
-                params, cfg, self._state, noise, decode_steps
+                params, cfg, self._state, k, decode_steps
             )
             # Streaming decode enqueues straight behind the AR block — its
             # inputs (windows/n_new) are the block's own outputs, so no host
@@ -1021,9 +1049,11 @@ class ContinuousBatcher:
 
         First-traffic compiles otherwise stall real requests for seconds
         each (measured 2.6-3.3 s per variant through the remote-compile
-        tunnel): burst admission pads counts to powers of two, so warm the
-        1-count and full-slot variants, the AR block, the batched streaming
-        decode, and the harvest decode bucket for each token-length bucket.
+        tunnel): admission/harvest bursts pad counts to 1 or full slots
+        (``_pad_count``), so warming the 1-count and full-slot variants,
+        the AR block(s), the batched streaming decode, and the harvest
+        decode bucket for each token-length bucket covers EVERY program
+        live traffic can reach.
         """
         from go_pocket_tts_tpu.text import estimate_max_frames
 

@@ -97,8 +97,13 @@ def shard_state(state, mesh: Mesh):
         for key, val in state["cache"].items()
     }
     for key in state:
-        if key != "cache":
-            out[key] = jax.tree_util.tree_map(put, state[key])
+        if key == "cache":
+            continue
+        if key == "key":
+            # The PRNG key is engine-global state, not per-lane — replicate.
+            out[key] = jax.device_put(state[key], NamedSharding(mesh, P()))
+            continue
+        out[key] = jax.tree_util.tree_map(put, state[key])
     return out
 
 
@@ -186,6 +191,11 @@ def shard_state_tp(state, mesh: Mesh):
         for key, val in state["cache"].items()
     }
     for key in state:
-        if key != "cache":
-            out[key] = jax.tree_util.tree_map(put, state[key])
+        if key == "cache":
+            continue
+        if key == "key":
+            # The PRNG key is engine-global state, not per-lane — replicate.
+            out[key] = jax.device_put(state[key], NamedSharding(mesh, P()))
+            continue
+        out[key] = jax.tree_util.tree_map(put, state[key])
     return out

@@ -50,6 +50,7 @@ def fresh_state():
     }
     return {
         "cache": cache,
+        "key": jax.random.PRNGKey(0),
         "frame": jnp.full((SLOTS, 1, L), jnp.nan, jnp.bfloat16),
         "frames": jnp.zeros((SLOTS, MAXF, L), jnp.bfloat16),
         "n_frames": jnp.zeros((SLOTS,), jnp.int32),
@@ -63,31 +64,19 @@ def fresh_state():
     }
 
 
-key = jax.random.PRNGKey(0)
-
-
 def run_blocks(k: int, n_blocks: int) -> float:
     """Wall seconds for n_blocks donated-chain blocks of k steps (excl. final
-    fetch)."""
-    global key
+    fetch). Noise is drawn in-program off state["key"] (post-r3 API)."""
     state = fresh_state()
     # warm
-    key, sub = jax.random.split(key)
-    noise = jax.random.normal(sub, (k, SLOTS, L), jnp.bfloat16)
-    state, w, n, _f = _batched_ar_multi_step(params, cfg, state, noise, 1)
+    state, w, n, _f = _batched_ar_multi_step(params, cfg, state, k, 1)
     jax.block_until_ready(state["n_frames"])
 
     state = fresh_state()
-    noises = []
-    for _ in range(n_blocks):
-        key, sub = jax.random.split(key)
-        noises.append(jax.random.normal(sub, (k, SLOTS, L), jnp.bfloat16))
-    # Force everything (state init + noise) to be materialized data.
-    jax.device_get(noises[-1])
     jax.device_get(state["n_frames"])
     t0 = time.perf_counter()
-    for z in noises:
-        state, w, n, _f = _batched_ar_multi_step(params, cfg, state, z, 1)
+    for _ in range(n_blocks):
+        state, w, n, _f = _batched_ar_multi_step(params, cfg, state, k, 1)
     # A real data fetch of a compute-dependent output (block_until_ready on a
     # tiny leaf has measured unreliably early through the axon tunnel).
     nf, wsum = jax.device_get((n, w.sum()))

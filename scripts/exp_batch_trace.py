@@ -58,20 +58,15 @@ def fresh_state():
     return state
 
 
-key = jax.random.PRNGKey(0)
 state = fresh_state()
-key, sub = jax.random.split(key)
-noise = jax.random.normal(sub, (K, SLOTS, L), jnp.bfloat16)
-state, w, n, _f = _batched_ar_multi_step(params, cfg, state, noise, 1)  # compile
+state, w, n, _f = _batched_ar_multi_step(params, cfg, state, K, 1)  # compile
 jax.block_until_ready(state["n_frames"])
 
 trace_dir = "/tmp/batch_trace"
 os.system(f"rm -rf {trace_dir}")
 with jax.profiler.trace(trace_dir):
     for _ in range(3):
-        key, sub = jax.random.split(key)
-        noise = jax.random.normal(sub, (K, SLOTS, L), jnp.bfloat16)
-        state, w, n, _f = _batched_ar_multi_step(params, cfg, state, noise, 1)
+        state, w, n, _f = _batched_ar_multi_step(params, cfg, state, K, 1)
     jax.block_until_ready(n)
 
 # -- parse the xplane: sum device op durations by op category ----------------

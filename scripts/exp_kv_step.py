@@ -48,9 +48,6 @@ L = cfg.latent_dim
 params_bf16 = model.params["flow_lm"]
 params_int8 = quantize_model_params(model.params)["flow_lm"]
 
-key = jax.random.PRNGKey(0)
-
-
 def fresh_state(kv_quantize: bool):
     st = make_batched_state(
         cfg, SLOTS, CAPACITY, MAXF, 64, jnp.bfloat16, kv_quantize=kv_quantize
@@ -67,23 +64,15 @@ def fresh_state(kv_quantize: bool):
 
 
 def run_blocks(params, kv_quantize: bool, k: int, n_blocks: int) -> float:
-    global key
     state = fresh_state(kv_quantize)
-    key, sub = jax.random.split(key)
-    noise = jax.random.normal(sub, (k, SLOTS, L), jnp.bfloat16)
-    state, w, n, _f = _batched_ar_multi_step(params, cfg, state, noise, 1)
+    state, w, n, _f = _batched_ar_multi_step(params, cfg, state, k, 1)
     jax.block_until_ready(state["n_frames"])
 
     state = fresh_state(kv_quantize)
-    noises = []
-    for _ in range(n_blocks):
-        key, sub = jax.random.split(key)
-        noises.append(jax.random.normal(sub, (k, SLOTS, L), jnp.bfloat16))
-    jax.device_get(noises[-1])
     jax.device_get(state["n_frames"])
     t0 = time.perf_counter()
-    for z in noises:
-        state, w, n, _f = _batched_ar_multi_step(params, cfg, state, z, 1)
+    for _ in range(n_blocks):
+        state, w, n, _f = _batched_ar_multi_step(params, cfg, state, k, 1)
     nf, wsum = jax.device_get((n, w.sum()))
     assert int(nf[0]) > 0, nf
     return time.perf_counter() - t0
