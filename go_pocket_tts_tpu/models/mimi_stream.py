@@ -19,6 +19,7 @@ so ``block=4`` streams 320 ms of audio per emission.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, Tuple
 
 import jax
@@ -41,6 +42,7 @@ __all__ = [
     "decode_block",
     "freeze_lanes",
     "reset_lane",
+    "reset_lanes",
 ]
 
 Params = Dict
@@ -73,6 +75,28 @@ def reset_lane(state: State, slot) -> State:
         idx = [slice(None)] * val.ndim
         idx[axis] = slot
         out[key] = val.at[tuple(idx)].set(0)
+    return out
+
+
+@partial(jax.jit, donate_argnames=("state",))
+def reset_lanes(state: State, slots) -> State:
+    """Zero several lanes in ONE compiled, donated program.
+
+    ``slots`` is an int32 vector; duplicates are fine (zeroing is
+    idempotent), so callers can pad the count to a fixed set of compile
+    variants. The eager per-lane :func:`reset_lane` dispatches ~13 un-donated
+    whole-buffer ``at[].set`` programs per lane — measured 12 ms host wall
+    per call through the axon tunnel, which paced burst admission (r3:
+    8-stream wave admit ≈ 680 ms, uniform 1.4-2.3 s streaming TTFA).
+    Donation turns the reset into in-place row scatters: one ~1 ms dispatch
+    per admission burst.
+    """
+    out = {}
+    for key, val in state.items():
+        axis = _LANE_AXIS.get(key, 0)
+        moved = jnp.moveaxis(val, axis, 0)
+        moved = moved.at[slots].set(jnp.zeros((), val.dtype))
+        out[key] = jnp.moveaxis(moved, 0, axis)
     return out
 
 

@@ -42,6 +42,7 @@ import numpy as np
 
 from go_pocket_tts_tpu.models import flow_lm as flm
 from go_pocket_tts_tpu.models import flow_transformer as ftr
+from go_pocket_tts_tpu.models import mimi_stream
 from go_pocket_tts_tpu.models.model import PocketTTSModel
 from go_pocket_tts_tpu.runtime.generate import (
     GenerateConfig,
@@ -404,8 +405,6 @@ def _batched_stream_decode(
     the whole block syncs once (flags + PCM in one ``device_get``). Idle
     lanes (``n_new == 0``) keep their previous stream state (frozen).
     Replaces one dispatch per streaming slot per block (VERDICT r1 #7)."""
-    from go_pocket_tts_tpu.models import mimi_stream
-
     k = windows.shape[1]
     n_new = jnp.where(streaming_mask, n_new, 0)  # plain lanes stay frozen
     mask = (jnp.arange(k)[None, :] < n_new[:, None])[:, :, None]
@@ -516,6 +515,9 @@ class ContinuousBatcher:
         # Shared batched Mimi stream state (one lane per slot), created on
         # first streaming admission.
         self._stream_state: Optional[Dict] = None
+        # Stream lanes admitted in the current burst, reset together in one
+        # donated program at the end of _admit.
+        self._pending_stream_resets: List[int] = []
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._crashed: Optional[Exception] = None
@@ -654,6 +656,19 @@ class ContinuousBatcher:
                 batchable.append((slot, req))
         if batchable:
             self._admit_batch(batchable)
+        if self._pending_stream_resets:
+            # ONE donated reset program for every stream lane admitted this
+            # burst (count padded to the two prewarmable variants). The eager
+            # per-lane reset_lane was ~13 un-donated whole-buffer programs
+            # per lane and paced streaming TTFA at 1.4-2.3 s (r3 timeline:
+            # warm-wave admit alone cost ~680 ms).
+            slots_ = self._pending_stream_resets
+            n_pad = self._pad_count(len(slots_))
+            slots_ = slots_ + [slots_[0]] * (n_pad - len(slots_))
+            self._stream_state = mimi_stream.reset_lanes(
+                self._stream_state, jnp.asarray(slots_, jnp.int32)
+            )
+            self._pending_stream_resets = []
 
     def _admit_batch(self, items) -> None:
         """Prefill + splice N plain requests in two dispatches."""
@@ -783,8 +798,6 @@ class ContinuousBatcher:
         info.streaming = req.stream is not None
         info.stream_parts = None
         if info.streaming:
-            from go_pocket_tts_tpu.models import mimi_stream
-
             if self._stream_state is None:
                 # Shared batched stream state, one lane per slot, created on
                 # first streaming admission (per-lane offsets: lanes join and
@@ -797,9 +810,9 @@ class ContinuousBatcher:
                     dtype=self.dtype,
                     per_lane_offsets=True,
                 )
-            self._stream_state = mimi_stream.reset_lane(
-                self._stream_state, jnp.int32(slot)
-            )
+            # Deferred: _admit resets every admitted stream lane in ONE
+            # donated program after the burst (see reset_lanes).
+            self._pending_stream_resets.append(slot)
             info.stream_parts = []
 
     def _fetch_flags(self):
@@ -1076,6 +1089,16 @@ class ContinuousBatcher:
         self.generate([0] * token_lengths[0], short, timeout=timeout)
         for _ in self.submit_stream([0] * token_lengths[0], short, timeout=timeout):
             pass
+        # Full-slot streaming burst: warms the count-`slots` variants of the
+        # admission splice AND the donated stream-lane reset (reset_lanes) —
+        # a streaming wave would otherwise first-hit them cold.
+        gens = [
+            self.submit_stream([0] * token_lengths[0], short, timeout=timeout)
+            for _ in range(self.slots)
+        ]
+        for g in gens:
+            for _ in g:
+                pass
         log.info("prewarmed single-admission + streaming decode programs")
 
 

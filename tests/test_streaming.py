@@ -4,6 +4,7 @@ must be sample-exact with the whole-utterance fused path."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from go_pocket_tts_tpu.models import mimi_stream, synthetic
@@ -60,6 +61,28 @@ def test_block_decoder_single_frame_blocks(model):
     np.testing.assert_allclose(np.concatenate(outs, axis=2), whole, atol=2e-4, rtol=1e-3)
 
 
+def test_reset_lanes_matches_reset_lane(model):
+    """The batched donated reset program == N eager reset_lane calls
+    (including duplicate slot ids from count padding)."""
+    rng = np.random.RandomState(9)
+    params, cfg = model.params["mimi"], model.config.mimi
+    state = mimi_stream.init_stream_state(
+        params, cfg, 4, 8 * cfg.steps_per_latent, per_lane_offsets=True
+    )
+    # Pollute every leaf so the reset has something to erase.
+    state = jax.tree_util.tree_map(
+        lambda v: v + jnp.asarray(rng.randn(*v.shape) * 3, v.dtype), state
+    )
+    eager = mimi_stream.reset_lane(mimi_stream.reset_lane(state, jnp.int32(1)), jnp.int32(3))
+    batched = mimi_stream.reset_lanes(
+        jax.tree_util.tree_map(jnp.copy, state), jnp.asarray([1, 3, 1], jnp.int32)
+    )
+    for key in state:
+        np.testing.assert_array_equal(
+            np.asarray(eager[key]), np.asarray(batched[key]), err_msg=key
+        )
+
+
 def test_batched_per_lane_stream_decode(model):
     """Per-lane-offset batched stream state: lanes joining at different times
     (reset_lane) and pausing (freeze_lanes) reproduce the whole decode."""
@@ -75,8 +98,11 @@ def test_batched_per_lane_stream_decode(model):
         params, cfg, lanes, t_total * cfg.steps_per_latent, per_lane_offsets=True
     )
     assert state["offset"].shape == (lanes,)
-    # Lane 2 joins late: "pollute" it first, then reset.
-    state = mimi_stream.reset_lane(state, jnp.int32(2))
+    # Lane 2 joins late: "pollute" it first, then reset — via the batched
+    # donated reset (duplicated slot ids exercise the idempotent padding).
+    state = mimi_stream.reset_lanes(
+        jax.tree_util.tree_map(jnp.copy, state), jnp.asarray([2, 2], jnp.int32)
+    )
 
     outs = [[] for _ in range(lanes)]
     # Schedule: lane0 decodes every block; lane1 skips (frozen) on block 1 and
