@@ -32,7 +32,7 @@ import logging
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, ThreadPoolExecutor
 from functools import partial
 from typing import Dict, List, Optional
 
@@ -55,6 +55,20 @@ from go_pocket_tts_tpu.utils import buckets as bk
 log = logging.getLogger("pockettts.batching")
 
 __all__ = ["ContinuousBatcher"]
+
+
+def _try_resolve(fut: Future, result=None, exc: Optional[Exception] = None) -> None:
+    """Resolve a future exactly once, tolerating the drainer/_fail_all race
+    (both sides may reach a future near-simultaneously; whoever wins, wins)."""
+    try:
+        if fut.done():
+            return
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(result)
+    except Exception:  # InvalidStateError: the other side resolved it first
+        pass
 
 
 @partial(jax.jit, static_argnames=("cfg", "k", "decode_steps"), donate_argnames=("state",))
@@ -518,6 +532,11 @@ class ContinuousBatcher:
         # Stream lanes admitted in the current burst, reset together in one
         # donated program at the end of _admit.
         self._pending_stream_resets: List[int] = []
+        # Drainer thread for harvest-decode fetches: device_get releases the
+        # GIL, so PCM transfers overlap the engine loop's next blocks.
+        self._harvest_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="pockettts-harvest"
+        )
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._crashed: Optional[Exception] = None
@@ -600,6 +619,10 @@ class ContinuousBatcher:
 
     def start(self) -> None:
         self._stop.clear()
+        if getattr(self._harvest_pool, "_shutdown", False):  # restart after stop()
+            self._harvest_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="pockettts-harvest"
+            )
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -607,6 +630,9 @@ class ContinuousBatcher:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=30)
+        # Drain in-flight harvest fetches so every already-finished request
+        # gets its audio delivered before stop() returns.
+        self._harvest_pool.shutdown(wait=True)
         # Graceful stop must not strand callers: fail whatever is still
         # attached or queued (same delivery as the crash path — exception on
         # the future, error sentinel on streams) so a .result() with no
@@ -875,7 +901,14 @@ class ContinuousBatcher:
         # All finished plain slots decode in ONE program (count padded to 1
         # or full slots, like burst admission — two prewarmable variants)
         # with one int16 fetch; each lane trims to its own n on the host.
-        samples_per = self.model.config.mimi.samples_per_latent
+        # The fetch runs on the drainer thread: a synchronous np.asarray here
+        # waited for the decode + the already-dispatched next AR block + the
+        # ~5 MB transfer, stalling the loop 0.4-0.6 s per wave (r3 burst
+        # profile: harvest was ~60% of a 16-request wall). device_get
+        # releases the GIL, so the transfer overlaps the engine's next
+        # blocks and consumers get audio the moment it lands. Slots are
+        # released immediately — the decode program snapshotted its inputs
+        # at dispatch.
         bucket = bk.pick_bucket(max(n for _s, n in to_decode), bk.DECODE_BUCKETS)
         bucket = min(bucket, self._state["frames"].shape[1])
         n_pad = self._pad_count(len(to_decode))
@@ -889,24 +922,40 @@ class ContinuousBatcher:
             self._state["n_frames"],
             bucket,
         )
-        pcm_np = np.asarray(pcm)
-        for i, (slot, n) in enumerate(to_decode):
-            info = self._slot_info[slot]
-            audio = (
-                pcm_np[i, 0, : n * samples_per].astype(np.float32) / 32767.0
-            )
-            info.request.future.set_result(audio)
-            self._release_slot(slot)
+        items = [(self._slot_info[s].request, n) for s, n in to_decode]
+        self._release_slots([s for s, _n in to_decode])
+        self._harvest_pool.submit(self._drain_harvest, pcm, items)
+
+    def _drain_harvest(self, pcm, items) -> None:
+        """Drainer-thread side of a harvest: fetch the int16 PCM and resolve
+        each lane's future (exception on a failed fetch — never strand)."""
+        try:
+            samples_per = self.model.config.mimi.samples_per_latent
+            pcm_np = np.asarray(pcm)
+            for i, (req, n) in enumerate(items):
+                audio = pcm_np[i, 0, : n * samples_per].astype(np.float32) / 32767.0
+                _try_resolve(req.future, result=audio)
+        except Exception as exc:  # noqa: BLE001
+            for req, _n in items:
+                _try_resolve(req.future, exc=exc)
 
     def _release_slot(self, slot: int) -> None:
-        info = self._slot_info[slot]
-        info.epoch += 1
-        info.request = None
-        info.streaming = False
-        info.stream_parts = None
+        self._release_slots([slot])
+
+    def _release_slots(self, slots_: List[int]) -> None:
+        """Free N slots with ONE eager active-flag update (per-slot at[].set
+        was one un-donated program per release)."""
+        for slot in slots_:
+            info = self._slot_info[slot]
+            info.epoch += 1
+            info.request = None
+            info.streaming = False
+            info.stream_parts = None
         self._state = {
             **self._state,
-            "active": self._state["active"].at[slot].set(False),
+            "active": self._state["active"]
+            .at[jnp.asarray(slots_, jnp.int32)]
+            .set(False),
         }
 
     def _loop(self) -> None:
@@ -919,6 +968,8 @@ class ContinuousBatcher:
             self._fail_all(exc)
 
     def _fail_all(self, exc: Exception) -> None:
+        # (Harvested-but-unfetched requests are owned by the drainer thread,
+        # which resolves or fails their futures itself.)
         # Streaming consumers get the exception object itself (not the normal
         # None end-of-stream sentinel): a crash must raise at the client, not
         # silently truncate the audio (ADVICE r1).

@@ -68,6 +68,7 @@ def wrap(name, fn):
 
 b._admit = wrap("admit", b._admit)
 b._harvest = wrap("harvest", b._harvest)
+b._drain_harvest = wrap("drain_harvest(fetch)", b._drain_harvest)
 b._resolve_block = wrap("resolve_block(sync)", b._resolve_block)
 batching._batched_ar_multi_step = wrap("ar_dispatch", batching._batched_ar_multi_step)
 batching._harvest_decode_pcm16 = wrap("harvest_decode", batching._harvest_decode_pcm16)
