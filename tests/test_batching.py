@@ -858,6 +858,55 @@ def test_batcher_stop_fails_inflight_requests(model):
     assert fut_running.done() and fut_queued.done()
 
 
+def test_batcher_restart_after_stop(model):
+    """stop() shuts the harvest drainer pool down; start() must rebuild it so
+    a restarted batcher still delivers audio (not RuntimeError: cannot
+    schedule new futures after shutdown)."""
+    batcher = ContinuousBatcher(
+        model, slots=2, prompt_capacity=64, max_frames=64, seed=3
+    )
+    batcher.start()
+    try:
+        first = batcher.generate([5, 9, 2], _cfg(), timeout=60)
+    finally:
+        batcher.stop()
+    batcher.start()
+    try:
+        second = batcher.generate([5, 9, 2], _cfg(), timeout=60)
+    finally:
+        batcher.stop()
+    np.testing.assert_allclose(second, first, atol=1e-4, rtol=1e-3)
+
+
+def test_drain_harvest_failure_fails_futures(model):
+    """A failed PCM fetch on the drainer thread must fail every future in the
+    wave (never strand a caller), and a future already resolved by the crash
+    path must not raise InvalidStateError in the drainer."""
+    from concurrent.futures import Future
+
+    from go_pocket_tts_tpu.parallel import batching as bmod
+
+    batcher = ContinuousBatcher(
+        model, slots=2, prompt_capacity=64, max_frames=64, seed=3
+    )
+
+    class _Poison:
+        def __array__(self, *a, **kw):
+            raise RuntimeError("device fetch failed")
+
+    f1, f2 = Future(), Future()
+    f2.set_exception(RuntimeError("already failed by _fail_all"))
+    items = [
+        (bmod._Request([1], _cfg(), f1), 2),
+        (bmod._Request([1], _cfg(), f2), 2),
+    ]
+    batcher._drain_harvest(_Poison(), items)
+    with pytest.raises(RuntimeError, match="device fetch failed"):
+        f1.result(timeout=1)
+    with pytest.raises(RuntimeError, match="already failed"):
+        f2.result(timeout=1)
+
+
 def test_batcher_prewarm_compiles_and_engine_serves(model):
     """prewarm() drives full-slot bursts, single admission, and streaming
     without errors, leaving a healthy engine."""
