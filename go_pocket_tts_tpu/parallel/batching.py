@@ -514,6 +514,14 @@ class ContinuousBatcher:
         if burst > self.steps_per_sync:
             self.steps_per_sync_burst = bk.round_up(burst, self.steps_per_sync)
         else:
+            if burst > 0:
+                log.warning(
+                    "steps_per_sync_burst=%d <= steps_per_sync=%d has no "
+                    "effect (burst blocks must be larger than base blocks); "
+                    "running every block at the base size",
+                    burst,
+                    self.steps_per_sync,
+                )
             self.steps_per_sync_burst = 0
         k_max = self.steps_per_sync_burst or self.steps_per_sync
         self._last_block_k = 0  # observability: block size of the last dispatch
@@ -619,7 +627,7 @@ class ContinuousBatcher:
 
     def start(self) -> None:
         self._stop.clear()
-        if getattr(self._harvest_pool, "_shutdown", False):  # restart after stop()
+        if self._harvest_pool is None:  # restart after stop()
             self._harvest_pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="pockettts-harvest"
             )
@@ -631,8 +639,11 @@ class ContinuousBatcher:
         if self._thread is not None:
             self._thread.join(timeout=30)
         # Drain in-flight harvest fetches so every already-finished request
-        # gets its audio delivered before stop() returns.
-        self._harvest_pool.shutdown(wait=True)
+        # gets its audio delivered before stop() returns. start() rebuilds
+        # the pool from the None sentinel on restart.
+        if self._harvest_pool is not None:
+            self._harvest_pool.shutdown(wait=True)
+            self._harvest_pool = None
         # Graceful stop must not strand callers: fail whatever is still
         # attached or queued (same delivery as the crash path — exception on
         # the future, error sentinel on streams) so a .result() with no
@@ -931,7 +942,13 @@ class ContinuousBatcher:
         each lane's future (exception on a failed fetch — never strand)."""
         try:
             samples_per = self.model.config.mimi.samples_per_latent
-            pcm_np = np.asarray(pcm)
+            # Slice off the padding lanes on-device BEFORE the fetch:
+            # full-slot padding is free in FLOPs but not in transfer (a
+            # 16-slot decode with 2 real lanes would ship 8x the PCM through
+            # the ~40 MB/s tunnel). Done here on the drainer thread so a cold
+            # compile of the per-count slice program can never stall the
+            # engine loop, only this wave's delivery.
+            pcm_np = np.asarray(pcm[: len(items)])
             for i, (req, n) in enumerate(items):
                 audio = pcm_np[i, 0, : n * samples_per].astype(np.float32) / 32767.0
                 _try_resolve(req.future, result=audio)
@@ -1119,8 +1136,6 @@ class ContinuousBatcher:
         decode bucket for each token-length bucket covers EVERY program
         live traffic can reach.
         """
-        from go_pocket_tts_tpu.text import estimate_max_frames
-
         for n_tokens in token_lengths:
             steps = estimate_max_frames(n_tokens)
             cfg = GenerateConfig(

@@ -891,6 +891,9 @@ def test_drain_harvest_failure_fails_futures(model):
     )
 
     class _Poison:
+        def __getitem__(self, _key):
+            return self
+
         def __array__(self, *a, **kw):
             raise RuntimeError("device fetch failed")
 
