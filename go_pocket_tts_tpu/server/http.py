@@ -1,4 +1,4 @@
-"""HTTP server: /health /stats /voices /tts /tts/stream.
+"""HTTP server: /health /stats /metrics /voices /tts /tts/stream.
 
 API parity with `internal/server/server.go`:
 
@@ -124,6 +124,21 @@ class _Stats:
                 ),
             }
 
+    def prometheus(self) -> str:
+        """The same counters in Prometheus text exposition format
+        (``GET /metrics``), so a stock scraper can watch a serving fleet
+        without a translation shim."""
+        snap = self.snapshot()
+        kinds = {"in_flight": "gauge", "aggregate_x_realtime": "gauge"}
+        lines = []
+        for key, val in snap.items():
+            if val is None:
+                continue
+            name = f"pockettts_{key}"
+            lines.append(f"# TYPE {name} {kinds.get(key, 'counter')}")
+            lines.append(f"{name} {val}")
+        return "\n".join(lines) + "\n"
+
 
 def make_handler(
     service,
@@ -234,6 +249,13 @@ def make_handler(
                 self._json(200, {"status": "ok", "version": __version__})
             elif self.path == "/stats":
                 self._json(200, stats.snapshot())
+            elif self.path == "/metrics":
+                body = stats.prometheus().encode("utf-8")
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             elif self.path == "/voices":
                 listing = voices.list_voices() if voices is not None else []
                 self._json(

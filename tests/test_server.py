@@ -257,6 +257,30 @@ def test_stats_endpoint(server):
     assert after["error_total"] == 0
 
 
+def test_metrics_endpoint_prometheus_format(server):
+    """GET /metrics renders the /stats counters in Prometheus text
+    exposition format (TYPE line per series, `name value` samples)."""
+    srv, _svc = server
+    base = f"http://127.0.0.1:{srv.port}"
+    with _post(f"{base}/tts", {"text": "hi"}) as r:
+        assert r.status == 200
+    with urllib.request.urlopen(f"{base}/metrics", timeout=5) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        body = r.read().decode()
+    metrics = {}
+    for line in body.splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        name, val = line.split()
+        metrics[name] = float(val)
+    assert metrics["pockettts_requests_total"] == 1
+    assert metrics["pockettts_ok_total"] == 1
+    assert metrics["pockettts_in_flight"] == 0
+    assert metrics["pockettts_audio_seconds_total"] > 0
+    assert "# TYPE pockettts_in_flight gauge" in body
+    assert "# TYPE pockettts_requests_total counter" in body
+
+
 def test_stats_counts_errors(server):
     srv, svc = server
     svc.fail = True
