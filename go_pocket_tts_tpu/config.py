@@ -78,7 +78,8 @@ class RuntimeConfig:
     matmul_precision: str = ""  # "" = auto (highest for f32, default for bf16)
     frame_bucket: int = 256
     seed: int = -1  # -1 = time-seeded
-    quantize: bool = False  # INT8 weight-only quantization
+    quantize: bool = False  # weight-only quantization
+    quantize_bits: int = 8  # 8 | 4: width for --runtime-quantize weights
     kv_quantize: bool = False  # INT8 KV cache (batched runtime only)
     batch_slots: int = 0  # >1: continuous batching across concurrent requests
     steps_per_sync: int = 8  # AR frames per host sync in the batched runtime
@@ -137,7 +138,9 @@ _FLAG_MAP = [
     ("runtime-matmul-precision", "runtime", "matmul_precision", str, "XLA matmul precision (default|high|highest)"),
     ("runtime-frame-bucket", "runtime", "frame_bucket", int, "AR frame buffer bucket size"),
     ("runtime-seed", "runtime", "seed", int, "RNG seed (-1 = time-seeded)"),
-    ("runtime-quantize", "runtime", "quantize", _parse_bool, "INT8 weight-only quantization"),
+    ("runtime-quantize", "runtime", "quantize", _parse_bool, "weight-only quantization"),
+    ("runtime-quantize-bits", "runtime", "quantize_bits", int,
+     "weight width for --runtime-quantize: 8 (default) or 4"),
     ("runtime-kv-quantize", "runtime", "kv_quantize", _parse_bool,
      "INT8 KV cache with per-row scales (batched runtime; halves KV read traffic)"),
     ("runtime-batch-slots", "runtime", "batch_slots", int,

@@ -107,13 +107,26 @@ def apply_linear(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
     HBM traffic of bf16) and the scale folds into the output.
     """
     w = params["w"]
-    if "scale" in params and w.dtype == jnp.int8:
+    if "scale" in params and w.dtype in (jnp.int8, jnp.int4):
         lead = x.shape[:-1]
         k = x.shape[-1]
         n = w.shape[1]
         m = 1
         for d in lead:
             m *= d
+
+        if w.dtype == jnp.int4:
+            # s4 isn't a dot_general operand dtype; widen in-flight (the HBM
+            # read is the packed s4 buffer — the convert runs post-load and
+            # fuses into the matmul's operand stream).
+            y = jnp.matmul(
+                x, w.astype(x.dtype), preferred_element_type=jnp.float32
+            )
+            y = y * params["scale"].astype(jnp.float32)
+            y = y.astype(x.dtype)
+            if "b" in params:
+                y = y + params["b"].astype(x.dtype)
+            return y
 
         if _QUANT_BACKEND.startswith("pallas"):
             from go_pocket_tts_tpu.ops.pallas import quantized_matmul as qmm

@@ -1,4 +1,4 @@
-"""INT8 weight-only quantization.
+"""INT8 / INT4 weight-only quantization.
 
 The reference's quantized deployment is INT8 dynamic-quantized ONNX export
 (`scripts/export_onnx.py`, opset-17 quantize_dynamic; BASELINE config 5).
@@ -10,6 +10,13 @@ Matmuls run ``(x @ w_q) * scale`` — the int8 operand halves HBM traffic (the
 AR step is weight-bandwidth-bound), the scale folds into the output
 elementwise, and activations stay bf16/f32. Gathers (the token embedding)
 and the small conv kernels stay in floating point.
+
+``bits=4`` stores weights as XLA ``s4`` (jnp.int4, levels −7…7, packed two
+per byte in HBM) — beyond the reference. The weight stream is the batched
+AR step's dominant HBM traffic even after INT8 (measured 0.238 ms/step at
+batch 8 with int8 weights+KV), so halving it again targets the next chunk;
+per-channel INT4 costs more quantization error than INT8 (RMS weight error
+~9x), so it stays opt-in until validated against real checkpoints.
 """
 
 from __future__ import annotations
@@ -43,12 +50,16 @@ def quantize_kv_rows(x: jax.Array):
     return q, scale.astype(jnp.float32)
 
 
-def quantize_linear(p: Dict) -> Dict:
-    """Quantize one linear param dict {w[in,out], b?} → {w int8, scale, b?}."""
+def quantize_linear(p: Dict, bits: int = 8) -> Dict:
+    """Quantize one linear param dict {w[in,out], b?} → {w int8/int4, scale, b?}."""
+    if bits not in (8, 4):
+        raise ValueError(f"quantize bits must be 8 or 4, got {bits}")
     w = p["w"]
-    scale = jnp.max(jnp.abs(w), axis=0) / 127.0  # [out]
+    qmax = 127.0 if bits == 8 else 7.0
+    qtype = jnp.int8 if bits == 8 else jnp.int4
+    scale = jnp.max(jnp.abs(w), axis=0) / qmax  # [out]
     scale = jnp.where(scale > 0, scale, 1.0)
-    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    q = jnp.clip(jnp.round(w / scale), -qmax, qmax).astype(qtype)
     out = {"w": q, "scale": scale.astype(jnp.float32)}
     if "b" in p:
         out["b"] = p["b"]
@@ -56,7 +67,7 @@ def quantize_linear(p: Dict) -> Dict:
 
 
 def is_quantized(p: Dict) -> bool:
-    return "scale" in p and p["w"].dtype == jnp.int8
+    return "scale" in p and p["w"].dtype in (jnp.int8, jnp.int4)
 
 
 def _is_linear(node) -> bool:
@@ -69,11 +80,11 @@ def _is_linear(node) -> bool:
     )
 
 
-def quantize_model_params(params: Dict) -> Dict:
+def quantize_model_params(params: Dict, bits: int = 8) -> Dict:
     """Recursively quantize every 2-D linear in the model param tree.
 
     RoPE tables, norms, embeddings, conv kernels (3-D), and latent stats are
-    left in floating point.
+    left in floating point. ``bits``: 8 (default) or 4.
     """
 
     # conditioner_embed is a gather table; latent_to_mimi is applied with a
@@ -82,7 +93,7 @@ def quantize_model_params(params: Dict) -> Dict:
 
     def walk(node):
         if _is_linear(node):
-            return quantize_linear(node)
+            return quantize_linear(node, bits=bits)
         if isinstance(node, dict):
             return {k: (v if k in skip_keys else walk(v)) for k, v in node.items()}
         if isinstance(node, list):

@@ -470,14 +470,16 @@ class ContinuousBatcher:
         kv_quantize: bool = False,
     ) -> None:
         if quantize:
-            # INT8 weight-only quantization of every linear: the batched AR
-            # step is weight-bandwidth-bound (~180 MB/step shared across all
-            # lanes), so halving the weight stream pays MORE at batch>1 than
-            # it does for a single request (where the wall is RTT-bound).
+            # INT8/INT4 weight-only quantization of every linear: the batched
+            # AR step is weight-bandwidth-bound (~180 MB/step shared across
+            # all lanes), so shrinking the weight stream pays MORE at batch>1
+            # than it does for a single request (where the wall is RTT-bound).
+            # ``quantize`` is True (→ int8) or the bit width itself (8 | 4).
             from go_pocket_tts_tpu.models.model import PocketTTSModel as _M
             from go_pocket_tts_tpu.models.quantize import quantize_model_params
 
-            model = _M(quantize_model_params(model.params), model.config)
+            bits = 8 if quantize is True else int(quantize)
+            model = _M(quantize_model_params(model.params, bits=bits), model.config)
         if mesh is None:
             # Fused decode tail where it pays. Skipped under a dp mesh:
             # pallas_call does not auto-partition under GSPMD, and the

@@ -329,7 +329,11 @@ class TPURuntime:
         if quantize:
             from go_pocket_tts_tpu.models.quantize import quantize_model_params
 
-            model = PocketTTSModel(quantize_model_params(model.params), model.config)
+            # ``quantize`` is True (→ int8) or the bit width itself (8 | 4).
+            bits = 8 if quantize is True else int(quantize)
+            model = PocketTTSModel(
+                quantize_model_params(model.params, bits=bits), model.config
+            )
         if pallas is None:
             pallas = os.environ.get("POCKETTTS_PALLAS", "") == "1"
         if pallas:

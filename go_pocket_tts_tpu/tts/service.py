@@ -157,7 +157,7 @@ class Service:
                     dtype=dtype,
                     seed=seed,
                     mesh=mesh,
-                    quantize=cfg.runtime.quantize,
+                    quantize=cfg.runtime.quantize_bits if cfg.runtime.quantize else False,
                     kv_quantize=cfg.runtime.kv_quantize,
                     steps_per_sync=max(cfg.runtime.steps_per_sync, 1),
                     steps_per_sync_burst=max(cfg.runtime.steps_per_sync_burst, 0),
@@ -192,7 +192,7 @@ class Service:
                     seed=seed,
                     frame_bucket=cfg.runtime.frame_bucket,
                     matmul_precision=cfg.runtime.matmul_precision or None,
-                    quantize=cfg.runtime.quantize,
+                    quantize=cfg.runtime.quantize_bits if cfg.runtime.quantize else False,
                 )
                 log.info(
                     "loaded TPU runtime model=%s dtype=%s", cfg.paths.model_path, dtype

@@ -250,6 +250,28 @@ def test_batcher_quantized(model):
     assert np.sqrt(np.mean((got - want) ** 2)) < 0.05 * (np.std(want) + 1e-6)
 
 
+def test_batcher_int4_quantized(model):
+    """quantize=4 (INT4 weights, s4 storage) through the batched engine:
+    finite audio of the right shape, bounded drift from the f32 engine."""
+    ref = ContinuousBatcher(model, slots=2, prompt_capacity=64, max_frames=64, seed=3)
+    q = ContinuousBatcher(
+        model, slots=2, prompt_capacity=64, max_frames=64, seed=3, quantize=4
+    )
+    ref.start()
+    q.start()
+    try:
+        want = ref.generate([5, 9, 2], _cfg(), timeout=60)
+        got = q.generate([5, 9, 2], _cfg(), timeout=60)
+    finally:
+        ref.stop()
+        q.stop()
+    assert got.shape == want.shape
+    assert np.all(np.isfinite(got))
+    # int4 is ~16x coarser than int8; the trajectory drifts more but must
+    # stay the same scale of waveform.
+    assert np.sqrt(np.mean((got - want) ** 2)) < 0.8 * (np.std(want) + 1e-6)
+
+
 def test_batcher_kv_quantized(model):
     """INT8 KV cache (per-row scales): the quantized-attention engine tracks
     the bf16-cache engine within quantization tolerance, for both the plain
