@@ -348,6 +348,31 @@ def test_batcher_kv_quantized_over_dp_mesh(model):
         assert np.sqrt(np.mean((o - want) ** 2)) < 0.05 * (np.std(want) + 1e-6)
 
 
+def test_batcher_int4_over_dp_mesh(model):
+    """INT4 (s4) weights replicate over a dp mesh — packed sub-byte dtypes
+    must survive device_put sharding and the jitted step under GSPMD."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2+ (virtual CPU) devices")
+    from go_pocket_tts_tpu.parallel.mesh import dp_mesh
+
+    batcher = ContinuousBatcher(
+        model,
+        slots=2,
+        prompt_capacity=64,
+        max_frames=64,
+        seed=3,
+        mesh=dp_mesh(2),
+        quantize=4,
+    )
+    batcher.start()
+    try:
+        out = batcher.generate([5, 9, 2], _cfg(max_steps=4), timeout=120)
+    finally:
+        batcher.stop()
+    assert out.shape == (4 * 1920,)
+    assert np.all(np.isfinite(out))
+
+
 def test_batcher_over_dp_tp_mesh(model):
     """The full engine on a 2-D (dp=2, tp=2) mesh — the `serve --runtime-dp 2
     --runtime-tp 2` configuration — produces the same audio as the
