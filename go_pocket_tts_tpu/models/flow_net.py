@@ -143,12 +143,16 @@ def precompute_fused_adaln(params: Params) -> Params:
         elif "scale" in src:
             # Mixed quantization: dequantize this source so the concat is
             # uniform float.
-            ws[-1] = src["w"].astype(jnp.float32) * src["scale"]
+            sc = src["scale"]
+            if sc.ndim == 2:  # group-wise int4: [G, out] over 128-row slabs
+                sc = jnp.repeat(sc, src["w"].shape[0] // sc.shape[0], axis=0)
+            ws[-1] = src["w"].astype(jnp.float32) * sc
     fused = {"w": jnp.concatenate(ws, axis=1), "b": jnp.concatenate(bs)}
     if quantized:
-        # Per-output-channel scales concatenate along the fused out dim, so
-        # the int8 fast path in apply_linear stays intact.
-        fused["scale"] = jnp.concatenate(scales)
+        # Scales concatenate along the fused out dim — the LAST axis both
+        # per-channel ([out]) and group-wise ([G, out]); every source shares
+        # the same input dim, so group counts agree.
+        fused["scale"] = jnp.concatenate(scales, axis=-1)
     return fused
 
 

@@ -119,10 +119,27 @@ def apply_linear(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
             # s4 isn't a dot_general operand dtype; widen in-flight (the HBM
             # read is the packed s4 buffer — the convert runs post-load and
             # fuses into the matmul's operand stream).
-            y = jnp.matmul(
-                x, w.astype(x.dtype), preferred_element_type=jnp.float32
-            )
-            y = y * params["scale"].astype(jnp.float32)
+            scale = params["scale"]
+            if scale.ndim == 2:
+                # Group-wise scales [G, out] (models/quantize.py): contract
+                # each 128-row input slab separately, fold its scale into the
+                # partial, and sum — the weight read is still one pass over
+                # the packed s4 buffer; only the reduction is G-way split.
+                g = scale.shape[0]
+                xg = x.reshape(*lead, g, k // g)
+                wg = w.reshape(g, k // g, n).astype(x.dtype)
+                partial = jnp.einsum(
+                    "...gk,gkn->...gn",
+                    xg,
+                    wg,
+                    preferred_element_type=jnp.float32,
+                )
+                y = jnp.sum(partial * scale.astype(jnp.float32), axis=-2)
+            else:
+                y = jnp.matmul(
+                    x, w.astype(x.dtype), preferred_element_type=jnp.float32
+                )
+                y = y * scale.astype(jnp.float32)
             y = y.astype(x.dtype)
             if "b" in params:
                 y = y + params["b"].astype(x.dtype)

@@ -50,16 +50,36 @@ def quantize_kv_rows(x: jax.Array):
     return q, scale.astype(jnp.float32)
 
 
+GROUP_SIZE = 128  # int4 scale granularity along the input dim
+
+
 def quantize_linear(p: Dict, bits: int = 8) -> Dict:
-    """Quantize one linear param dict {w[in,out], b?} → {w int8/int4, scale, b?}."""
+    """Quantize one linear param dict {w[in,out], b?} → {w int8/int4, scale, b?}.
+
+    INT8 uses one scale per output channel. INT4 is GROUP-WISE: one scale per
+    (``GROUP_SIZE`` input rows × output channel), i.e. ``scale[G, out]`` —
+    15 levels per whole column is too coarse (outlier rows swamp the range),
+    while per-group scales bound the error to each 128-row slab; the scale
+    table stays tiny (k/128 × out f32). Falls back to per-channel when the
+    input dim isn't a multiple of ``GROUP_SIZE``.
+    """
     if bits not in (8, 4):
         raise ValueError(f"quantize bits must be 8 or 4, got {bits}")
     w = p["w"]
     qmax = 127.0 if bits == 8 else 7.0
     qtype = jnp.int8 if bits == 8 else jnp.int4
-    scale = jnp.max(jnp.abs(w), axis=0) / qmax  # [out]
-    scale = jnp.where(scale > 0, scale, 1.0)
-    q = jnp.clip(jnp.round(w / scale), -qmax, qmax).astype(qtype)
+    k = w.shape[0]
+    if bits == 4 and k % GROUP_SIZE == 0 and k > GROUP_SIZE:
+        g = k // GROUP_SIZE
+        wg = w.reshape(g, GROUP_SIZE, w.shape[1])
+        scale = jnp.max(jnp.abs(wg), axis=1) / qmax  # [G, out]
+        scale = jnp.where(scale > 0, scale, 1.0)
+        q = jnp.clip(jnp.round(wg / scale[:, None, :]), -qmax, qmax)
+        q = q.astype(qtype).reshape(k, w.shape[1])
+    else:
+        scale = jnp.max(jnp.abs(w), axis=0) / qmax  # [out]
+        scale = jnp.where(scale > 0, scale, 1.0)
+        q = jnp.clip(jnp.round(w / scale), -qmax, qmax).astype(qtype)
     out = {"w": q, "scale": scale.astype(jnp.float32)}
     if "b" in p:
         out["b"] = p["b"]

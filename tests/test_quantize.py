@@ -82,6 +82,53 @@ def test_quantize_linear_int4_roundtrip_accuracy():
     assert np.abs(y_q - y_ref).max() < 0.5 * np.abs(y_ref).max()
 
 
+def test_int4_group_scales_beat_per_channel():
+    """k=512 → group-wise scales [4, out]; with outlier rows confined to one
+    group, grouped int4 RMS error must be well below per-channel (whose one
+    scale per column is swamped by the outliers for EVERY row)."""
+    rng = np.random.RandomState(1)
+    w = rng.randn(512, 32).astype(np.float32) / 8
+    w[7, :] *= 40.0  # outlier row swamps a whole-column scale
+    p = {"w": jnp.asarray(w)}
+    q = quantize_linear(p, bits=4)
+    assert q["scale"].shape == (4, 32)
+
+    x = jnp.asarray(rng.randn(16, 512).astype(np.float32))
+    y_ref = np.asarray(apply_linear(p, x))
+    y_g = np.asarray(apply_linear(q, x))
+
+    # hand-built per-channel int4 over the full matrix
+    scale = np.abs(w).max(axis=0) / 7.0
+    wq = np.clip(np.round(w / scale), -7, 7)
+    y_pc = np.asarray(x) @ (wq * scale)
+
+    err_g = np.sqrt(np.mean((y_g - y_ref) ** 2))
+    err_pc = np.sqrt(np.mean((y_pc - y_ref) ** 2))
+    assert err_g < 0.6 * err_pc, (err_g, err_pc)
+
+
+def test_int4_grouped_generation_end_to_end():
+    """Generation through grouped int4 (flow_dim=256 → every flow-net linear
+    group-quantized, incl. the fused adaLN concat of [G, out] scales)."""
+    import dataclasses
+
+    arch = dataclasses.replace(
+        synthetic.tiny_arch(), flow_dim=256, d_model=256, ffn_dim=256
+    )
+    data = encode_tensors(synthetic.build_checkpoint(arch, seed=4))
+    model = load_model_from_store(open_store_from_bytes(data), num_heads=arch.num_heads)
+    qparams = quantize_model_params(model.params, bits=4)
+    lin = qparams["flow_lm"]["transformer"]["layers"][0]["in_proj"]
+    assert lin["w"].dtype == jnp.int4 and lin["scale"].ndim == 2
+
+    cfg = GenerateConfig(temperature=0.0, eos_threshold=1e9, max_steps=3)
+    out = TPURuntime(model, seed=1, frame_bucket=64, quantize=4).generate_audio(
+        [3, 7], cfg
+    )
+    assert len(out) == 3 * 1920
+    assert np.all(np.isfinite(out))
+
+
 def test_quantize_linear_rejects_bad_bits():
     p = {"w": jnp.ones((4, 4), jnp.float32)}
     with pytest.raises(ValueError, match="bits"):
