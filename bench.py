@@ -316,6 +316,21 @@ def _bench_config4_batch(
     return out
 
 
+def _measure_int4_step_ms(model, dtype):
+    """Batch-8 AR step time with grouped-s4 INT4 weights + int8 KV — the
+    config where the halved weight stream must pay if XLA's s4 loads fuse."""
+    try:
+        from go_pocket_tts_tpu.models.model import PocketTTSModel
+        from go_pocket_tts_tpu.models.quantize import quantize_model_params
+
+        q4 = PocketTTSModel(
+            quantize_model_params(model.params, bits=4), model.config
+        )
+        return round(_measure_batched_step_ms(q4, 8, dtype, kv_quantize=True), 3)
+    except Exception as exc:  # noqa: BLE001
+        return f"failed: {exc}"
+
+
 def _bench_streaming_load(model, tokens, dtype, consumers=8):
     """Streaming-under-load SLA numbers: per-consumer TTFA p50/p95, mean
     block cadence, aggregate ×-real-time for N concurrent streams."""
@@ -463,8 +478,12 @@ def main() -> int:
                         kv_quantize=True,
                         slot_counts=(8,),
                     ),
+                    "batched_step_ms_batch8_int4": _measure_int4_step_ms(
+                        model, dtype
+                    ),
                     "note": "int8 weights + int8 KV cache (the measured-best "
-                    "batch config, PERF.md); dp half of config 5 validated by "
+                    "batch config, PERF.md); int4 step time included for the "
+                    "grouped-s4 weight path; dp half of config 5 validated by "
                     "the multichip dryrun (single-chip environment)",
                 },
             ),
