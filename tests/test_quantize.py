@@ -107,6 +107,35 @@ def test_int4_group_scales_beat_per_channel():
     assert err_g < 0.6 * err_pc, (err_g, err_pc)
 
 
+def test_int4_grouped_matches_independent_numpy():
+    """Cross-implementation oracle for the grouped path: an independent
+    numpy replication of quantize (scales, rounding, clip) AND dequant
+    matmul must match the JAX apply_linear output to f32 tolerance."""
+    rng = np.random.RandomState(3)
+    k, n, gs = 384, 48, 128
+    w = rng.randn(k, n).astype(np.float32) / 8
+    b = rng.randn(n).astype(np.float32)
+    q = quantize_linear({"w": jnp.asarray(w), "b": jnp.asarray(b)}, bits=4)
+
+    # independent numpy quantization
+    g = k // gs
+    wg = w.reshape(g, gs, n)
+    scale = np.abs(wg).max(axis=1) / 7.0
+    scale = np.where(scale > 0, scale, 1.0)
+    wq = np.clip(np.round(wg / scale[:, None, :]), -7, 7)
+    np.testing.assert_array_equal(np.asarray(q["scale"]), scale.astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(q["w"].astype(jnp.int8)).reshape(g, gs, n), wq.astype(np.int8)
+    )
+
+    x = rng.randn(5, k).astype(np.float32)
+    y_np = (
+        np.einsum("mgk,gkn->mgn", x.reshape(5, g, gs), wq) * scale[None, :, :]
+    ).sum(axis=1) + b
+    y_jax = np.asarray(apply_linear(q, jnp.asarray(x)))
+    np.testing.assert_allclose(y_jax, y_np, atol=2e-4, rtol=1e-5)
+
+
 def test_int4_grouped_generation_end_to_end():
     """Generation through grouped int4 (flow_dim=256 → every flow-net linear
     group-quantized, incl. the fused adaLN concat of [G, out] scales)."""
