@@ -373,6 +373,38 @@ def test_batcher_int4_over_dp_mesh(model):
     assert np.all(np.isfinite(out))
 
 
+def test_batcher_all_knobs_on(model):
+    """Every serving knob at once — int4 grouped weights, int8 KV cache,
+    dp mesh, adaptive burst blocks, plain + streaming mix — produces finite,
+    correctly-shaped audio (integration coverage for knob interactions)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2+ (virtual CPU) devices")
+    from go_pocket_tts_tpu.parallel.mesh import dp_mesh
+
+    batcher = ContinuousBatcher(
+        model,
+        slots=2,
+        prompt_capacity=64,
+        max_frames=64,
+        seed=3,
+        mesh=dp_mesh(2),
+        quantize=4,
+        kv_quantize=True,
+        steps_per_sync=2,
+        steps_per_sync_burst=4,
+    )
+    batcher.start()
+    try:
+        fut = batcher.submit([5, 9, 2], _cfg(max_steps=4))
+        blocks = list(batcher.submit_stream([7, 1, 4], _cfg(max_steps=4), timeout=120))
+        plain = fut.result(timeout=120)
+    finally:
+        batcher.stop()
+    streamed = np.concatenate(blocks)
+    assert plain.shape == (4 * 1920,) and streamed.shape == (4 * 1920,)
+    assert np.all(np.isfinite(plain)) and np.all(np.isfinite(streamed))
+
+
 def test_batcher_over_dp_tp_mesh(model):
     """The full engine on a 2-D (dp=2, tp=2) mesh — the `serve --runtime-dp 2
     --runtime-tp 2` configuration — produces the same audio as the
