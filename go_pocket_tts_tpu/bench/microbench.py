@@ -11,7 +11,6 @@ tunneled dev chips subtract the reported dispatch RTT to estimate device time.
 from __future__ import annotations
 
 import time
-from functools import partial
 
 import numpy as np
 

@@ -20,7 +20,6 @@ from typing import List, Optional
 
 import numpy as np
 
-from go_pocket_tts_tpu import config as cfgmod
 from go_pocket_tts_tpu.config import Config, load_config, register_flags
 from go_pocket_tts_tpu.utils import dsp, wav
 

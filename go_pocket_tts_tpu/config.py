@@ -21,7 +21,6 @@ precision, and the frame bucket; thread-pool sizing is XLA's job.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from dataclasses import dataclass, field

@@ -25,7 +25,7 @@ import urllib.request
 from dataclasses import asdict
 from typing import Callable, Dict, Optional
 
-from go_pocket_tts_tpu.model_assets.manifest import Manifest, ModelFile
+from go_pocket_tts_tpu.model_assets.manifest import Manifest
 
 __all__ = ["AccessDeniedError", "download_manifest", "hf_url", "sha256_file"]
 

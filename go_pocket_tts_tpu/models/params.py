@@ -12,7 +12,6 @@ from __future__ import annotations
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
-import numpy as np
 
 from go_pocket_tts_tpu.utils.safetensors import Store
 

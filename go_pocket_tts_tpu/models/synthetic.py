@@ -16,7 +16,7 @@ stay O(1) through the stack; emb_std is strictly positive.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Tuple
 
 import numpy as np

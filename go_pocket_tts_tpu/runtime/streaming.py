@@ -15,7 +15,6 @@ the single-program loop.
 
 from __future__ import annotations
 
-import time
 from functools import partial
 from typing import Dict, Iterator, Optional
 
