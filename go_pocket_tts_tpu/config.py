@@ -81,6 +81,9 @@ class RuntimeConfig:
     quantize_bits: int = 8  # 8 | 4: width for --runtime-quantize weights
     kv_quantize: bool = False  # INT8 KV cache (batched runtime only)
     batch_slots: int = 0  # >1: continuous batching across concurrent requests
+    batch_prompt_capacity: int = 128  # KV room per lane beyond max frames
+    #   (prompt + voice state + carried session history; size up for
+    #   --continuity with batch serving)
     steps_per_sync: int = 8  # AR frames per host sync in the batched runtime
     steps_per_sync_burst: int = 0  # bigger block while no stream is live (0=off)
     dp_devices: int = 0  # >1: shard the batch over a dp mesh of N devices
@@ -144,6 +147,9 @@ _FLAG_MAP = [
      "INT8 KV cache with per-row scales (batched runtime; halves KV read traffic)"),
     ("runtime-batch-slots", "runtime", "batch_slots", int,
      "Continuous-batching slots (>1 batches concurrent requests)"),
+    ("runtime-batch-prompt-capacity", "runtime", "batch_prompt_capacity", int,
+     "Per-lane KV room beyond max frames (prompt + voice + carried "
+     "session history; raise for --continuity with batch serving)"),
     ("runtime-steps-per-sync", "runtime", "steps_per_sync", int,
      "AR frames per host sync in the batched runtime (higher = more "
      "throughput, coarser streaming/admission latency)"),

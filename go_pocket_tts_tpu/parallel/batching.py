@@ -386,6 +386,48 @@ class _Request:
     # boundary instead of generating to max_steps for nobody (the ctx-cancel
     # analogue of `runtime_native_safetensors.go:155-201`).
     cancelled: threading.Event = dataclasses.field(default_factory=threading.Event)
+    # Long-form continuity THROUGH the batch (`generate_session`): ``cont``
+    # hydrates this request's lane from the previous chunk's KV snapshot;
+    # ``keep_state`` asks harvest to snapshot the lane before release and
+    # park it in ``state_out`` (read after the future resolves).
+    cont: Optional["BatchContinuation"] = None
+    keep_state: bool = False
+    state_out: Optional["BatchContinuation"] = None
+
+
+@dataclasses.dataclass
+class BatchContinuation:
+    """Cross-chunk prosody state for the batched engine: one lane's KV cache
+    (always float — dequantized on snapshot when the engine cache is INT8;
+    the splice re-quantizes on hydration) + its device offset. The analogue
+    of ``runtime.generate.ContinuationState`` for slot-based serving.
+
+    ``offset_host`` is fetched lazily by :meth:`ContinuousBatcher.generate_session`
+    (a tiny scalar transfer on the caller's thread, never the engine loop).
+    """
+
+    k: jax.Array  # [L, 1, H, capacity, Dh]
+    v: jax.Array
+    offset: jax.Array  # [1] int32 (device)
+    capacity: int
+    offset_host: Optional[int] = None
+
+
+@jax.jit
+def _snapshot_lane(cache: Dict, slot_arr: jax.Array):
+    """Slice one lane out of the stacked KV cache (dequantizing INT8 rows).
+
+    ``slot_arr`` is a traced [1] index array, so every slot shares ONE
+    compiled program (a baked python-int index would compile per slot)."""
+    k, v = cache["k"], cache["v"]
+    if "k_scale" in cache:
+        k = k.astype(jnp.float32) * cache["k_scale"][..., None]
+        v = v.astype(jnp.float32) * cache["v_scale"][..., None]
+    return (
+        jnp.take(k, slot_arr, axis=1),
+        jnp.take(v, slot_arr, axis=1),
+        jnp.take(cache["offset"], slot_arr, axis=0),
+    )
 
 
 @dataclasses.dataclass
@@ -679,13 +721,13 @@ class ContinuousBatcher:
         if not pending:
             return
 
-        # Voice-model-state requests hydrate an existing KV cache — the
-        # single-lane path; plain requests are prefilled TOGETHER in one
-        # program + spliced in one dispatch (burst admission costs two
-        # round trips total instead of two per request).
+        # Voice-model-state and session-continuation requests hydrate an
+        # existing KV cache — the single-lane path; plain requests are
+        # prefilled TOGETHER in one program + spliced in one dispatch (burst
+        # admission costs two round trips total instead of two per request).
         batchable = []
         for slot, req in pending:
-            if req.cfg.voice_model_state is not None:
+            if req.cfg.voice_model_state is not None or req.cont is not None:
                 try:
                     self._prefill_into_slot(slot, req)
                 except Exception as exc:  # noqa: BLE001
@@ -802,6 +844,9 @@ class ContinuousBatcher:
         if cfg.voice_model_state is not None:
             first = next(iter(cfg.voice_model_state.modules.values()))
             voice_frames = int(np.asarray(first["offset"]).reshape(-1)[0])
+        elif req.cont is not None:
+            # generate_session fetched offset_host before submitting.
+            voice_frames = int(req.cont.offset_host)
         if voice_frames + bucket + self.max_frames > self.capacity:
             raise ValueError(
                 f"prompt ({voice_frames} voice + {prompt_len} text tokens) exceeds "
@@ -813,6 +858,14 @@ class ContinuousBatcher:
             lane = ftr.kv_cache_from_voice_state(
                 flow_cfg.transformer, cfg.voice_model_state.modules, self.capacity, self.dtype
             )
+        elif req.cont is not None:
+            # The snapshot is float and already in this engine's layout; the
+            # splice (`_set_cache_lanes`) re-quantizes if the cache is INT8.
+            lane = {
+                "k": req.cont.k.astype(self.dtype),
+                "v": req.cont.v.astype(self.dtype),
+                "offset": req.cont.offset.reshape(()),  # scalar like init_kv_cache
+            }
         padded = jnp.pad(emb, ((0, 0), (0, bucket - prompt_len), (0, 0)))
         lane = _prefill(flow, flow_cfg, lane, padded, jnp.int32(prompt_len))
 
@@ -935,6 +988,20 @@ class ContinuousBatcher:
             self._state["n_frames"],
             bucket,
         )
+        for slot, _n in to_decode:
+            req = self._slot_info[slot].request
+            if req is not None and req.keep_state:
+                # Session snapshot BEFORE release: an eager slice of the
+                # current (immutable) state arrays — in-order device
+                # execution keeps it valid even though the next donated
+                # block is already dispatched. Must land in state_out
+                # before the drainer resolves the future below.
+                k, v, off = _snapshot_lane(
+                    self._state["cache"], jnp.asarray([slot], jnp.int32)
+                )
+                req.state_out = BatchContinuation(
+                    k=k, v=v, offset=off, capacity=self.capacity
+                )
         items = [(self._slot_info[s].request, n) for s, n in to_decode]
         self._release_slots([s for s, _n in to_decode])
         self._harvest_pool.submit(self._drain_harvest, pcm, items)
@@ -1127,6 +1194,44 @@ class ContinuousBatcher:
     def generate(self, tokens, cfg: GenerateConfig, timeout: float = 120.0) -> np.ndarray:
         return self.submit(tokens, cfg).result(timeout=timeout)
 
+    def generate_session(
+        self,
+        tokens,
+        cfg: GenerateConfig,
+        cont: Optional[BatchContinuation] = None,
+        timeout: float = 120.0,
+    ):
+        """Synthesize one chunk THROUGH the batch, carrying KV state across
+        calls (the slot-serving analogue of
+        ``TPURuntime.generate_audio_session``): the chunk's lane hydrates
+        from ``cont``'s snapshot, generates with full attention over the
+        session history, and returns the next snapshot. Other requests keep
+        sharing the batch; only this session is sequential with itself.
+
+        Resets transparently (returns a fresh-session result) when the next
+        chunk cannot fit in the engine's KV capacity — size
+        ``prompt_capacity`` for the session length you want to carry.
+        """
+        bucket = bk.pick_bucket(len(tokens), bk.PROMPT_BUCKETS)
+        if cont is not None and cont.offset_host is None:
+            # Tiny scalar fetch on the caller's thread (never the engine).
+            cont.offset_host = int(np.asarray(cont.offset).reshape(-1)[0])
+        if cont is not None and (
+            cont.capacity != self.capacity
+            # same bound _prefill_into_slot enforces at admission
+            or cont.offset_host + bucket + self.max_frames > self.capacity
+        ):
+            cont = None  # session reset: full cache (~capacity positions)
+        fut: Future = Future()
+        if self._crashed is not None:
+            raise self._crashed
+        req = _Request(list(tokens), cfg, fut, cont=cont, keep_state=True)
+        self._queue.put(req)
+        if self._crashed is not None:
+            self._fail_all(self._crashed)
+        audio = fut.result(timeout=timeout)
+        return audio, req.state_out
+
     def prewarm(self, token_lengths=(10, 30, 50), timeout: float = 600.0) -> None:
         """Compile the engine's program variants before traffic.
 
@@ -1193,12 +1298,14 @@ class BatcherRuntime:
         kv_quantize: bool = False,
         steps_per_sync: int = 8,
         steps_per_sync_burst: int = 0,
+        prompt_capacity: int = 128,
     ) -> None:
         self._model = model
         self._timeout = timeout
         self.batcher = ContinuousBatcher(
             model,
             slots=slots,
+            prompt_capacity=prompt_capacity,
             dtype=dtype,
             seed=seed,
             mesh=mesh,
@@ -1215,6 +1322,15 @@ class BatcherRuntime:
 
     def generate_audio(self, tokens, cfg: GenerateConfig) -> np.ndarray:
         return self.batcher.generate(tokens, cfg, timeout=self._timeout)
+
+    def generate_audio_session(
+        self, tokens, cfg: GenerateConfig, cont: Optional[BatchContinuation] = None
+    ):
+        """Long-form continuity through the batch (the Service duck-types on
+        this name for its ``--continuity`` chunk loop, `tts/service.py`)."""
+        return self.batcher.generate_session(
+            tokens, cfg, cont, timeout=self._timeout
+        )
 
     def stream_generate(self, tokens, cfg: GenerateConfig):
         """Frame-streaming through the shared batch (Service duck-types on

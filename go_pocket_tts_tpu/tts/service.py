@@ -157,6 +157,7 @@ class Service:
                     dtype=dtype,
                     seed=seed,
                     mesh=mesh,
+                    prompt_capacity=max(cfg.runtime.batch_prompt_capacity, 1),
                     quantize=cfg.runtime.quantize_bits if cfg.runtime.quantize else False,
                     kv_quantize=cfg.runtime.kv_quantize,
                     steps_per_sync=max(cfg.runtime.steps_per_sync, 1),

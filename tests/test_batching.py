@@ -937,6 +937,109 @@ def test_batcher_stop_fails_inflight_requests(model):
     assert fut_running.done() and fut_queued.done()
 
 
+def test_batcher_session_matches_single_runtime(model):
+    """Long-form continuity THROUGH the batch: at temperature=0 a two-chunk
+    session served by the batcher must produce the same audio per chunk as
+    the single-request runtime's session path (same hydration semantics)."""
+    rt = TPURuntime(model, seed=3, frame_bucket=64)
+    want1, rcont = rt.generate_audio_session([5, 9, 2], _cfg(), None, session_capacity=128)
+    want2, _ = rt.generate_audio_session([7, 1, 4], _cfg(), rcont)
+
+    b = ContinuousBatcher(model, slots=2, prompt_capacity=128, max_frames=64, seed=3)
+    b.start()
+    try:
+        got1, cont = b.generate_session([5, 9, 2], _cfg(), None, timeout=60)
+        assert cont is not None and cont.offset is not None
+        got2, cont2 = b.generate_session([7, 1, 4], _cfg(), cont, timeout=60)
+        assert cont2 is not None
+    finally:
+        b.stop()
+    np.testing.assert_allclose(got1, want1, atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(got2, want2, atol=1e-4, rtol=1e-3)
+
+
+def test_batcher_session_state_conditions_generation(model):
+    """The carried snapshot must actually condition the next chunk: with
+    temperature=0, chunk 2 with state differs from chunk 2 fresh."""
+    b = ContinuousBatcher(model, slots=2, prompt_capacity=128, max_frames=64, seed=3)
+    b.start()
+    try:
+        _a1, cont = b.generate_session([5, 9, 2], _cfg(), None, timeout=60)
+        with_state, _ = b.generate_session([7, 1, 4], _cfg(), cont, timeout=60)
+        fresh, _ = b.generate_session([7, 1, 4], _cfg(), None, timeout=60)
+    finally:
+        b.stop()
+    assert with_state.shape == fresh.shape
+    assert not np.allclose(with_state, fresh, atol=1e-5)
+
+
+def test_batcher_session_resets_when_full(model):
+    """Chunks keep succeeding past the KV capacity — the session resets
+    instead of overflowing the lane (mirrors the single runtime)."""
+    b = ContinuousBatcher(model, slots=2, prompt_capacity=64, max_frames=64, seed=3)
+    b.start()
+    try:
+        cont = None
+        offsets = []
+        for _ in range(6):
+            audio, cont = b.generate_session([5, 9, 2], _cfg(), cont, timeout=60)
+            assert len(audio) == 4 * 1920
+            cont.offset_host = int(np.asarray(cont.offset).reshape(-1)[0])
+            offsets.append(cont.offset_host)
+    finally:
+        b.stop()
+    assert min(offsets) < max(offsets)  # grew, then reset at least once
+
+
+def test_batcher_session_with_kv_quantize(model):
+    """Session snapshots dequantize an INT8 cache and re-quantize on
+    hydration; audio stays finite and state still conditions generation."""
+    b = ContinuousBatcher(
+        model, slots=2, prompt_capacity=128, max_frames=64, seed=3, kv_quantize=True
+    )
+    b.start()
+    try:
+        _a1, cont = b.generate_session([5, 9, 2], _cfg(), None, timeout=60)
+        with_state, _ = b.generate_session([7, 1, 4], _cfg(), cont, timeout=60)
+        fresh, _ = b.generate_session([7, 1, 4], _cfg(), None, timeout=60)
+    finally:
+        b.stop()
+    assert np.all(np.isfinite(with_state))
+    assert not np.allclose(with_state, fresh, atol=1e-5)
+
+
+def test_service_continuity_through_batcher(model):
+    """Service + BatcherRuntime + continuity=True: the session path engages
+    (BatcherRuntime.generate_audio_session) and chunks come back in order."""
+    from go_pocket_tts_tpu.config import TTSConfig
+    from go_pocket_tts_tpu.parallel.batching import BatcherRuntime
+    from go_pocket_tts_tpu.tts.service import Service
+
+    class _Tok:  # ~3 tokens/word so the chunker splits long text
+        def encode(self, s):
+            out = []
+            for w in s.split():
+                out.extend([abs(hash(w + str(i))) % 60 for i in range(3)])
+            return out
+
+    rt = BatcherRuntime(model, slots=2, seed=5, prompt_capacity=128)
+    try:
+        svc = Service(
+            rt,
+            _Tok(),
+            TTSConfig(
+                temperature=0.7, eos_threshold=1e9, max_steps=4, continuity=True
+            ),
+        )
+        text = " ".join(f"sentence number {i} about item {i}." for i in range(12))
+        chunks = list(svc.synthesize_stream(text))
+    finally:
+        rt.close()
+    assert len(chunks) >= 2
+    assert all(len(c.samples) == 4 * 1920 for c in chunks)
+    assert chunks[-1].final
+
+
 def test_batcher_restart_after_stop(model):
     """stop() shuts the harvest drainer pool down; start() must rebuild it so
     a restarted batcher still delivers audio (not RuntimeError: cannot
