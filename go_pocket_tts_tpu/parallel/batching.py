@@ -628,11 +628,22 @@ class ContinuousBatcher:
             self._fail_all(self._crashed)
         return fut
 
-    def submit_stream(self, tokens, cfg: GenerateConfig, timeout: float = 300.0):
+    def submit_stream(
+        self,
+        tokens,
+        cfg: GenerateConfig,
+        timeout: float = 300.0,
+        cont: Optional[BatchContinuation] = None,
+        keep_state: bool = False,
+        _req_out: Optional[list] = None,
+    ):
         """Stream PCM blocks (~steps_per_sync frames each) as they are
         generated — frame streaming THROUGH the shared batch (the
         single-request streamer in `runtime/streaming.py` holds the whole
         device; this one time-shares it with other requests).
+
+        ``cont``/``keep_state`` thread long-form session state exactly like
+        :meth:`generate_session` (used by :meth:`stream_session`).
 
         A crashed engine propagates its exception to the consumer (never a
         silent truncated end-of-stream); a stalled queue raises TimeoutError.
@@ -641,7 +652,11 @@ class ContinuousBatcher:
         q: "queue.Queue" = queue.Queue()
         if self._crashed is not None:
             raise self._crashed
-        req = _Request(list(tokens), cfg, fut, stream=q)
+        req = _Request(
+            list(tokens), cfg, fut, stream=q, cont=cont, keep_state=keep_state
+        )
+        if _req_out is not None:
+            _req_out.append(req)
         self._queue.put(req)
         if self._crashed is not None:
             # Lost the race with a crashing engine (see submit()).
@@ -957,6 +972,17 @@ class ContinuousBatcher:
                     if info.stream_parts
                     else np.zeros(0, np.float32)
                 )
+                if info.request.keep_state:
+                    # Session snapshot before release AND before the
+                    # end-of-stream sentinel: stream_session's next_state()
+                    # is called after the generator ends, so state_out must
+                    # already be set then.
+                    k, v, off = _snapshot_lane(
+                        self._state["cache"], jnp.asarray([slot], jnp.int32)
+                    )
+                    info.request.state_out = BatchContinuation(
+                        k=k, v=v, offset=off, capacity=self.capacity
+                    )
                 info.request.stream.put(None)  # end-of-stream sentinel
                 info.request.future.set_result(audio)
                 self._release_slot(slot)
@@ -1212,16 +1238,7 @@ class ContinuousBatcher:
         chunk cannot fit in the engine's KV capacity — size
         ``prompt_capacity`` for the session length you want to carry.
         """
-        bucket = bk.pick_bucket(len(tokens), bk.PROMPT_BUCKETS)
-        if cont is not None and cont.offset_host is None:
-            # Tiny scalar fetch on the caller's thread (never the engine).
-            cont.offset_host = int(np.asarray(cont.offset).reshape(-1)[0])
-        if cont is not None and (
-            cont.capacity != self.capacity
-            # same bound _prefill_into_slot enforces at admission
-            or cont.offset_host + bucket + self.max_frames > self.capacity
-        ):
-            cont = None  # session reset: full cache (~capacity positions)
+        cont = self._validate_cont(tokens, cont)
         fut: Future = Future()
         if self._crashed is not None:
             raise self._crashed
@@ -1231,6 +1248,45 @@ class ContinuousBatcher:
             self._fail_all(self._crashed)
         audio = fut.result(timeout=timeout)
         return audio, req.state_out
+
+    def _validate_cont(
+        self, tokens, cont: Optional[BatchContinuation]
+    ) -> Optional[BatchContinuation]:
+        """Resolve a continuation against this engine's capacity: fetch the
+        host offset (tiny scalar, on the caller's thread — never the engine)
+        and drop the state when the next chunk cannot fit (session reset at
+        ~capacity positions, mirroring the single runtime)."""
+        if cont is None:
+            return None
+        if cont.offset_host is None:
+            cont.offset_host = int(np.asarray(cont.offset).reshape(-1)[0])
+        bucket = bk.pick_bucket(len(tokens), bk.PROMPT_BUCKETS)
+        if (
+            cont.capacity != self.capacity
+            # same bound _prefill_into_slot enforces at admission
+            or cont.offset_host + bucket + self.max_frames > self.capacity
+        ):
+            return None
+        return cont
+
+    def stream_session(
+        self,
+        tokens,
+        cfg: GenerateConfig,
+        cont: Optional[BatchContinuation] = None,
+        timeout: float = 300.0,
+    ):
+        """Frame-streaming with long-form continuity: stream one chunk's PCM
+        blocks through the shared batch, hydrating from ``cont``; returns
+        ``(blocks_generator, next_state)`` where ``next_state()`` yields the
+        chunk's KV snapshot once the stream has ended (None if the stream
+        was cancelled before finishing)."""
+        cont = self._validate_cont(tokens, cont)
+        req_box: list = []
+        gen = self.submit_stream(
+            tokens, cfg, timeout=timeout, cont=cont, keep_state=True, _req_out=req_box
+        )
+        return gen, lambda: req_box[0].state_out if req_box else None
 
     def prewarm(self, token_lengths=(10, 30, 50), timeout: float = 600.0) -> None:
         """Compile the engine's program variants before traffic.
@@ -1336,6 +1392,13 @@ class BatcherRuntime:
         """Frame-streaming through the shared batch (Service duck-types on
         this method for its frame_streaming mode)."""
         return self.batcher.submit_stream(tokens, cfg, timeout=self._timeout)
+
+    def stream_generate_session(
+        self, tokens, cfg: GenerateConfig, cont: Optional[BatchContinuation] = None
+    ):
+        """Frame-streaming with continuity: ``(blocks, next_state)`` — the
+        Service's frame_streaming+continuity chunk loop duck-types on this."""
+        return self.batcher.stream_session(tokens, cfg, cont, timeout=self._timeout)
 
     def prewarm(self, token_lengths=(10, 30, 50)) -> None:
         self.batcher.prewarm(token_lengths)

@@ -396,6 +396,34 @@ class Service:
                 )
             return
 
+        # Frame-streaming + continuity through the batcher: sequential chunk
+        # loop threading the lane KV snapshot, blocks yielded as they arrive.
+        if (
+            use_frames
+            and getattr(self.tts_cfg, "continuity", False)
+            and hasattr(self.runtime, "stream_generate_session")
+        ):
+            cont = None
+            for i, chunk in enumerate(chunks):
+                if cancel is not None and cancel():
+                    raise CancelledError("synthesis cancelled")
+                cfg = self._generate_config(chunk, deadline)
+                if cont is None:  # voice applies at session start only
+                    conditioning.apply_to(cfg)
+                blocks, next_state = self.runtime.stream_generate_session(
+                    chunk.token_ids, cfg, cont
+                )
+                last_chunk = i == len(chunks) - 1
+                prev: Optional[np.ndarray] = None
+                for block in blocks:
+                    if prev is not None:
+                        yield PCMChunk(samples=prev, chunk_index=i, final=False)
+                    prev = block
+                if prev is not None:
+                    yield PCMChunk(samples=prev, chunk_index=i, final=last_chunk)
+                cont = next_state()
+            return
+
         for i, chunk in enumerate(chunks):
             if cancel is not None and cancel():
                 raise CancelledError("synthesis cancelled")

@@ -1040,6 +1040,66 @@ def test_service_continuity_through_batcher(model):
     assert chunks[-1].final
 
 
+def test_batcher_stream_session_state_conditions(model):
+    """Streaming sessions: chunk 2 streamed with carried state differs from
+    chunk 2 streamed fresh (temperature=0), and next_state() is available
+    once the stream ends."""
+    b = ContinuousBatcher(model, slots=2, prompt_capacity=128, max_frames=64, seed=3)
+    b.start()
+    try:
+        gen1, next1 = b.stream_session([5, 9, 2], _cfg(), None, timeout=60)
+        audio1 = np.concatenate(list(gen1))
+        cont = next1()
+        assert audio1.shape == (4 * 1920,) and cont is not None
+
+        gen2, next2 = b.stream_session([7, 1, 4], _cfg(), cont, timeout=60)
+        with_state = np.concatenate(list(gen2))
+        assert next2() is not None
+        gen3, _n3 = b.stream_session([7, 1, 4], _cfg(), None, timeout=60)
+        fresh = np.concatenate(list(gen3))
+    finally:
+        b.stop()
+    assert with_state.shape == fresh.shape
+    assert not np.allclose(with_state, fresh, atol=1e-5)
+
+
+def test_service_continuity_frame_streaming_through_batcher(model):
+    """Service + batcher + continuity + frame_streaming: blocks stream per
+    chunk while the KV session threads across chunks."""
+    from go_pocket_tts_tpu.config import TTSConfig
+    from go_pocket_tts_tpu.parallel.batching import BatcherRuntime
+    from go_pocket_tts_tpu.tts.service import Service
+
+    class _Tok:  # ~3 tokens/word so the chunker splits long text
+        def encode(self, s):
+            out = []
+            for w in s.split():
+                out.extend([abs(hash(w + str(i))) % 60 for i in range(3)])
+            return out
+
+    rt = BatcherRuntime(model, slots=2, seed=5, prompt_capacity=128)
+    try:
+        svc = Service(
+            rt,
+            _Tok(),
+            TTSConfig(
+                temperature=0.7, eos_threshold=1e9, max_steps=4, continuity=True
+            ),
+        )
+        text = " ".join(f"sentence number {i} about item {i}." for i in range(12))
+        chunks = list(svc.synthesize_stream(text, frame_streaming=True))
+    finally:
+        rt.close()
+    assert len(chunks) >= 2
+    assert chunks[-1].final
+    assert sum(len(c.samples) for c in chunks) % (4 * 1920) == 0
+    by_chunk = {}
+    for c in chunks:
+        by_chunk.setdefault(c.chunk_index, 0)
+        by_chunk[c.chunk_index] += len(c.samples)
+    assert all(v == 4 * 1920 for v in by_chunk.values())
+
+
 def test_batcher_restart_after_stop(model):
     """stop() shuts the harvest drainer pool down; start() must rebuild it so
     a restarted batcher still delivers audio (not RuntimeError: cannot
