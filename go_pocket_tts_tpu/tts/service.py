@@ -476,6 +476,21 @@ class Service:
             # own program variants — burst admission counts, block decode —
             # which the single-request warm below would miss.
             own(token_lengths)
+            # Continuity adds its own variants (lane snapshot, hydrated
+            # per-slot prefill): a cold compile mid-traffic stalls every
+            # lane ~2-3 s through a remote-compile tunnel, so warm them when
+            # the session path is reachable.
+            if getattr(self.tts_cfg, "continuity", False) and hasattr(
+                self.runtime, "generate_audio_session"
+            ):
+                cfg = self._generate_config(
+                    ChunkMetadata(text="", token_ids=[0, 0, 0], num_tokens=3, num_words=3)
+                )
+                cfg.max_steps = 2
+                _pcm, cont = self.runtime.generate_audio_session([0, 0, 0], cfg, None)
+                if cont is not None:
+                    self.runtime.generate_audio_session([0, 0, 0], cfg, cont)
+                log.info("prewarmed continuity session path")
             return
         gen = getattr(self.runtime, "generate_audio", None)
         if gen is None:
