@@ -87,10 +87,21 @@ try:
         events.clear()
         t0 = time.perf_counter()
         futs = [b.submit(tokens, cfg) for _ in range(N_REQ)]
+        done_at = [None] * N_REQ
+        for i, f in enumerate(futs):
+            f.add_done_callback(
+                lambda _f, i=i: done_at.__setitem__(i, time.perf_counter() - t0)
+            )
         total = sum(len(f.result(timeout=600)) for f in futs)
         wall = time.perf_counter() - t0
         agg = total / 24_000.0 / wall
+        lat = sorted(x for x in done_at if x is not None)
         print(f"\ntrial {trial}: {N_REQ} reqs wall={wall*1e3:.0f}ms aggregate={agg:.1f}x")
+        if lat:
+            print(
+                f"  delivery latency ms: p50={lat[len(lat)//2]*1e3:.0f} "
+                f"p90={lat[int(len(lat)*0.9)]*1e3:.0f} max={lat[-1]*1e3:.0f}"
+            )
         for name, vals in sorted(phase_times.items()):
             v = np.array(vals) * 1e3
             print(

@@ -1040,6 +1040,33 @@ def test_service_continuity_through_batcher(model):
     assert chunks[-1].final
 
 
+def test_batcher_session_concurrent_with_plain_load(model):
+    """A continuity session stays correct while plain requests churn through
+    the other slots: the session's per-chunk audio must equal the same
+    session run on an idle batcher (temperature=0 ⇒ batch-invariance)."""
+    idle = ContinuousBatcher(model, slots=4, prompt_capacity=128, max_frames=64, seed=3)
+    idle.start()
+    try:
+        want1, icont = idle.generate_session([5, 9, 2], _cfg(), None, timeout=60)
+        want2, _ = idle.generate_session([7, 1, 4], _cfg(), icont, timeout=60)
+    finally:
+        idle.stop()
+
+    busy = ContinuousBatcher(model, slots=4, prompt_capacity=128, max_frames=64, seed=3)
+    busy.start()
+    try:
+        load = [busy.submit([4, 4, 4], _cfg(max_steps=6)) for _ in range(6)]
+        got1, cont = busy.generate_session([5, 9, 2], _cfg(), None, timeout=60)
+        load += [busy.submit([2, 8], _cfg(max_steps=6)) for _ in range(4)]
+        got2, _ = busy.generate_session([7, 1, 4], _cfg(), cont, timeout=60)
+        for f in load:
+            assert len(f.result(timeout=60)) == 6 * 1920
+    finally:
+        busy.stop()
+    np.testing.assert_allclose(got1, want1, atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(got2, want2, atol=1e-4, rtol=1e-3)
+
+
 def test_batcher_stream_session_state_conditions(model):
     """Streaming sessions: chunk 2 streamed with carried state differs from
     chunk 2 streamed fresh (temperature=0), and next_state() is available
