@@ -132,6 +132,24 @@ def run_doctor(
         except Exception as exc:  # noqa: BLE001
             res.record("tokenizer backend", False, str(exc))
 
+    # Serving-config sanity: continuity sessions under batch serving carry
+    # KV history in each lane; a small prompt capacity makes every chunk
+    # reset the session (silently defeating --continuity).
+    if getattr(cfg.tts, "continuity", False) and cfg.runtime.batch_slots > 1:
+        cap = cfg.runtime.batch_prompt_capacity
+        ok = cap >= 256
+        res.record(
+            "continuity capacity",
+            ok,
+            f"batch_prompt_capacity={cap}"
+            + (
+                ""
+                if ok
+                else " — sessions will reset nearly every chunk; raise "
+                "--runtime-batch-prompt-capacity (>=256 recommended)"
+            ),
+        )
+
     if cfg.paths.voices_manifest and os.path.exists(cfg.paths.voices_manifest):
         try:
             from go_pocket_tts_tpu.tts.voices import VoiceManager

@@ -93,6 +93,39 @@ def test_doctor_all_green(tmp_path):
     assert "✓ tokenizer backend" in out.getvalue()
 
 
+def test_doctor_flags_undersized_continuity_capacity(tmp_path):
+    """continuity + batch serving with a small per-lane KV capacity resets
+    the session nearly every chunk — doctor must call it out."""
+    cfg = cfgmod.Config()
+    cfg.paths.model_path = str(tmp_path / "missing.safetensors")
+    cfg.paths.tokenizer_model = str(tmp_path / "missing.model")
+    cfg.paths.voices_manifest = ""
+    cfg.tts.continuity = True
+    cfg.runtime.batch_slots = 4
+    cfg.runtime.batch_prompt_capacity = 128
+    out = io.StringIO()
+    res = run_doctor(
+        cfg,
+        out=out,
+        jax_probe=lambda: "jax x.y",
+        native_probe=lambda: "lib ok",
+        tokenizer_probe=lambda p: (True, "backend=hf"),
+    )
+    assert "✗ continuity capacity" in out.getvalue()
+    assert "continuity capacity" in res.failures
+
+    cfg.runtime.batch_prompt_capacity = 512
+    out2 = io.StringIO()
+    res2 = run_doctor(
+        cfg,
+        out=out2,
+        jax_probe=lambda: "jax x.y",
+        native_probe=lambda: "lib ok",
+        tokenizer_probe=lambda p: (True, "backend=hf"),
+    )
+    assert "✓ continuity capacity" in out2.getvalue()
+
+
 def test_doctor_flags_degraded_tokenizer_backend(tmp_path, monkeypatch):
     """A model with a precompiled charsmap served by the pure fallback must
     fail doctor (wrong tokens -> wrong speech with no error; VERDICT r2 #6)."""
