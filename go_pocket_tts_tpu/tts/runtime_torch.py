@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 import time
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -335,6 +336,27 @@ class TorchRuntime:
     # -- generation --------------------------------------------------------
 
     def generate_audio(self, tokens, cfg: GenerateConfig) -> np.ndarray:
+        audio, _kv, _pos = self._generate_core(tokens, cfg, None, 0)
+        return audio
+
+    def generate_audio_session(
+        self, tokens, cfg: GenerateConfig, cont: Optional["TorchContinuation"] = None
+    ):
+        """Long-form continuity: carry the per-layer KV lists + position
+        across chunks (independent cross-check of the JAX session semantics
+        — hydrated positions continue, prosody conditions on the session
+        history). The eager KV lists grow unbounded, so unlike the JAX
+        engines there is no capacity reset."""
+        kv0 = pos0 = None
+        if cont is not None:
+            kv0 = [None if p is None else (p[0], p[1]) for p in cont.kv]
+            pos0 = cont.pos
+        audio, kv, pos = self._generate_core(
+            tokens, cfg, kv0, pos0 if pos0 is not None else 0
+        )
+        return audio, TorchContinuation(kv=kv, pos=pos)
+
+    def _generate_core(self, tokens, cfg: GenerateConfig, kv0, session_pos0: int):
         if len(tokens) == 0:
             raise ValueError("generate: token slice must not be empty")
         if cfg.voice_embedding is not None and cfg.voice_model_state is not None:
@@ -354,8 +376,10 @@ class TorchRuntime:
                     [torch.from_numpy(np.asarray(cfg.voice_embedding, np.float32)), emb], dim=1
                 )
 
-            kv: List[Optional[Tuple[torch.Tensor, torch.Tensor]]] = [None] * self.n_layers
-            pos0 = 0
+            kv: List[Optional[Tuple[torch.Tensor, torch.Tensor]]] = (
+                list(kv0) if kv0 is not None else [None] * self.n_layers
+            )
+            pos0 = session_pos0
             if cfg.voice_model_state is not None:
                 for i in range(self.n_layers):
                     mod = cfg.voice_model_state.modules[
@@ -407,7 +431,16 @@ class TorchRuntime:
 
         if cfg.step_callback is not None:
             cfg.step_callback(len(frames), max_steps)
-        return audio[0, 0].numpy().astype(np.float32)
+        return audio[0, 0].numpy().astype(np.float32), kv, pos
 
     def close(self) -> None:
         pass
+
+
+@dataclass
+class TorchContinuation:
+    """Cross-chunk session state for the torch oracle: per-layer KV tensors
+    ``[B, H, T, Dh]`` plus the next absolute position."""
+
+    kv: List[Optional[Tuple[torch.Tensor, torch.Tensor]]]
+    pos: int

@@ -206,6 +206,31 @@ def test_service_prewarm(jax_model):
     svc.prewarm(token_lengths=(3,))  # compiles without error; no output needed
 
 
+def test_jax_vs_torch_session_parity(jax_model, ckpt_bytes):
+    """Long-form continuity cross-check: a two-chunk session at temperature=0
+    must produce the same audio per chunk in the JAX session path and the
+    independent torch engine's session path (hydrated positions continue,
+    the carried KV actually conditions chunk 2)."""
+    from go_pocket_tts_tpu.runtime import GenerateConfig
+
+    cfg = GenerateConfig(temperature=0.0, eos_threshold=1e9, max_steps=4)
+    jax_rt = TPURuntime(jax_model, seed=1, frame_bucket=64)
+    a1, jcont = jax_rt.generate_audio_session([3, 17, 41], cfg, None, session_capacity=128)
+    a2, _ = jax_rt.generate_audio_session([9, 5], cfg, jcont)
+
+    torch_rt = TorchRuntime(
+        open_store_from_bytes(ckpt_bytes), num_heads=ARCH.num_heads, seed=1
+    )
+    b1, tcont = torch_rt.generate_audio_session([3, 17, 41], cfg, None)
+    b2, _ = torch_rt.generate_audio_session([9, 5], cfg, tcont)
+
+    np.testing.assert_allclose(a1, b1, atol=5e-3)
+    np.testing.assert_allclose(a2, b2, atol=5e-3)
+    # and the state must matter: torch chunk 2 fresh != chunk 2 with state
+    b2_fresh, _ = torch_rt.generate_audio_session([9, 5], cfg, None)
+    assert not np.allclose(b2, b2_fresh, atol=1e-5)
+
+
 def test_torch_runtime_voice_state_parity(jax_model, ckpt_bytes):
     """Voice model-state conditioning agrees between the JAX and torch
     engines at temperature 0."""
