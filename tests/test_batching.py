@@ -398,11 +398,17 @@ def test_batcher_all_knobs_on(model):
         fut = batcher.submit([5, 9, 2], _cfg(max_steps=4))
         blocks = list(batcher.submit_stream([7, 1, 4], _cfg(max_steps=4), timeout=120))
         plain = fut.result(timeout=120)
+        # ...and a continuity session on top (snapshot dequantizes the
+        # sharded INT8 cache under GSPMD; rehydration re-quantizes).
+        s1, cont = batcher.generate_session([5, 9, 2], _cfg(max_steps=4), None, timeout=120)
+        s2, _ = batcher.generate_session([7, 1], _cfg(max_steps=4), cont, timeout=120)
     finally:
         batcher.stop()
     streamed = np.concatenate(blocks)
     assert plain.shape == (4 * 1920,) and streamed.shape == (4 * 1920,)
     assert np.all(np.isfinite(plain)) and np.all(np.isfinite(streamed))
+    assert s1.shape == s2.shape == (4 * 1920,)
+    assert np.all(np.isfinite(s1)) and np.all(np.isfinite(s2))
 
 
 def test_batcher_over_dp_tp_mesh(model):
