@@ -143,10 +143,11 @@ def run_doctor(
             ok,
             f"batch_prompt_capacity={cap}"
             + (
-                ""
+                " (a session carries roughly capacity/(prompt bucket + chunk"
+                " frames) chunks; >=512 recommended for multi-chunk sessions)"
                 if ok
                 else " — sessions will reset nearly every chunk; raise "
-                "--runtime-batch-prompt-capacity (>=256 recommended)"
+                "--runtime-batch-prompt-capacity (>=512 recommended)"
             ),
         )
 

@@ -57,6 +57,28 @@ log = logging.getLogger("pockettts.batching")
 __all__ = ["ContinuousBatcher"]
 
 
+def _strip_voice_if_carried(cfg: GenerateConfig, cont) -> GenerateConfig:
+    """Session semantics shared with ``TPURuntime.generate_audio_session``:
+    a carried continuation supersedes voice conditioning (the session cache
+    already contains it from chunk 1). The service applies the voice to
+    EVERY chunk's cfg so an internal session reset re-applies it — here we
+    drop it only when the carried state survives validation."""
+    if cont is None:
+        return cfg
+    if cfg.voice_embedding is None and cfg.voice_model_state is None:
+        return cfg
+    return dataclasses.replace(cfg, voice_embedding=None, voice_model_state=None)
+
+
+def _fail_request(req: "_Request", exc: Exception) -> None:
+    """Deliver a failure on BOTH channels: exception on the future AND on
+    the stream queue (a streaming consumer reads only the queue — a
+    future-only failure would strand it for its whole timeout)."""
+    if req.stream is not None:
+        req.stream.put(exc)
+    _try_resolve(req.future, exc=exc)
+
+
 def _try_resolve(fut: Future, result=None, exc: Optional[Exception] = None) -> None:
     """Resolve a future exactly once, tolerating the drainer/_fail_all race
     (both sides may reach a future near-simultaneously; whoever wins, wins)."""
@@ -746,7 +768,7 @@ class ContinuousBatcher:
                 try:
                     self._prefill_into_slot(slot, req)
                 except Exception as exc:  # noqa: BLE001
-                    req.future.set_exception(exc)
+                    _fail_request(req, exc)
                     self._slot_info[slot].request = None
             else:
                 batchable.append((slot, req))
@@ -793,7 +815,7 @@ class ContinuousBatcher:
                     )
                 prepped.append((slot, req, emb, prompt_len, bucket, max_steps))
             except Exception as exc:  # noqa: BLE001
-                req.future.set_exception(exc)
+                _fail_request(req, exc)
         if not prepped:
             return
 
@@ -834,8 +856,7 @@ class ContinuousBatcher:
             )
         except Exception as exc:  # noqa: BLE001
             for _slot, req, *_ in prepped:
-                if not req.future.done():
-                    req.future.set_exception(exc)
+                _fail_request(req, exc)
             return
         for slot, req, _emb, _plen, _b, _ms in prepped:
             self._attach_request(slot, req)
@@ -862,11 +883,15 @@ class ContinuousBatcher:
         elif req.cont is not None:
             # generate_session fetched offset_host before submitting.
             voice_frames = int(req.cont.offset_host)
-        if voice_frames + bucket + self.max_frames > self.capacity:
+        # Bound by THIS chunk's step budget, not the engine-wide max_frames:
+        # the lane writes KV at offset..offset+bucket+max_steps, so the
+        # tighter bound lets continuity sessions carry ~2x more chunks per
+        # unit of capacity.
+        if voice_frames + bucket + max_steps > self.capacity:
             raise ValueError(
-                f"prompt ({voice_frames} voice + {prompt_len} text tokens) exceeds "
-                f"batcher capacity {self.capacity - self.max_frames}; raise "
-                f"prompt_capacity"
+                f"prompt ({voice_frames} voice + {prompt_len} text tokens) + "
+                f"{max_steps} steps exceeds batcher KV capacity {self.capacity}; "
+                f"raise prompt_capacity"
             )
         lane = ftr.init_kv_cache(flow_cfg.transformer, 1, self.capacity, self.dtype)
         if cfg.voice_model_state is not None:
@@ -876,9 +901,14 @@ class ContinuousBatcher:
         elif req.cont is not None:
             # The snapshot is float and already in this engine's layout; the
             # splice (`_set_cache_lanes`) re-quantizes if the cache is INT8.
+            # COPY the buffers: _prefill donates its cache, and a same-dtype
+            # astype is an identity — without the copy, submitting a cont
+            # once would delete its arrays and a retried/branched session
+            # would crash with "Array has been deleted". Continuations stay
+            # reusable (matching the torch oracle's).
             lane = {
-                "k": req.cont.k.astype(self.dtype),
-                "v": req.cont.v.astype(self.dtype),
+                "k": jnp.array(req.cont.k, dtype=self.dtype, copy=True),
+                "v": jnp.array(req.cont.v, dtype=self.dtype, copy=True),
                 "offset": req.cont.offset.reshape(()),  # scalar like init_kv_cache
             }
         padded = jnp.pad(emb, ((0, 0), (0, bucket - prompt_len), (0, 0)))
@@ -1238,7 +1268,8 @@ class ContinuousBatcher:
         chunk cannot fit in the engine's KV capacity — size
         ``prompt_capacity`` for the session length you want to carry.
         """
-        cont = self._validate_cont(tokens, cont)
+        cont = self._validate_cont(tokens, cfg, cont)
+        cfg = _strip_voice_if_carried(cfg, cont)
         fut: Future = Future()
         if self._crashed is not None:
             raise self._crashed
@@ -1250,7 +1281,7 @@ class ContinuousBatcher:
         return audio, req.state_out
 
     def _validate_cont(
-        self, tokens, cont: Optional[BatchContinuation]
+        self, tokens, cfg: GenerateConfig, cont: Optional[BatchContinuation]
     ) -> Optional[BatchContinuation]:
         """Resolve a continuation against this engine's capacity: fetch the
         host offset (tiny scalar, on the caller's thread — never the engine)
@@ -1261,10 +1292,17 @@ class ContinuousBatcher:
         if cont.offset_host is None:
             cont.offset_host = int(np.asarray(cont.offset).reshape(-1)[0])
         bucket = bk.pick_bucket(len(tokens), bk.PROMPT_BUCKETS)
+        max_steps = min(
+            cfg.max_steps
+            or cfg.estimated_max_steps
+            or estimate_max_frames(len(tokens)),
+            self.max_frames,
+        )
         if (
             cont.capacity != self.capacity
-            # same bound _prefill_into_slot enforces at admission
-            or cont.offset_host + bucket + self.max_frames > self.capacity
+            # same bound _prefill_into_slot enforces at admission (voice is
+            # stripped when a cont is carried, so the buckets agree)
+            or cont.offset_host + bucket + max_steps > self.capacity
         ):
             return None
         return cont
@@ -1281,7 +1319,8 @@ class ContinuousBatcher:
         ``(blocks_generator, next_state)`` where ``next_state()`` yields the
         chunk's KV snapshot once the stream has ended (None if the stream
         was cancelled before finishing)."""
-        cont = self._validate_cont(tokens, cont)
+        cont = self._validate_cont(tokens, cfg, cont)
+        cfg = _strip_voice_if_carried(cfg, cont)
         req_box: list = []
         gen = self.submit_stream(
             tokens, cfg, timeout=timeout, cont=cont, keep_state=True, _req_out=req_box

@@ -151,8 +151,12 @@ def shard_params_tp(params, mesh: Mesh):
         if name in _TP_COL:
             if field == "w":
                 spec = P(None, "tp")
-            elif field in ("b", "scale"):
+            elif field == "b":
                 spec = P("tp")
+            elif field == "scale":
+                # Per-channel [out] OR group-wise int4 [G, out]: the output
+                # axis (sharded with w's out axis) is always the LAST one.
+                spec = P(*([None] * (leaf.ndim - 1)), "tp")
             else:
                 spec = P()
         elif name in _TP_ROW:

@@ -351,6 +351,12 @@ class TorchRuntime:
         if cont is not None:
             kv0 = [None if p is None else (p[0], p[1]) for p in cont.kv]
             pos0 = cont.pos
+            if cfg.voice_embedding is not None or cfg.voice_model_state is not None:
+                # Carried state supersedes voice (same contract as the JAX
+                # session paths — the session cache carries chunk 1's voice).
+                import dataclasses as _dc
+
+                cfg = _dc.replace(cfg, voice_embedding=None, voice_model_state=None)
         audio, kv, pos = self._generate_core(
             tokens, cfg, kv0, pos0 if pos0 is not None else 0
         )

@@ -104,6 +104,24 @@ def load_voice_conditioning(voice_path: str) -> _VoiceConditioning:
     return cond
 
 
+def _stream_pcm_chunks(blocks, chunk_index: int, last_chunk: bool):
+    """Wrap a PCM-block iterator as PCMChunks, marking the LAST block of the
+    last chunk ``final=True`` (one-block lookahead). A final chunk that
+    produces zero blocks still emits an empty final marker so consumers that
+    wait on ``final`` never hang."""
+    prev: Optional[np.ndarray] = None
+    for block in blocks:
+        if prev is not None:
+            yield PCMChunk(samples=prev, chunk_index=chunk_index, final=False)
+        prev = block
+    if prev is not None:
+        yield PCMChunk(samples=prev, chunk_index=chunk_index, final=last_chunk)
+    elif last_chunk:
+        yield PCMChunk(
+            samples=np.zeros(0, np.float32), chunk_index=chunk_index, final=True
+        )
+
+
 class Service:
     """Owns tokenizer + runtime; thread-safe via an internal lock around the
     runtime (one request generates at a time per service; the HTTP layer adds
@@ -335,8 +353,11 @@ class Service:
                     if cancel is not None and cancel():
                         raise CancelledError("synthesis cancelled")
                     cfg = self._generate_config(chunk, deadline)
-                    if cont is None:  # voice applies at session start only
-                        conditioning.apply_to(cfg)
+                    # Apply the voice to EVERY chunk: runtimes ignore it while
+                    # carried state survives, but an internal session reset
+                    # (capacity full) must re-apply it — gating on our local
+                    # `cont` would silently drop the voice after a reset.
+                    conditioning.apply_to(cfg)
                     pcm, cont = self.runtime.generate_audio_session(
                         chunk.token_ids, cfg, cont
                     )
@@ -408,19 +429,13 @@ class Service:
                 if cancel is not None and cancel():
                     raise CancelledError("synthesis cancelled")
                 cfg = self._generate_config(chunk, deadline)
-                if cont is None:  # voice applies at session start only
-                    conditioning.apply_to(cfg)
+                # Every chunk (see the non-streaming continuity loop above):
+                # an internal session reset must re-apply the voice.
+                conditioning.apply_to(cfg)
                 blocks, next_state = self.runtime.stream_generate_session(
                     chunk.token_ids, cfg, cont
                 )
-                last_chunk = i == len(chunks) - 1
-                prev: Optional[np.ndarray] = None
-                for block in blocks:
-                    if prev is not None:
-                        yield PCMChunk(samples=prev, chunk_index=i, final=False)
-                    prev = block
-                if prev is not None:
-                    yield PCMChunk(samples=prev, chunk_index=i, final=last_chunk)
+                yield from _stream_pcm_chunks(blocks, i, i == len(chunks) - 1)
                 cont = next_state()
             return
 
@@ -435,13 +450,7 @@ class Service:
                     # Concurrency-native runtime (batcher): streams through
                     # the shared batch, no service lock needed.
                     blocks_iter = self.runtime.stream_generate(chunk.token_ids, cfg)
-                    prev: Optional[np.ndarray] = None
-                    for block in blocks_iter:
-                        if prev is not None:
-                            yield PCMChunk(samples=prev, chunk_index=i, final=False)
-                        prev = block
-                    if prev is not None:
-                        yield PCMChunk(samples=prev, chunk_index=i, final=last_chunk)
+                    yield from _stream_pcm_chunks(blocks_iter, i, last_chunk)
                     continue
 
                 from go_pocket_tts_tpu.runtime.streaming import stream_generate
@@ -450,13 +459,11 @@ class Service:
                 # held across the chunk — same policy as the reference, which
                 # holds a worker slot for the whole request.
                 with self._lock:
-                    prev = None
-                    for block in stream_generate(self.runtime, chunk.token_ids, cfg):
-                        if prev is not None:
-                            yield PCMChunk(samples=prev, chunk_index=i, final=False)
-                        prev = block
-                    if prev is not None:
-                        yield PCMChunk(samples=prev, chunk_index=i, final=last_chunk)
+                    yield from _stream_pcm_chunks(
+                        stream_generate(self.runtime, chunk.token_ids, cfg),
+                        i,
+                        last_chunk,
+                    )
             else:
                 with self._lock:
                     pcm = self.runtime.generate_audio(chunk.token_ids, cfg)

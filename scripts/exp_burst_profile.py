@@ -95,6 +95,11 @@ try:
         total = sum(len(f.result(timeout=600)) for f in futs)
         wall = time.perf_counter() - t0
         agg = total / 24_000.0 / wall
+        # result() waiters are released BEFORE done callbacks run; wait for
+        # the callbacks so the tail samples (the stat's whole point) land.
+        deadline = time.perf_counter() + 1.0
+        while any(x is None for x in done_at) and time.perf_counter() < deadline:
+            time.sleep(0.001)
         lat = sorted(x for x in done_at if x is not None)
         print(f"\ntrial {trial}: {N_REQ} reqs wall={wall*1e3:.0f}ms aggregate={agg:.1f}x")
         if lat:

@@ -1073,6 +1073,63 @@ def test_batcher_session_concurrent_with_plain_load(model):
     np.testing.assert_allclose(got2, want2, atol=1e-4, rtol=1e-3)
 
 
+def test_batcher_session_cont_is_reusable(model):
+    """A continuation can be submitted more than once (branching/retry):
+    hydration copies the snapshot instead of letting _prefill donate it."""
+    b = ContinuousBatcher(model, slots=2, prompt_capacity=128, max_frames=64, seed=3)
+    b.start()
+    try:
+        _a, cont = b.generate_session([5, 9, 2], _cfg(), None, timeout=60)
+        first, _ = b.generate_session([7, 1, 4], _cfg(), cont, timeout=60)
+        second, _ = b.generate_session([7, 1, 4], _cfg(), cont, timeout=60)
+    finally:
+        b.stop()
+    np.testing.assert_allclose(first, second, atol=1e-6)
+
+
+def test_batcher_session_reset_reapplies_voice(model):
+    """Service semantics: voice rides every chunk's cfg; when the session
+    resets internally (capacity full) the voice must re-apply — the reset
+    chunk equals a fresh voiced chunk, not an unvoiced one."""
+    d_model = model.params["flow_lm"]["conditioner_embed"].shape[1]
+    rng = np.random.RandomState(4)
+    voice = rng.randn(1, 2, d_model).astype(np.float32) * 0.1
+
+    # capacity 16+64=80: chunk 1 fills offset≈5+64=69, so chunk 2's
+    # validation (69 + bucket 8 + steps 4 > 80) must reset the session.
+    b = ContinuousBatcher(model, slots=2, prompt_capacity=16, max_frames=64, seed=3)
+    b.start()
+    try:
+        want_fresh_voiced, _ = b.generate_session(
+            [7, 1, 4], _cfg(voice_embedding=voice), None, timeout=120
+        )
+        _a, cont = b.generate_session(
+            [5, 9, 2], _cfg(voice_embedding=voice, max_steps=64), None, timeout=120
+        )
+        cont.offset_host = None  # force re-fetch
+        got, reset_cont = b.generate_session(
+            [7, 1, 4], _cfg(voice_embedding=voice), cont, timeout=120
+        )
+        # the reset actually happened: the new session starts fresh
+        assert int(np.asarray(reset_cont.offset).reshape(-1)[0]) < 69
+    finally:
+        b.stop()
+    np.testing.assert_allclose(got, want_fresh_voiced, atol=1e-4, rtol=1e-3)
+
+
+def test_batcher_stream_admission_failure_reaches_consumer(model):
+    """An admission failure (oversized prompt) must raise promptly in the
+    stream consumer instead of stranding it until the timeout."""
+    b = ContinuousBatcher(model, slots=2, prompt_capacity=64, max_frames=64, seed=3)
+    b.start()
+    try:
+        gen = b.submit_stream(list(range(3)) * 60, _cfg(), timeout=15)
+        with pytest.raises(ValueError, match="capacity"):
+            list(gen)
+    finally:
+        b.stop()
+
+
 def test_batcher_stream_session_state_conditions(model):
     """Streaming sessions: chunk 2 streamed with carried state differs from
     chunk 2 streamed fresh (temperature=0), and next_state() is available
