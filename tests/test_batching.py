@@ -806,6 +806,27 @@ def test_dp_tp_mesh_batched_step_matches_unsharded(model):
     assert "tp" in getattr(k_sharding, "spec", ())[2:3] or k_sharding.spec[2] == "tp"
 
 
+def test_shard_params_tp_int4_grouped_scales(model):
+    """Group-wise INT4 scales [G, out] must shard on the OUTPUT axis (last)
+    under tp, aligned with w's out-axis sharding — never on the group axis
+    (uneven shards when G % tp != 0, resharding in the hot loop otherwise)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2+ (virtual CPU) devices")
+    from go_pocket_tts_tpu.models.quantize import quantize_linear
+    from go_pocket_tts_tpu.parallel.mesh import dp_tp_mesh, shard_params_tp
+
+    mesh = dp_tp_mesh(1, 2)
+    rng = np.random.RandomState(0)
+    # G=3 is NOT divisible by tp=2: group-axis sharding would fail outright.
+    lin = quantize_linear({"w": jnp.asarray(rng.randn(384, 64), jnp.float32)}, bits=4)
+    assert lin["scale"].shape == (3, 64)
+    tree = {"layers": [{"in_proj": lin}]}
+    sharded = shard_params_tp(tree, mesh)
+    spec = sharded["layers"][0]["in_proj"]["scale"].sharding.spec
+    assert tuple(spec) == (None, "tp")
+    assert tuple(sharded["layers"][0]["in_proj"]["w"].sharding.spec) == (None, "tp")
+
+
 def test_batcher_stream_close_cancels_lane(model):
     """Closing a stream generator mid-flight (client disconnect) frees the
     lane at the next block boundary instead of generating to max_steps for
