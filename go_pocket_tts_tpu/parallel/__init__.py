@@ -26,7 +26,11 @@ from go_pocket_tts_tpu.parallel.mesh import (
     shard_params_tp,
     shard_state_tp,
 )
-from go_pocket_tts_tpu.parallel.batching import ContinuousBatcher
+from go_pocket_tts_tpu.parallel.batching import (
+    BatchContinuation,
+    BatcherRuntime,
+    ContinuousBatcher,
+)
 
 __all__ = [
     "dp_mesh",
@@ -35,5 +39,7 @@ __all__ = [
     "shard_batch",
     "shard_params_tp",
     "shard_state_tp",
+    "BatchContinuation",
+    "BatcherRuntime",
     "ContinuousBatcher",
 ]

@@ -54,7 +54,7 @@ from go_pocket_tts_tpu.utils import buckets as bk
 
 log = logging.getLogger("pockettts.batching")
 
-__all__ = ["ContinuousBatcher"]
+__all__ = ["BatchContinuation", "BatcherRuntime", "ContinuousBatcher"]
 
 
 def _strip_voice_if_carried(cfg: GenerateConfig, cont) -> GenerateConfig:
