@@ -404,7 +404,61 @@ def _bench_streaming_load(model, tokens, dtype, consumers=8):
     }
 
 
+def _probe_backend_or_die(timeout_s: float = 300.0) -> None:
+    """Fail FAST and machine-readably when the TPU backend cannot initialize.
+
+    The axon tunnel outage mode is a backend init that hangs forever in
+    make_c_api_client — without this guard the driver's bench run would hang
+    instead of recording an infra failure. The probe runs device discovery on
+    a daemon thread; on timeout we print one honest JSON line (value 0, the
+    error, and the last known-good median from bench_history.jsonl) and exit."""
+    import threading
+
+    result: list = []
+
+    def probe():
+        import jax
+
+        result.append(str(jax.devices()[0]))
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout=timeout_s)
+    if result:
+        return
+    last_good = None
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "bench_history.jsonl")) as f:
+            entries = [json.loads(ln) for ln in f if ln.strip()]
+        if entries:
+            tail = [e["x_realtime"] for e in entries[-5:]]
+            last_good = sorted(tail)[len(tail) // 2]
+    except Exception:  # noqa: BLE001
+        pass
+    print(
+        json.dumps(
+            {
+                "metric": "x_realtime_20w_single_chip",
+                "value": 0.0,
+                "unit": "audio_sec/sec",
+                "vs_baseline": 0.0,
+                "extra": {
+                    "error": f"TPU backend init timed out after {timeout_s:.0f}s "
+                    "(tunnel outage) — no measurement possible",
+                    "last_known_good_x_realtime": last_good,
+                },
+            }
+        )
+    )
+    sys.stdout.flush()
+    # Exit 0 so the driver records this JSON as the round's artifact (the
+    # error field carries the truth); the probe thread is stuck in native
+    # code, so os._exit, not sys.exit.
+    os._exit(0)
+
+
 def main() -> int:
+    _probe_backend_or_die()
     import jax
 
     # Persistent compilation cache: a fresh bench process reuses executables
