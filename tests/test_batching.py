@@ -1174,6 +1174,29 @@ def test_batcher_stream_session_state_conditions(model):
     assert not np.allclose(with_state, fresh, atol=1e-5)
 
 
+def test_batcher_stream_session_matches_plain_session(model):
+    """At temperature=0 a streamed session must produce byte-identical audio
+    and equivalent carried state to the plain session path (the stateful
+    block decoder is sample-exact vs the harvest decode)."""
+    a = ContinuousBatcher(model, slots=2, prompt_capacity=128, max_frames=64, seed=3)
+    b = ContinuousBatcher(model, slots=2, prompt_capacity=128, max_frames=64, seed=3)
+    a.start()
+    b.start()
+    try:
+        p1, pc = a.generate_session([5, 9, 2], _cfg(), None, timeout=60)
+        p2, _ = a.generate_session([7, 1, 4], _cfg(), pc, timeout=60)
+
+        g1, n1 = b.stream_session([5, 9, 2], _cfg(), None, timeout=60)
+        s1 = np.concatenate(list(g1))
+        g2, _n2 = b.stream_session([7, 1, 4], _cfg(), n1(), timeout=60)
+        s2 = np.concatenate(list(g2))
+    finally:
+        a.stop()
+        b.stop()
+    np.testing.assert_allclose(s1, p1, atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(s2, p2, atol=1e-4, rtol=1e-3)
+
+
 def test_service_continuity_frame_streaming_through_batcher(model):
     """Service + batcher + continuity + frame_streaming: blocks stream per
     chunk while the KV session threads across chunks."""
