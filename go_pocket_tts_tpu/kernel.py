@@ -72,6 +72,7 @@ class PocketTTSKernel:
         eos_threshold: float = -4.0,
         lsd_decode_steps: int = 1,
         progress: Optional[Callable[[int, int], None]] = None,
+        continuity: bool = False,
     ) -> bytes:
         """Synthesize → WAV bytes. ``voice`` accepts either voice-file format
         (embedding or model-state), like the WASM kernel's voice bytes.
@@ -82,7 +83,10 @@ class PocketTTSKernel:
         contract (`cmd/pockettts-wasm/main_wasm.go:75-477`) at the finest
         granularity that doesn't force a per-frame TPU host sync. The total
         is the frame estimate and shrinks when EOS ends a chunk early; the
-        final call is always ``(total, total)``."""
+        final call is always ``(total, total)``.
+
+        ``continuity=True`` carries the flow-LM KV state across text chunks
+        (long-form prosody; per-chunk progress granularity on this path)."""
         self._require_loaded()
         voice_emb = voice_state = None
         if voice:
@@ -96,6 +100,36 @@ class PocketTTSKernel:
         estimates = [estimate_max_frames(c.num_tokens) for c in chunks]
         total_est = sum(estimates)
         samples_per = self._runtime.model.config.mimi.samples_per_latent
+
+        if continuity:
+            cont = None
+            done = 0
+            parts: List[np.ndarray] = []
+            for i, chunk in enumerate(chunks):
+                cfg = GenerateConfig(
+                    temperature=temperature,
+                    eos_threshold=eos_threshold,
+                    max_steps=estimates[i],
+                    lsd_decode_steps=lsd_decode_steps,
+                    frames_after_eos=chunk.frames_after_eos(),
+                    # every chunk: re-applies on an internal session reset;
+                    # ignored while carried state survives (service semantics)
+                    voice_embedding=voice_emb,
+                    voice_model_state=voice_state,
+                )
+                pcm, cont = self._runtime.generate_audio_session(
+                    chunk.token_ids, cfg, cont
+                )
+                parts.append(pcm)
+                done += len(pcm) // samples_per
+                if progress is not None:
+                    total_est = done + sum(estimates[i + 1 :])
+                    progress(done, total_est)
+            if progress is not None:
+                progress(done, done)
+            pcm_all = np.concatenate(parts) if parts else np.zeros(0, np.float32)
+            return wav.encode_wav(pcm_all, self.sample_rate)
+
         done_frames = 0
         samples: List[np.ndarray] = []
         for i, chunk in enumerate(chunks):

@@ -61,6 +61,37 @@ def test_kernel_end_to_end(model_bytes):
     assert all(d <= t for d, t in progress)
 
 
+def test_kernel_continuity(model_bytes):
+    """continuity=True threads the KV session across chunks: valid WAV,
+    per-chunk progress ending at (total, total), and the output differs
+    from the per-chunk-reset path (the carried state conditions audio)."""
+    kernel = PocketTTSKernel(seed=3)
+    kernel.load_model(model_bytes, _tokenizer_bytes())
+    # Long enough to chunk (>50 tokens): continuity must actually carry.
+    text = " ".join("hello world test a." for _ in range(20))
+
+    progress = []
+    data = kernel.synthesize(
+        text,
+        eos_threshold=1e9,
+        temperature=0.0,
+        continuity=True,
+        progress=lambda done, total: progress.append((done, total)),
+    )
+    samples, rate = wav.decode_wav(data)
+    assert rate == 24000 and len(samples) % 1920 == 0
+    n_frames = len(samples) // 1920
+    assert progress[-1] == (n_frames, n_frames)
+    dones = [d for d, _t in progress]
+    assert dones == sorted(dones)
+
+    plain = kernel.synthesize(text, eos_threshold=1e9, temperature=0.0)
+    plain_samples, _ = wav.decode_wav(plain)
+    assert len(plain_samples) == len(samples)
+    # later chunks must be conditioned differently by the carried state
+    assert not np.allclose(samples, plain_samples, atol=1e-5)
+
+
 def test_kernel_voice_bytes(model_bytes):
     kernel = PocketTTSKernel(seed=3)
     kernel.load_model(model_bytes, _tokenizer_bytes())
