@@ -9,8 +9,9 @@ fixed set of request *slots* stepping together:
   (``models.flow_transformer.transformer_step_batched``) — requests join and
   leave at any step (heterogeneous prompt lengths and EOS times)
 - admission is burst-batched: all queued requests prefill in ONE program and
-  splice into the batch state in one dispatch (counts padded to powers of
-  two to bound compile variants), overlapped with the running AR block
+  splice into the batch state in one dispatch (counts padded to 1 or FULL
+  slots — exactly the two prewarmable variants), overlapped with the
+  running AR block
 - steps run in K-frame blocks (``steps_per_sync``); the block program also
   returns each lane's new-frame windows, counts, and a packed flags copy,
   so streamed PCM and bookkeeping ride ONE host sync per block
