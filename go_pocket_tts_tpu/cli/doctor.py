@@ -151,6 +151,31 @@ def run_doctor(
             ),
         )
 
+    # Serve-time autotune preview: show what `serve` will flip to the
+    # measured-best batch-serving settings (PERF.md) so operators see the
+    # effective configuration before starting traffic.
+    if cfg.runtime.batch_slots > 1:
+        from copy import deepcopy
+
+        from go_pocket_tts_tpu.config import apply_serving_autotune
+
+        preview = deepcopy(cfg)
+        changes = apply_serving_autotune(preview)
+        if changes:
+            res.record(
+                "serving autotune",
+                True,
+                "serve will apply: " + "; ".join(changes)
+                + " (explicit flags override; --runtime-autotune false disables)",
+            )
+        else:
+            res.record(
+                "serving autotune",
+                True,
+                "no changes (all batch-serving knobs set explicitly or "
+                "autotune disabled)",
+            )
+
     if cfg.paths.voices_manifest and os.path.exists(cfg.paths.voices_manifest):
         try:
             from go_pocket_tts_tpu.tts.voices import VoiceManager

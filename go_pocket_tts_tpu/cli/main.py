@@ -130,6 +130,16 @@ def cmd_synth(args) -> int:
 def cmd_serve(args) -> int:
     cfg = load_config(args)
     _setup_logging(cfg.log_level)
+    # Measured-best batch-serving settings become the effective defaults
+    # (VERDICT r3 #3): a stock `serve --runtime-batch-slots 8` runs the
+    # tuned engine instead of requiring the PERF.md incantation.
+    from go_pocket_tts_tpu.config import apply_serving_autotune
+
+    for change in apply_serving_autotune(cfg):
+        log.info(
+            "autotune: %s (explicit flags override; --runtime-autotune false disables)",
+            change,
+        )
     from go_pocket_tts_tpu.server import Server
 
     voices = None

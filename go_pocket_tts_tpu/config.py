@@ -27,7 +27,8 @@ from dataclasses import dataclass, field
 from typing import Any, Dict, List, Mapping, Optional
 
 __all__ = ["Config", "PathsConfig", "RuntimeConfig", "ServerConfig", "TTSConfig",
-           "load_config", "normalize_backend", "register_flags", "ENV_PREFIX"]
+           "apply_serving_autotune", "load_config", "normalize_backend",
+           "register_flags", "ENV_PREFIX"]
 
 ENV_PREFIX = "POCKETTTS_"
 
@@ -88,6 +89,9 @@ class RuntimeConfig:
     steps_per_sync_burst: int = 0  # bigger block while no stream is live (0=off)
     dp_devices: int = 0  # >1: shard the batch over a dp mesh of N devices
     tp_devices: int = 0  # >1: Megatron-shard the transformer over N devices
+    # serve-time autotune: apply the measured-best batch-serving settings
+    # (PERF.md) for any knob the user did not set explicitly.
+    autotune: bool = True
 
 
 @dataclass
@@ -126,6 +130,10 @@ class Config:
     server: ServerConfig = field(default_factory=ServerConfig)
     tts: TTSConfig = field(default_factory=TTSConfig)
     log_level: str = "info"
+    # "section.field" keys the user set explicitly (file/env/flag) — an
+    # explicit value, even one equal to the default, opts that knob out of
+    # serve-time autotuning (same contract as tts.max_steps_user_set).
+    user_set: set = field(default_factory=set, repr=False, compare=False)
 
 
 # -- flag registration -------------------------------------------------------
@@ -160,6 +168,9 @@ _FLAG_MAP = [
      "Data-parallel devices for batch serving (shards slots over a dp mesh)"),
     ("runtime-tp", "runtime", "tp_devices", int,
      "Tensor-parallel devices per replica (Megatron-sharded transformer + head-sharded KV)"),
+    ("runtime-autotune", "runtime", "autotune", _parse_bool,
+     "Apply measured-best batch-serving defaults at serve time for knobs "
+     "not set explicitly (int8 weights+KV, adaptive burst blocks)"),
     ("server-listen-addr", "server", "listen_addr", str, "HTTP listen address"),
     ("workers", "server", "workers", int, "Max concurrent synthesis requests"),
     ("shutdown-timeout", "server", "shutdown_timeout_secs", int, "Graceful shutdown drain timeout (s)"),
@@ -214,6 +225,7 @@ def _apply_mapping(cfg: Config, data: Mapping[str, Any]) -> None:
                     setattr(section, key, want(val))
                 except (TypeError, ValueError):
                     setattr(section, key, val)
+                cfg.user_set.add(f"{section_name}.{key}")
                 if section_name == "tts" and key == "max_steps":
                     section.max_steps_user_set = True
 
@@ -227,6 +239,7 @@ def _apply_env(cfg: Config) -> None:
         target = cfg if section is None else getattr(cfg, section)
         try:
             setattr(target, fname, typ(val))
+            cfg.user_set.add(f"{section}.{fname}" if section else fname)
             if section == "tts" and fname == "max_steps":
                 target.max_steps_user_set = True
         except (TypeError, ValueError):
@@ -241,8 +254,57 @@ def _apply_flags(cfg: Config, args) -> None:
             continue
         target = cfg if section is None else getattr(cfg, section)
         setattr(target, fname, val)
+        cfg.user_set.add(f"{section}.{fname}" if section else fname)
         if section == "tts" and fname == "max_steps":
             target.max_steps_user_set = True
+
+
+# Measured-best batch-serving block size (PERF.md r3 sweep: steps_per_sync
+# 16 -> 64 raised 8-slot aggregate 113x -> 149x; k=128 added only +5%).
+# Applied as the ADAPTIVE burst size so live streams keep small blocks.
+AUTOTUNE_BURST_STEPS = 64
+
+
+def apply_serving_autotune(cfg: Config) -> List[str]:
+    """Flip un-set batch-serving knobs to the measured-best values (PERF.md).
+
+    The reference tunes its serving defaults the same way (conv/tensor worker
+    counts, `internal/config/config.go:115-120`); here the measured winners
+    for ``--runtime-batch-slots > 1`` on TPU are int8 weights + int8 KV cache
+    (batch-8 step 0.238 ms vs 0.395 bf16) and adaptive 64-step burst blocks
+    (+32% aggregate while no stream is live). A knob the user set explicitly
+    — flag, env, or config file, even to the default value — is left alone;
+    ``--runtime-autotune false`` disables the whole pass. Single-request
+    serving (batch_slots <= 1) is never touched: at that scale int8 measured
+    even with bf16 (RTT-bound) and numerics parity wins.
+
+    Returns human-readable descriptions of the changes applied (for logs).
+    """
+    changes: List[str] = []
+    if not cfg.runtime.autotune or cfg.runtime.batch_slots <= 1:
+        return changes
+    user = cfg.user_set
+
+    if "runtime.quantize" not in user and not cfg.runtime.quantize:
+        cfg.runtime.quantize = True
+        changes.append("runtime.quantize=true (int8 weights)")
+    if (
+        "runtime.kv_quantize" not in user
+        and not cfg.runtime.kv_quantize
+        and cfg.runtime.quantize  # KV int8 was measured alongside int8 weights
+    ):
+        cfg.runtime.kv_quantize = True
+        changes.append("runtime.kv_quantize=true (int8 KV cache)")
+    if (
+        "runtime.steps_per_sync_burst" not in user
+        and cfg.runtime.steps_per_sync_burst == 0
+    ):
+        cfg.runtime.steps_per_sync_burst = AUTOTUNE_BURST_STEPS
+        changes.append(
+            f"runtime.steps_per_sync_burst={AUTOTUNE_BURST_STEPS} "
+            "(adaptive burst blocks while no stream is live)"
+        )
+    return changes
 
 
 _CWD_CANDIDATES = ("pockettts.yaml", "pockettts.yml", "pockettts.toml", "pockettts.json")

@@ -59,6 +59,56 @@ def test_config_file_and_flag_precedence(tmp_path, monkeypatch):
     assert cfgmod.load_config(args).tts.temperature == 0.9
 
 
+def test_serving_autotune_applies_measured_best():
+    parser = build_parser()
+    cfg = cfgmod.load_config(parser.parse_args(["doctor", "--runtime-batch-slots", "8"]))
+    changes = cfgmod.apply_serving_autotune(cfg)
+    assert cfg.runtime.quantize is True
+    assert cfg.runtime.kv_quantize is True
+    assert cfg.runtime.steps_per_sync_burst == cfgmod.AUTOTUNE_BURST_STEPS
+    assert len(changes) == 3
+
+
+def test_serving_autotune_respects_explicit_flags():
+    parser = build_parser()
+    # Explicitly setting quantize=false (even though it's the default value)
+    # opts that knob — and the dependent KV knob — out of autotune.
+    cfg = cfgmod.load_config(
+        parser.parse_args(
+            ["doctor", "--runtime-batch-slots", "8", "--runtime-quantize", "false"]
+        )
+    )
+    cfgmod.apply_serving_autotune(cfg)
+    assert cfg.runtime.quantize is False
+    assert cfg.runtime.kv_quantize is False  # measured as a pair with int8 weights
+    assert cfg.runtime.steps_per_sync_burst == cfgmod.AUTOTUNE_BURST_STEPS
+
+
+def test_serving_autotune_respects_env_and_off_switch(monkeypatch):
+    monkeypatch.setenv("POCKETTTS_RUNTIME_STEPS_PER_SYNC_BURST", "0")
+    parser = build_parser()
+    cfg = cfgmod.load_config(parser.parse_args(["doctor", "--runtime-batch-slots", "8"]))
+    cfgmod.apply_serving_autotune(cfg)
+    assert cfg.runtime.steps_per_sync_burst == 0  # env counts as explicit
+    assert cfg.runtime.quantize is True
+
+    monkeypatch.delenv("POCKETTTS_RUNTIME_STEPS_PER_SYNC_BURST")
+    cfg = cfgmod.load_config(
+        parser.parse_args(
+            ["doctor", "--runtime-batch-slots", "8", "--runtime-autotune", "false"]
+        )
+    )
+    assert cfgmod.apply_serving_autotune(cfg) == []
+    assert cfg.runtime.quantize is False
+
+
+def test_serving_autotune_skips_single_request_serving():
+    cfg = cfgmod.load_config()
+    assert cfg.runtime.batch_slots == 0
+    assert cfgmod.apply_serving_autotune(cfg) == []
+    assert cfg.runtime.quantize is False and cfg.runtime.kv_quantize is False
+
+
 def test_backend_normalization():
     assert cfgmod.normalize_backend("native") == "tpu"
     assert cfgmod.normalize_backend("native-safetensors") == "tpu"
@@ -91,6 +141,40 @@ def test_doctor_all_green(tmp_path):
     assert res.ok, res.lines
     assert "✓ model keys" in out.getvalue()
     assert "✓ tokenizer backend" in out.getvalue()
+
+
+def test_doctor_previews_serving_autotune(tmp_path):
+    """Batch serving: doctor shows what `serve` will autotune so operators
+    see the effective config before traffic (VERDICT r3 #3)."""
+    cfg = cfgmod.Config()
+    cfg.paths.model_path = str(tmp_path / "missing.safetensors")
+    cfg.paths.tokenizer_model = str(tmp_path / "missing.model")
+    cfg.paths.voices_manifest = ""
+    cfg.runtime.batch_slots = 8
+    out = io.StringIO()
+    run_doctor(
+        cfg,
+        out=out,
+        jax_probe=lambda: "jax x.y",
+        native_probe=lambda: "lib ok",
+        tokenizer_probe=lambda p: (True, "backend=hf"),
+    )
+    text = out.getvalue()
+    assert "✓ serving autotune" in text
+    assert "quantize" in text and "steps_per_sync_burst" in text
+    # Doctor only previews — the cfg itself is untouched.
+    assert cfg.runtime.quantize is False
+
+    cfg.runtime.autotune = False
+    out2 = io.StringIO()
+    run_doctor(
+        cfg,
+        out=out2,
+        jax_probe=lambda: "jax x.y",
+        native_probe=lambda: "lib ok",
+        tokenizer_probe=lambda p: (True, "backend=hf"),
+    )
+    assert "no changes" in out2.getvalue()
 
 
 def test_doctor_flags_undersized_continuity_capacity(tmp_path):
