@@ -552,7 +552,8 @@ def main() -> int:
                 configs[name] = {"error": str(exc)}
                 print(f"# {name} failed: {exc}", file=sys.stderr)
 
-    history_note = _record_history(x_rt)
+    metrics = _collect_gated_metrics(x_rt, ttfa_ms, configs)
+    history_note = _record_history(metrics)
     payload = {
         "metric": "x_realtime_20w_single_chip",
         "value": round(x_rt, 3),
@@ -582,10 +583,96 @@ def main() -> int:
 HISTORY_PATH = os.environ.get("POCKETTTS_BENCH_HISTORY", "bench_history.jsonl")
 
 
-def _record_history(x_rt: float) -> str:
-    """Append this run to the perf history and flag regressions (>10% below
-    the median of the last 5 recorded runs) — the per-commit perf gate
-    VERDICT r1 asked for. Returns a note for the payload ('' if fine)."""
+def _collect_gated_metrics(x_rt, ttfa_ms, configs) -> dict:
+    """Flatten the headline + per-config serving numbers into one gated
+    metric dict. Every metric here rides the >10% regression gate — not just
+    the single-chip headline, which is how r3's 1.8 s streaming-TTFA stall
+    hid from the gate until a hand bug-hunt found it (VERDICT r3 #4)."""
+
+    def num(v):
+        return v if isinstance(v, (int, float)) else None
+
+    m = {"x_realtime": round(x_rt, 3)}
+    if num(ttfa_ms) is not None:
+        m["ttfa_ms_p50"] = round(ttfa_ms, 1)
+
+    def grab(cfg_name, key, out_name):
+        val = num(_dig(configs, cfg_name, key))
+        if val is not None:
+            m[out_name] = val
+
+    for slots in (8, 16, 32):
+        grab("config4_batch", (f"slots{slots}", "aggregate_x_realtime"),
+             f"aggregate_x_realtime_slots{slots}")
+        grab("config5_int8_batch", (f"slots{slots}", "aggregate_x_realtime"),
+             f"aggregate_x_realtime_slots{slots}_int8")
+    grab("config4_batch", "batched_step_ms_batch8", "batched_step_ms_batch8")
+    grab("config5_int8_batch", "batched_step_ms_batch8", "batched_step_ms_batch8_int8kv")
+    grab("config5_int8_batch", "batched_step_ms_batch8_int4", "batched_step_ms_batch8_int4")
+    grab("streaming_under_load", "ttfa_ms_p50", "ttfa_under_load_ms_p50")
+    grab("streaming_under_load", "ttfa_ms_p95", "ttfa_under_load_ms_p95")
+    grab("streaming_under_load", "aggregate_x_realtime", "aggregate_x_realtime_streams8")
+    return m
+
+
+def _dig(d, cfg_name, key):
+    node = d.get(cfg_name) if isinstance(d, dict) else None
+    if not isinstance(node, dict):
+        return None
+    for k in (key if isinstance(key, tuple) else (key,)):
+        node = node.get(k) if isinstance(node, dict) else None
+    return node
+
+
+def metric_lower_is_better(name: str) -> bool:
+    """Step times and latencies regress UP; throughputs regress DOWN."""
+    return "_ms" in name or name.endswith("ms")
+
+
+def check_regressions(metrics: dict, prior: list, threshold: float = 0.10) -> list:
+    """Compare every metric of this run against the median of its last ≤5
+    prior recordings; return one REGRESSION note per metric >threshold worse.
+
+    ``prior`` is the parsed history (oldest first). Legacy entries carry only
+    a top-level ``x_realtime``; newer ones carry a ``metrics`` dict. A metric
+    absent from history (first recording) can't regress.
+    """
+    notes = []
+    for name, val in metrics.items():
+        if not isinstance(val, (int, float)):
+            continue
+        hist = []
+        for entry in prior:
+            v = (entry.get("metrics") or {}).get(name)
+            if v is None and name == "x_realtime":
+                v = entry.get("x_realtime")
+            if isinstance(v, (int, float)):
+                hist.append(v)
+        recent = hist[-5:]
+        if not recent:
+            continue
+        ref = sorted(recent)[len(recent) // 2]
+        if ref <= 0:
+            continue
+        if metric_lower_is_better(name):
+            if val > (1 + threshold) * ref:
+                notes.append(
+                    f"REGRESSION {name}: {val:.3g} is >{threshold:.0%} above "
+                    f"recent median {ref:.3g}"
+                )
+        elif val < (1 - threshold) * ref:
+            notes.append(
+                f"REGRESSION {name}: {val:.3g} is >{threshold:.0%} below "
+                f"recent median {ref:.3g}"
+            )
+    return notes
+
+
+def _record_history(metrics: dict) -> str:
+    """Append this run to the perf history and flag regressions (>10% worse
+    than the median of the last 5 recordings, per metric) — the per-commit
+    perf gate VERDICT r1 asked for, widened to every serving metric
+    (VERDICT r3 #4). Returns a note for the payload ('' if fine)."""
     note = ""
     try:
         prior = []
@@ -598,14 +685,11 @@ def _record_history(x_rt: float) -> str:
                             prior.append(json.loads(line))
                         except json.JSONDecodeError:
                             continue
-        recent = [p["x_realtime"] for p in prior[-5:] if "x_realtime" in p]
-        if recent:
-            ref = sorted(recent)[len(recent) // 2]
-            if x_rt < 0.9 * ref:
-                note = (
-                    f"REGRESSION: {x_rt:.1f}x is >10% below recent median {ref:.1f}x"
-                )
-                print(f"bench.py WARNING {note}", file=sys.stderr)
+        notes = check_regressions(metrics, prior)
+        if notes:
+            note = "; ".join(notes)
+            for n in notes:
+                print(f"bench.py WARNING {n}", file=sys.stderr)
 
         commit = ""
         try:
@@ -623,7 +707,8 @@ def _record_history(x_rt: float) -> str:
                     {
                         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
                         "commit": commit,
-                        "x_realtime": round(x_rt, 3),
+                        "x_realtime": metrics.get("x_realtime"),
+                        "metrics": metrics,
                         "dtype": DTYPE,
                         "int8_weights": QUANT,
                         "runs": RUNS,

@@ -1,0 +1,117 @@
+"""Regression gate over EVERY serving metric in bench_history (VERDICT r3 #4).
+
+The r3 streaming-TTFA stall (1.8 s p50 from a cold pad-count program) was
+invisible to the old gate because only the single-chip headline x_realtime was
+compared against history. These tests pin the widened gate: aggregate
+throughput, TTFA (single and under load), and batched step times all trip the
+>10% check, in the correct direction per metric kind.
+"""
+
+import importlib.util
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _load_bench():
+    # bench.py lives at the repo root (driver contract), not in the package.
+    spec = importlib.util.spec_from_file_location("bench_root", REPO / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench_root"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+bench = _load_bench()
+
+
+def _entry(**metrics):
+    return {"metrics": metrics, "x_realtime": metrics.get("x_realtime")}
+
+
+def test_injected_step_time_regression_is_flagged():
+    """The verdict's acceptance test: +20% batched step time → REGRESSION."""
+    prior = [_entry(batched_step_ms_batch8_int8kv=0.238) for _ in range(5)]
+    notes = bench.check_regressions(
+        {"batched_step_ms_batch8_int8kv": 0.238 * 1.2}, prior
+    )
+    assert len(notes) == 1
+    assert "REGRESSION batched_step_ms_batch8_int8kv" in notes[0]
+
+
+def test_ttfa_under_load_regression_is_flagged():
+    """The exact r3 failure shape: streaming TTFA p50 jumping 50→1800 ms."""
+    prior = [_entry(ttfa_under_load_ms_p50=49.9) for _ in range(3)]
+    notes = bench.check_regressions({"ttfa_under_load_ms_p50": 1800.0}, prior)
+    assert notes and "ttfa_under_load_ms_p50" in notes[0]
+
+
+def test_aggregate_throughput_drop_is_flagged_and_direction_matters():
+    prior = [_entry(aggregate_x_realtime_slots8=149.0) for _ in range(4)]
+    # 12% drop trips; 12% GAIN must not (higher is better for throughput).
+    assert bench.check_regressions({"aggregate_x_realtime_slots8": 131.0}, prior)
+    assert not bench.check_regressions({"aggregate_x_realtime_slots8": 167.0}, prior)
+    # Step times are the opposite: a drop is an improvement.
+    prior_ms = [_entry(batched_step_ms_batch8=0.395) for _ in range(4)]
+    assert not bench.check_regressions({"batched_step_ms_batch8": 0.30}, prior_ms)
+
+
+def test_within_band_and_first_recording_pass():
+    prior = [_entry(x_realtime=110.0, ttfa_ms_p50=50.0) for _ in range(5)]
+    # 5% wiggle on both: fine.
+    assert not bench.check_regressions(
+        {"x_realtime": 104.5, "ttfa_ms_p50": 52.5}, prior
+    )
+    # A metric with no history can't regress.
+    assert not bench.check_regressions({"batched_step_ms_batch8_int4": 0.9}, prior)
+    # Empty history: nothing to compare.
+    assert not bench.check_regressions({"x_realtime": 1.0}, [])
+
+
+def test_legacy_headline_entries_still_gate_x_realtime():
+    """Pre-r4 history lines carry only a top-level x_realtime."""
+    prior = [{"x_realtime": 113.0} for _ in range(5)]
+    notes = bench.check_regressions({"x_realtime": 60.0}, prior)
+    assert notes and "x_realtime" in notes[0]
+
+
+def test_collect_gated_metrics_flattens_configs():
+    configs = {
+        "config4_batch": {
+            "slots8": {"aggregate_x_realtime": 130.2, "requests": 16},
+            "slots16": {"aggregate_x_realtime": 164.0, "requests": 32},
+            "batched_step_ms_batch8": 0.395,
+        },
+        "config5_int8_batch": {
+            "slots8": {"aggregate_x_realtime": 149.0, "requests": 16},
+            "batched_step_ms_batch8": 0.238,
+            "batched_step_ms_batch8_int4": "failed: no hardware",  # skipped
+        },
+        "streaming_under_load": {
+            "consumers": 8,
+            "ttfa_ms_p50": 49.9,
+            "ttfa_ms_p95": 80.0,
+            "aggregate_x_realtime": 103.0,
+        },
+        "config2_longform": {"x_realtime": 90.0},  # not gated (no key)
+    }
+    m = bench._collect_gated_metrics(114.7, 49.9, configs)
+    assert m["x_realtime"] == 114.7
+    assert m["ttfa_ms_p50"] == 49.9
+    assert m["aggregate_x_realtime_slots8"] == 130.2
+    assert m["aggregate_x_realtime_slots16"] == 164.0
+    assert m["aggregate_x_realtime_slots8_int8"] == 149.0
+    assert m["batched_step_ms_batch8"] == 0.395
+    assert m["batched_step_ms_batch8_int8kv"] == 0.238
+    assert "batched_step_ms_batch8_int4" not in m  # failure strings don't gate
+    assert m["ttfa_under_load_ms_p50"] == 49.9
+    assert m["ttfa_under_load_ms_p95"] == 80.0
+    assert m["aggregate_x_realtime_streams8"] == 103.0
+
+
+def test_metric_direction_classifier():
+    assert bench.metric_lower_is_better("batched_step_ms_batch8")
+    assert bench.metric_lower_is_better("ttfa_under_load_ms_p95")
+    assert not bench.metric_lower_is_better("x_realtime")
+    assert not bench.metric_lower_is_better("aggregate_x_realtime_slots16")
