@@ -651,6 +651,19 @@ class TPURuntime:
         )
         return audio, new_cont
 
+    def stream_generate_session(
+        self,
+        tokens,
+        cfg: GenerateConfig,
+        cont: Optional[ContinuationState] = None,
+    ):
+        """Frame streaming + continuity for one chunk → ``(blocks, next_state)``
+        (same contract as ``BatcherRuntime.stream_generate_session``, so the
+        Service's streaming-continuity path works at ``batch_slots=0``)."""
+        from go_pocket_tts_tpu.runtime.streaming import stream_generate_session
+
+        return stream_generate_session(self, tokens, cfg, cont)
+
     def generate_audio_staged(self, tokens, cfg: GenerateConfig):
         """Profiling variant: runs prefill / AR loop / decode as separate
         programs with blocking boundaries and returns

@@ -24,11 +24,17 @@ import numpy as np
 
 from go_pocket_tts_tpu.models import flow_lm as flm
 from go_pocket_tts_tpu.models import mimi_stream
-from go_pocket_tts_tpu.runtime.generate import GenerateConfig, _ar_loop_body, _prefill
+from go_pocket_tts_tpu.runtime.generate import (
+    ContinuationState,
+    GenerateConfig,
+    _ar_loop_body,
+    _embed_prefill,
+    _prefill,
+)
 from go_pocket_tts_tpu.text import estimate_max_frames
 from go_pocket_tts_tpu.utils import buckets as bk
 
-__all__ = ["stream_generate"]
+__all__ = ["stream_generate", "stream_generate_session"]
 
 
 @partial(
@@ -166,79 +172,263 @@ def stream_generate(
         emb_padded = jnp.pad(emb, ((0, 0), (0, prompt_bucket - prompt_len), (0, 0)))
         cache = _prefill(flow, flow_cfg, cache, emb_padded, jnp.int32(prompt_len))
 
-        latent_dim = flow_cfg.latent_dim
-        carry = {
-            "frame": jnp.full((1, 1, latent_dim), jnp.nan, dtype),
-            "countdown": jnp.full((1,), -1, jnp.int32),
-            "done": jnp.zeros((1,), bool),
-            "key": runtime._next_key(),
-        }
-        stream_state = mimi_stream.init_stream_state(
-            model.params["mimi"],
-            model.config.mimi,
-            batch=1,
-            max_steps=frame_budget * model.config.mimi.steps_per_latent,
-            dtype=dtype,
+        yield from _segment_loop(
+            runtime,
+            cfg,
+            cache,
+            max_steps,
+            decode_steps,
+            segment_frames,
+            max_segment_frames,
+            frame_budget,
         )
 
-        samples_per = model.config.mimi.samples_per_latent
 
-        def dispatch(segment: int, remaining: int):
-            steps = min(segment, remaining)
-            nonlocal cache, carry, stream_state
-            # Two async dispatches (AR segment, then block decode); nothing
-            # blocks until the caller fetches the pcm.
-            frames, n, cache, carry = _stream_ar_segment(
-                model.params["flow_lm"],
-                flow_cfg,
-                cache,
-                carry,
-                jnp.int32(steps),
-                jnp.float32(cfg.eos_threshold),
-                jnp.float32(cfg.temperature),
-                jnp.int32(cfg.frames_after_eos),
-                decode_steps,
-                segment,
+def _segment_loop(
+    runtime,
+    cfg: GenerateConfig,
+    cache: Dict,
+    max_steps: int,
+    decode_steps: int,
+    segment_frames: int,
+    max_segment_frames: int,
+    frame_budget: int,
+):
+    """Run the AR loop in adaptive segments over a prefilled ``cache``,
+    yielding PCM blocks; generator-returns ``(cache, emitted_frames)`` so
+    session callers can capture the final KV state (``yield from``)."""
+    model = runtime.model
+    flow_cfg = model.config.flow_lm
+    dtype = runtime.dtype
+    latent_dim = flow_cfg.latent_dim
+    carry = {
+        "frame": jnp.full((1, 1, latent_dim), jnp.nan, dtype),
+        "countdown": jnp.full((1,), -1, jnp.int32),
+        "done": jnp.zeros((1,), bool),
+        "key": runtime._next_key(),
+    }
+    stream_state = mimi_stream.init_stream_state(
+        model.params["mimi"],
+        model.config.mimi,
+        batch=1,
+        max_steps=frame_budget * model.config.mimi.steps_per_latent,
+        dtype=dtype,
+    )
+
+    samples_per = model.config.mimi.samples_per_latent
+
+    def dispatch(segment: int, remaining: int):
+        steps = min(segment, remaining)
+        nonlocal cache, carry, stream_state
+        # Two async dispatches (AR segment, then block decode); nothing
+        # blocks until the caller fetches the pcm.
+        frames, n, cache, carry = _stream_ar_segment(
+            model.params["flow_lm"],
+            flow_cfg,
+            cache,
+            carry,
+            jnp.int32(steps),
+            jnp.float32(cfg.eos_threshold),
+            jnp.float32(cfg.temperature),
+            jnp.int32(cfg.frames_after_eos),
+            decode_steps,
+            segment,
+        )
+        pcm, stream_state = _stream_decode_segment(
+            model.params, model.config.mimi, stream_state, frames, n
+        )
+        return pcm, n, carry["done"], steps
+
+    def next_segment(seg: int) -> int:
+        return min(seg * 2, max_segment_frames, runtime.frame_bucket)
+
+    # One-deep pipeline: segment k+1 is dispatched before segment k's PCM
+    # is fetched, so the host↔device round-trip overlaps the next
+    # segment's compute. The speculative extra segment after EOS only
+    # touches state that is discarded — and when every lane is already
+    # ``done`` its while_loop body never runs, so a session's carried
+    # cache is NOT advanced by the speculation (safe to keep).
+    seg = min(segment_frames, max_segment_frames)
+    pending = dispatch(seg, max_steps)
+    dispatched = pending[3]
+    emitted = 0
+    while True:
+        pcm, n_arr, done_arr, steps = pending
+        if dispatched < max_steps:
+            seg = next_segment(seg)
+            nxt = dispatch(seg, max_steps - dispatched)
+            dispatched += nxt[3]
+        else:
+            nxt = None
+        # One overlapped fetch (block + flags), host-side trim — a
+        # device-side [:n] slice would compile one program per distinct n.
+        pcm_np, n_arr, done_arr = jax.device_get((pcm, n_arr, done_arr))
+        n = int(n_arr[0])
+        done = bool(done_arr[0])
+        if n > 0:
+            emitted += n
+            # Block-granular progress (the reference fires per AR frame,
+            # `internal/tts/runtime.go:42`; per-frame host sync would
+            # serialize the TPU loop, so ≤16-frame segments are the
+            # finest free granularity — ≥1 callback per ~320 ms of audio
+            # for the first segments).
+            if cfg.step_callback is not None:
+                cfg.step_callback(emitted, max_steps)
+            yield pcm_np[0, 0, : n * samples_per].astype(np.float32)
+        if done or n == 0 or nxt is None:
+            break
+        pending = nxt
+    return cache, emitted
+
+
+def stream_generate_session(
+    runtime,
+    tokens,
+    cfg: GenerateConfig,
+    cont: Optional[ContinuationState] = None,
+    segment_frames: int = 4,
+    max_segment_frames: int = 16,
+    session_capacity: int = 0,
+):
+    """Frame streaming WITH long-form continuity at ``batch_slots=0``:
+    one chunk's PCM blocks, resuming from (and handing back) the session's
+    KV state — the single-request analogue of the batcher's
+    ``stream_session`` (VERDICT r3 #5; the reference has neither frame
+    streaming nor continuity, `PLAN.md:9-17`, `service.go:137-152`).
+
+    Returns ``(blocks, next_state)``: drain the ``blocks`` iterator, then
+    call ``next_state()`` for the :class:`ContinuationState` to thread into
+    the next chunk (same contract as ``BatcherRuntime.stream_generate_session``).
+    The state is single-use — its cache buffer is donated to the next chunk's
+    prefill. Frame sequences are identical to ``generate_audio_session``
+    (same prefill program, same AR math segmented), so at temperature 0 the
+    streamed session concatenates to the plain session's PCM sample-exactly.
+    """
+    holder: Dict = {}
+    blocks = _stream_session_blocks(
+        runtime,
+        tokens,
+        cfg,
+        cont,
+        segment_frames,
+        max_segment_frames,
+        session_capacity,
+        holder,
+    )
+
+    def next_state() -> Optional[ContinuationState]:
+        if "cont" not in holder:
+            raise RuntimeError(
+                "stream_generate_session: drain the block iterator before "
+                "reading the continuation state"
             )
-            pcm, stream_state = _stream_decode_segment(
-                model.params, model.config.mimi, stream_state, frames, n
+        return holder["cont"]
+
+    return blocks, next_state
+
+
+def _stream_session_blocks(
+    runtime,
+    tokens,
+    cfg: GenerateConfig,
+    cont: Optional[ContinuationState],
+    segment_frames: int,
+    max_segment_frames: int,
+    session_capacity: int,
+    holder: Dict,
+) -> Iterator[np.ndarray]:
+    """Session variant of :func:`stream_generate`: capacity/reset bookkeeping
+    mirrors ``TPURuntime.generate_audio_session`` exactly (same
+    ``_embed_prefill`` program and session-capacity cache, so chunk programs
+    are shared between the streamed and plain session paths)."""
+    import logging
+
+    model = runtime.model
+    flow = model.params["flow_lm"]
+    flow_cfg = model.config.flow_lm
+
+    if len(tokens) == 0:
+        raise ValueError("generate: token slice must not be empty")
+    if cfg.voice_embedding is not None and cfg.voice_model_state is not None:
+        raise ValueError(
+            "generate: voice embedding and voice model state are mutually exclusive"
+        )
+    max_steps = cfg.max_steps or cfg.estimated_max_steps or estimate_max_frames(
+        len(tokens)
+    )
+    decode_steps = max(cfg.lsd_decode_steps, 1)
+
+    tok_np = np.asarray(tokens, np.int32)
+    n_bins = flow["conditioner_embed"].shape[0]
+    if np.any(tok_np < 0) or np.any(tok_np >= n_bins):
+        raise ValueError(f"token id out of range [0,{n_bins})")
+    token_bucket = bk.pick_bucket(len(tok_np), bk.PROMPT_BUCKETS)
+    frame_budget = bk.pick_bucket(max_steps + 1, (runtime.frame_bucket, 512, 1024))
+
+    # Peak write index this chunk (see generate_audio_session): reset the
+    # session when the chunk won't fit in the carried cache.
+    chunk_extent = max(token_bucket, len(tok_np) + max_steps)
+    if cont is not None and cont.used_ub + chunk_extent > cont.capacity:
+        logging.getLogger("pockettts.runtime").info(
+            "continuity session full (%d + %d > %d): resetting",
+            cont.used_ub,
+            chunk_extent,
+            cont.capacity,
+        )
+        cont = None
+
+    with jax.default_matmul_precision(runtime.matmul_precision):
+        if cont is not None:
+            capacity = cont.capacity
+            voice_cache = cont.cache
+            voice_emb = None
+            used0 = cont.used_ub
+        else:
+            voice_emb = None
+            voice_len = 0
+            if cfg.voice_embedding is not None:
+                voice_emb = jnp.asarray(cfg.voice_embedding, runtime.dtype)
+                voice_len = voice_emb.shape[1]
+            voice_frames = 0
+            if cfg.voice_model_state is not None:
+                first = next(iter(cfg.voice_model_state.modules.values()))
+                voice_frames = int(np.asarray(first["offset"]).reshape(-1)[0])
+            capacity = max(
+                session_capacity or runtime.SESSION_CAPACITY,
+                bk.round_up(voice_frames + voice_len + token_bucket, 64)
+                + frame_budget,
             )
-            return pcm, n, carry["done"], steps
+            voice_cache = None
+            if cfg.voice_model_state is not None:
+                voice_cache = runtime._hydrate_voice_cache(
+                    cfg.voice_model_state, capacity
+                )
+            used0 = voice_frames + voice_len
 
-        def next_segment(seg: int) -> int:
-            return min(seg * 2, max_segment_frames, runtime.frame_bucket)
-
-        # One-deep pipeline: segment k+1 is dispatched before segment k's PCM
-        # is fetched, so the host↔device round-trip overlaps the next
-        # segment's compute. The speculative extra segment after EOS only
-        # touches state that is discarded.
-        seg = min(segment_frames, max_segment_frames)
-        pending = dispatch(seg, max_steps)
-        dispatched = pending[3]
-        emitted = 0
-        while True:
-            pcm, n_arr, done_arr, steps = pending
-            if dispatched < max_steps:
-                seg = next_segment(seg)
-                nxt = dispatch(seg, max_steps - dispatched)
-                dispatched += nxt[3]
-            else:
-                nxt = None
-            # One overlapped fetch (block + flags), host-side trim — a
-            # device-side [:n] slice would compile one program per distinct n.
-            pcm_np, n_arr, done_arr = jax.device_get((pcm, n_arr, done_arr))
-            n = int(n_arr[0])
-            done = bool(done_arr[0])
-            if n > 0:
-                emitted += n
-                # Block-granular progress (the reference fires per AR frame,
-                # `internal/tts/runtime.go:42`; per-frame host sync would
-                # serialize the TPU loop, so ≤16-frame segments are the
-                # finest free granularity — ≥1 callback per ~320 ms of audio
-                # for the first segments).
-                if cfg.step_callback is not None:
-                    cfg.step_callback(emitted, max_steps)
-                yield pcm_np[0, 0, : n * samples_per].astype(np.float32)
-            if done or n == 0 or nxt is None:
-                break
-            pending = nxt
+        tokens_padded = np.zeros((1, token_bucket), np.int32)
+        tokens_padded[0, : len(tok_np)] = tok_np
+        cache = _embed_prefill(
+            model.params,
+            flow_cfg,
+            jnp.asarray(tokens_padded),
+            jnp.int32(len(tok_np)),
+            capacity,
+            runtime.dtype,
+            voice_cache=voice_cache,
+            voice_emb=voice_emb,
+        )
+        cache, emitted = yield from _segment_loop(
+            runtime,
+            cfg,
+            cache,
+            max_steps,
+            decode_steps,
+            segment_frames,
+            max_segment_frames,
+            frame_budget,
+        )
+    holder["cont"] = ContinuationState(
+        cache=cache,
+        capacity=capacity,
+        used_ub=used0 + len(tok_np) + emitted,
+    )

@@ -424,19 +424,24 @@ class Service:
             and getattr(self.tts_cfg, "continuity", False)
             and hasattr(self.runtime, "stream_generate_session")
         ):
-            cont = None
-            for i, chunk in enumerate(chunks):
-                if cancel is not None and cancel():
-                    raise CancelledError("synthesis cancelled")
-                cfg = self._generate_config(chunk, deadline)
-                # Every chunk (see the non-streaming continuity loop above):
-                # an internal session reset must re-apply the voice.
-                conditioning.apply_to(cfg)
-                blocks, next_state = self.runtime.stream_generate_session(
-                    chunk.token_ids, cfg, cont
-                )
-                yield from _stream_pcm_chunks(blocks, i, i == len(chunks) - 1)
-                cont = next_state()
+            # The lock matters for the single-request TPURuntime (r4: it
+            # grew stream_generate_session too); it is a nullcontext for
+            # the concurrency-native batcher.
+            with self._lock:
+                cont = None
+                for i, chunk in enumerate(chunks):
+                    if cancel is not None and cancel():
+                        raise CancelledError("synthesis cancelled")
+                    cfg = self._generate_config(chunk, deadline)
+                    # Every chunk (see the non-streaming continuity loop
+                    # above): an internal session reset must re-apply the
+                    # voice.
+                    conditioning.apply_to(cfg)
+                    blocks, next_state = self.runtime.stream_generate_session(
+                        chunk.token_ids, cfg, cont
+                    )
+                    yield from _stream_pcm_chunks(blocks, i, i == len(chunks) - 1)
+                    cont = next_state()
             return
 
         for i, chunk in enumerate(chunks):
@@ -510,6 +515,37 @@ class Service:
             with self._lock:
                 gen([0] * n, cfg)
             log.info("prewarmed bucket for %d tokens", n)
+        # Continuity programs (plain + streamed sessions): a cold compile
+        # mid-traffic stalls ~2-3 s through a remote-compile tunnel.
+        if getattr(self.tts_cfg, "continuity", False) and hasattr(
+            self.runtime, "generate_audio_session"
+        ):
+            cfg = self._generate_config(
+                ChunkMetadata(text="", token_ids=[0, 0, 0], num_tokens=3, num_words=3)
+            )
+            cfg.max_steps = 2
+            cfg.eos_threshold = 1e9  # pin the step count during warmup
+            with self._lock:
+                _pcm, cont = self.runtime.generate_audio_session([0, 0, 0], cfg, None)
+                if cont is not None:
+                    _pcm, cont = self.runtime.generate_audio_session(
+                        [0, 0, 0], cfg, cont
+                    )
+                if hasattr(self.runtime, "stream_generate_session"):
+                    # 4+8+16 = compile every adaptive segment variant at the
+                    # session capacity, fresh and carried.
+                    cfg.max_steps = 28
+                    blocks, next_state = self.runtime.stream_generate_session(
+                        [0, 0, 0], cfg, None
+                    )
+                    for _ in blocks:
+                        pass
+                    blocks, _ = self.runtime.stream_generate_session(
+                        [0, 0, 0], cfg, next_state()
+                    )
+                    for _ in blocks:
+                        pass
+            log.info("prewarmed continuity session path")
 
     def close(self) -> None:
         close = getattr(self.runtime, "close", None)

@@ -155,6 +155,108 @@ def test_stream_generate_eos_stops_early(model):
     assert total == 4 * 1920  # EOS frame + 3
 
 
+def test_stream_session_matches_plain_session_temp0(model):
+    """VERDICT r3 #5 acceptance: streamed-with-continuity PCM == plain
+    session PCM at temperature 0, chunk by chunk (same prefill program and
+    AR math; the block decoder is sample-exact)."""
+    from go_pocket_tts_tpu.runtime.streaming import stream_generate_session
+
+    cfg = GenerateConfig(temperature=0.0, eos_threshold=1e9, max_steps=10)
+    chunks = [[5, 9, 2], [7, 1, 4], [3, 8, 15]]
+
+    rt_plain = TPURuntime(model, seed=11, frame_bucket=64)
+    plain_parts, cont = [], None
+    for c in chunks:
+        pcm, cont = rt_plain.generate_audio_session(c, cfg, cont)
+        plain_parts.append(pcm)
+
+    rt_stream = TPURuntime(model, seed=11, frame_bucket=64)
+    cont = None
+    for i, c in enumerate(chunks):
+        blocks, next_state = stream_generate_session(rt_stream, c, cfg, cont)
+        streamed = np.concatenate(list(blocks))
+        cont = next_state()
+        assert len(streamed) == len(plain_parts[i])
+        np.testing.assert_allclose(streamed, plain_parts[i], atol=3e-4, rtol=1e-3)
+    assert cont.used_ub == sum(len(c) + 10 for c in chunks)
+
+
+def test_stream_session_state_conditions_later_chunks(model):
+    """The carried KV must actually condition the streamed second chunk."""
+    from go_pocket_tts_tpu.runtime.streaming import stream_generate_session
+
+    cfg = GenerateConfig(temperature=0.0, eos_threshold=1e9, max_steps=4)
+    rt = TPURuntime(model, seed=11, frame_bucket=64)
+    blocks, next_state = stream_generate_session(rt, [5, 9, 2], cfg, None)
+    list(blocks)
+    cont = next_state()
+    blocks, _ = stream_generate_session(rt, [7, 1, 4], cfg, cont)
+    with_state = np.concatenate(list(blocks))
+    blocks, _ = stream_generate_session(rt, [7, 1, 4], cfg, None)
+    fresh = np.concatenate(list(blocks))
+    assert with_state.shape == fresh.shape
+    assert not np.allclose(with_state, fresh, atol=1e-5)
+
+
+def test_stream_session_resets_when_full(model):
+    """Capacity bookkeeping mirrors the plain session: a chunk that cannot
+    fit restarts the session instead of wrapping write indices."""
+    from go_pocket_tts_tpu.runtime.streaming import stream_generate_session
+
+    cfg = GenerateConfig(temperature=0.7, eos_threshold=1e9, max_steps=4)
+    rt = TPURuntime(model, seed=11, frame_bucket=64)
+    cont, seen = None, []
+    for _ in range(8):
+        blocks, next_state = stream_generate_session(
+            rt, [5, 9, 2], cfg, cont, session_capacity=128
+        )
+        total = sum(len(b) for b in blocks)
+        cont = next_state()
+        seen.append(cont.used_ub)
+        assert total == 4 * 1920
+        assert cont.used_ub <= cont.capacity
+    assert min(seen) < max(seen)  # grew, then reset at least once
+
+
+def test_stream_session_next_state_requires_drain(model):
+    from go_pocket_tts_tpu.runtime.streaming import stream_generate_session
+
+    cfg = GenerateConfig(temperature=0.0, eos_threshold=1e9, max_steps=4)
+    rt = TPURuntime(model, seed=11, frame_bucket=64)
+    _blocks, next_state = stream_generate_session(rt, [5, 9, 2], cfg, None)
+    with pytest.raises(RuntimeError, match="drain"):
+        next_state()
+
+
+def test_service_streaming_continuity_single_request(model):
+    """`/tts/stream` + continuity at batch_slots=0: the Service routes
+    through TPURuntime.stream_generate_session and the audio matches the
+    non-streaming continuity path at temperature 0 (VERDICT r3 weak #5)."""
+    from go_pocket_tts_tpu.config import TTSConfig
+    from go_pocket_tts_tpu.tts.service import Service
+
+    class _Tok:
+        def encode(self, s):
+            return [3] * len(s.split())
+
+    text = "one two three. four five six. seven eight nine."
+    tcfg = TTSConfig(temperature=0.0, eos_threshold=1e9, max_steps=6, continuity=True)
+    # max_steps equals the default-override rule: mark as user-set.
+    tcfg.max_steps_user_set = True
+
+    svc_plain = Service(TPURuntime(model, seed=11, frame_bucket=64), _Tok(), tcfg)
+    plain = np.concatenate(
+        [c.samples for c in svc_plain.synthesize_stream(text)]
+    )
+
+    svc_stream = Service(TPURuntime(model, seed=11, frame_bucket=64), _Tok(), tcfg)
+    chunks = list(svc_stream.synthesize_stream(text, frame_streaming=True))
+    streamed = np.concatenate([c.samples for c in chunks])
+    assert chunks[-1].final
+    assert len(streamed) == len(plain)
+    np.testing.assert_allclose(streamed, plain, atol=3e-4, rtol=1e-3)
+
+
 def test_service_frame_streaming(model):
     from go_pocket_tts_tpu.config import TTSConfig
     from go_pocket_tts_tpu.tts.service import Service
