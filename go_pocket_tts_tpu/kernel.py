@@ -86,7 +86,8 @@ class PocketTTSKernel:
         final call is always ``(total, total)``.
 
         ``continuity=True`` carries the flow-LM KV state across text chunks
-        (long-form prosody; per-chunk progress granularity on this path)."""
+        (long-form prosody); progress keeps block granularity there too via
+        the session-aware frame streamer (r4)."""
         self._require_loaded()
         voice_emb = voice_state = None
         if voice:
@@ -117,14 +118,29 @@ class PocketTTSKernel:
                     voice_embedding=voice_emb,
                     voice_model_state=voice_state,
                 )
-                pcm, cont = self._runtime.generate_audio_session(
+                if progress is None:
+                    pcm, cont = self._runtime.generate_audio_session(
+                        chunk.token_ids, cfg, cont
+                    )
+                    parts.append(pcm)
+                    done += len(pcm) // samples_per
+                    continue
+                # Session-aware frame streaming: block-granular progress with
+                # carried prosody (blocks concatenate to the session audio).
+                blocks, next_state = self._runtime.stream_generate_session(
                     chunk.token_ids, cfg, cont
                 )
-                parts.append(pcm)
-                done += len(pcm) // samples_per
-                if progress is not None:
-                    total_est = done + sum(estimates[i + 1 :])
-                    progress(done, total_est)
+                chunk_frames = 0
+                for block in blocks:
+                    parts.append(block)
+                    chunk_frames += len(block) // samples_per
+                    remaining = max(estimates[i] - chunk_frames, 0)
+                    progress(
+                        done + chunk_frames,
+                        done + chunk_frames + remaining + sum(estimates[i + 1 :]),
+                    )
+                cont = next_state()
+                done += chunk_frames
             if progress is not None:
                 progress(done, done)
             pcm_all = np.concatenate(parts) if parts else np.zeros(0, np.float32)

@@ -84,12 +84,32 @@ def test_kernel_continuity(model_bytes):
     assert progress[-1] == (n_frames, n_frames)
     dones = [d for d, _t in progress]
     assert dones == sorted(dones)
+    # r4: progress stays block-granular WITH continuity (the session-aware
+    # frame streamer) — strictly more events than the per-chunk count.
+    from go_pocket_tts_tpu.text import prepare_chunks
+
+    n_chunks = len(prepare_chunks(kernel.normalize(text), kernel._tokenizer))
+    assert n_chunks >= 2
+    assert len(progress) > n_chunks + 1
 
     plain = kernel.synthesize(text, eos_threshold=1e9, temperature=0.0)
     plain_samples, _ = wav.decode_wav(plain)
     assert len(plain_samples) == len(samples)
     # later chunks must be conditioned differently by the carried state
     assert not np.allclose(samples, plain_samples, atol=1e-5)
+
+    # The streamed session (progress path) and the plain session (no
+    # progress) must be the same audio at temperature 0 — the progress
+    # callback must not change what the user hears (block decoder is
+    # sample-exact up to f32->int16 rounding of ~2e-4 decode tolerance).
+    kernel2 = PocketTTSKernel(seed=3)
+    kernel2.load_model(model_bytes, _tokenizer_bytes())
+    data_noprog = kernel2.synthesize(
+        text, eos_threshold=1e9, temperature=0.0, continuity=True
+    )
+    samples_noprog, _ = wav.decode_wav(data_noprog)
+    assert len(samples_noprog) == len(samples)
+    np.testing.assert_allclose(samples, samples_noprog, atol=5e-4)
 
 
 def test_kernel_voice_bytes(model_bytes):
