@@ -285,7 +285,15 @@ def apply_serving_autotune(cfg: Config) -> List[str]:
         return changes
     user = cfg.user_set
 
-    if "runtime.quantize" not in user and not cfg.runtime.quantize:
+    # Only the 8-bit width is hardware-measured (PERF.md); a user-set
+    # quantize_bits (e.g. 4) opts weight quantization out of autotune so we
+    # never silently enable the unmeasured INT4 path.
+    if (
+        "runtime.quantize" not in user
+        and "runtime.quantize_bits" not in user
+        and not cfg.runtime.quantize
+        and cfg.runtime.quantize_bits == 8
+    ):
         cfg.runtime.quantize = True
         changes.append("runtime.quantize=true (int8 weights)")
     if (

@@ -530,29 +530,29 @@ class TPURuntime:
     # context near 1k); a filled session resets rather than degrade.
     SESSION_CAPACITY = 1024
 
-    def generate_audio_session(
+    def _session_setup(
         self,
         tokens,
         cfg: GenerateConfig,
-        cont: Optional[ContinuationState] = None,
-        session_capacity: int = 0,
-    ) -> Tuple[np.ndarray, ContinuationState]:
-        """Synthesize one chunk, carrying KV state across calls.
+        cont: Optional[ContinuationState],
+        session_capacity: int,
+    ):
+        """Shared per-chunk session setup: validation, capacity/reset
+        bookkeeping, voice hydration, and the prefill program.
 
-        Pass the returned :class:`ContinuationState` as ``cont`` for the next
-        chunk: its text is appended to the live cache (after the previous
-        chunk's frames) and generation continues with full attention over the
-        session history — prosody flows through chunk boundaries instead of
-        resetting (an upstream deviation the reference cannot express; its
-        per-chunk loop is `service.go:137-152`).
-
-        Voice conditioning applies on the first chunk only; continued chunks
-        inherit it through the carried cache. When the next chunk cannot fit
-        in the session cache, the session resets transparently (prosody
-        reset every ~1k positions ≈ 80 s of audio).
+        Used by both :meth:`generate_audio_session` and the streamed
+        `_stream_session_blocks` so their bookkeeping cannot drift — the
+        temp-0 sample-exactness of streamed vs plain sessions depends on the
+        two paths running identical prefill programs. Returns
+        ``(cache, capacity, used0, max_steps, decode_steps, frame_bucket,
+        n_tokens)``.
         """
         if len(tokens) == 0:
             raise ValueError("generate: token slice must not be empty")
+        if cfg.voice_embedding is not None and cfg.voice_model_state is not None:
+            raise ValueError(
+                "generate: voice embedding and voice model state are mutually exclusive"
+            )
         max_steps = cfg.max_steps or cfg.estimated_max_steps or estimate_max_frames(
             len(tokens)
         )
@@ -619,6 +619,42 @@ class TPURuntime:
                 voice_cache=voice_cache,
                 voice_emb=voice_emb,
             )
+        return cache, capacity, used0, max_steps, decode_steps, frame_bucket, len(tok_np)
+
+    def generate_audio_session(
+        self,
+        tokens,
+        cfg: GenerateConfig,
+        cont: Optional[ContinuationState] = None,
+        session_capacity: int = 0,
+    ) -> Tuple[np.ndarray, ContinuationState]:
+        """Synthesize one chunk, carrying KV state across calls.
+
+        Pass the returned :class:`ContinuationState` as ``cont`` for the next
+        chunk: its text is appended to the live cache (after the previous
+        chunk's frames) and generation continues with full attention over the
+        session history — prosody flows through chunk boundaries instead of
+        resetting (an upstream deviation the reference cannot express; its
+        per-chunk loop is `service.go:137-152`).
+
+        Voice conditioning applies on the first chunk only; continued chunks
+        inherit it through the carried cache. When the next chunk cannot fit
+        in the session cache, the session resets transparently (prosody
+        reset every ~1k positions ≈ 80 s of audio).
+        """
+        (
+            cache,
+            capacity,
+            used0,
+            max_steps,
+            decode_steps,
+            frame_bucket,
+            n_tokens,
+        ) = self._session_setup(tokens, cfg, cont, session_capacity)
+        flow_cfg = self.model.config.flow_lm
+        flow = self.model.params["flow_lm"]
+
+        with jax.default_matmul_precision(self.matmul_precision):
             frames, n_frames, carry = _ar_loop(
                 flow,
                 flow_cfg,
@@ -647,7 +683,7 @@ class TPURuntime:
         new_cont = ContinuationState(
             cache=carry["cache"],
             capacity=capacity,
-            used_ub=used0 + len(tok_np) + n,
+            used_ub=used0 + n_tokens + n,
         )
         return audio, new_cont
 

@@ -28,7 +28,6 @@ from go_pocket_tts_tpu.runtime.generate import (
     ContinuationState,
     GenerateConfig,
     _ar_loop_body,
-    _embed_prefill,
     _prefill,
 )
 from go_pocket_tts_tpu.text import estimate_max_frames
@@ -337,86 +336,22 @@ def _stream_session_blocks(
     session_capacity: int,
     holder: Dict,
 ) -> Iterator[np.ndarray]:
-    """Session variant of :func:`stream_generate`: capacity/reset bookkeeping
-    mirrors ``TPURuntime.generate_audio_session`` exactly (same
-    ``_embed_prefill`` program and session-capacity cache, so chunk programs
-    are shared between the streamed and plain session paths)."""
-    import logging
-
-    model = runtime.model
-    flow = model.params["flow_lm"]
-    flow_cfg = model.config.flow_lm
-
-    if len(tokens) == 0:
-        raise ValueError("generate: token slice must not be empty")
-    if cfg.voice_embedding is not None and cfg.voice_model_state is not None:
-        raise ValueError(
-            "generate: voice embedding and voice model state are mutually exclusive"
-        )
-    max_steps = cfg.max_steps or cfg.estimated_max_steps or estimate_max_frames(
-        len(tokens)
-    )
-    decode_steps = max(cfg.lsd_decode_steps, 1)
-
-    tok_np = np.asarray(tokens, np.int32)
-    n_bins = flow["conditioner_embed"].shape[0]
-    if np.any(tok_np < 0) or np.any(tok_np >= n_bins):
-        raise ValueError(f"token id out of range [0,{n_bins})")
-    token_bucket = bk.pick_bucket(len(tok_np), bk.PROMPT_BUCKETS)
-    frame_budget = bk.pick_bucket(max_steps + 1, (runtime.frame_bucket, 512, 1024))
-
-    # Peak write index this chunk (see generate_audio_session): reset the
-    # session when the chunk won't fit in the carried cache.
-    chunk_extent = max(token_bucket, len(tok_np) + max_steps)
-    if cont is not None and cont.used_ub + chunk_extent > cont.capacity:
-        logging.getLogger("pockettts.runtime").info(
-            "continuity session full (%d + %d > %d): resetting",
-            cont.used_ub,
-            chunk_extent,
-            cont.capacity,
-        )
-        cont = None
+    """Session variant of :func:`stream_generate`: setup is shared with
+    ``TPURuntime.generate_audio_session`` via ``runtime._session_setup``
+    (same ``_embed_prefill`` program and session-capacity cache, so chunk
+    programs — and the bookkeeping — cannot drift between the streamed and
+    plain session paths)."""
+    (
+        cache,
+        capacity,
+        used0,
+        max_steps,
+        decode_steps,
+        frame_budget,
+        n_tokens,
+    ) = runtime._session_setup(tokens, cfg, cont, session_capacity)
 
     with jax.default_matmul_precision(runtime.matmul_precision):
-        if cont is not None:
-            capacity = cont.capacity
-            voice_cache = cont.cache
-            voice_emb = None
-            used0 = cont.used_ub
-        else:
-            voice_emb = None
-            voice_len = 0
-            if cfg.voice_embedding is not None:
-                voice_emb = jnp.asarray(cfg.voice_embedding, runtime.dtype)
-                voice_len = voice_emb.shape[1]
-            voice_frames = 0
-            if cfg.voice_model_state is not None:
-                first = next(iter(cfg.voice_model_state.modules.values()))
-                voice_frames = int(np.asarray(first["offset"]).reshape(-1)[0])
-            capacity = max(
-                session_capacity or runtime.SESSION_CAPACITY,
-                bk.round_up(voice_frames + voice_len + token_bucket, 64)
-                + frame_budget,
-            )
-            voice_cache = None
-            if cfg.voice_model_state is not None:
-                voice_cache = runtime._hydrate_voice_cache(
-                    cfg.voice_model_state, capacity
-                )
-            used0 = voice_frames + voice_len
-
-        tokens_padded = np.zeros((1, token_bucket), np.int32)
-        tokens_padded[0, : len(tok_np)] = tok_np
-        cache = _embed_prefill(
-            model.params,
-            flow_cfg,
-            jnp.asarray(tokens_padded),
-            jnp.int32(len(tok_np)),
-            capacity,
-            runtime.dtype,
-            voice_cache=voice_cache,
-            voice_emb=voice_emb,
-        )
         cache, emitted = yield from _segment_loop(
             runtime,
             cfg,
@@ -430,5 +365,5 @@ def _stream_session_blocks(
     holder["cont"] = ContinuationState(
         cache=cache,
         capacity=capacity,
-        used_ub=used0 + len(tok_np) + emitted,
+        used_ub=used0 + n_tokens + emitted,
     )

@@ -144,9 +144,23 @@ class _Stats:
         return "\n".join(lines) + "\n"
 
 
-# One latent frame = 80 ms of 24 kHz audio (Mimi timing; fixed by the model
-# family the same way the 24 kHz sample rate is).
-_SAMPLES_PER_FRAME = 1920
+# Fallback when the service exposes no model config: one latent frame =
+# 80 ms of 24 kHz audio (stock Mimi timing).
+_DEFAULT_SAMPLES_PER_FRAME = 1920
+
+
+def _is_timeout(exc: BaseException) -> bool:
+    """True for the exception shapes the engines raise on deadline expiry:
+    TimeoutError, a CancelledError (concurrent.futures or the Service's
+    own), or message-level 'cancelled'/'deadline' surfaced from a runtime.
+    Shared by all three synthesis handlers so the 504/500 split can't
+    diverge per endpoint."""
+    return (
+        isinstance(exc, TimeoutError)
+        or type(exc).__name__ == "CancelledError"
+        or "cancelled" in str(exc).lower()
+        or "deadline" in str(exc).lower()
+    )
 
 
 def _sse_event(event: str, obj) -> bytes:
@@ -169,6 +183,10 @@ def make_handler(
     pool = _WorkerPool(workers)
     stats = _Stats()
     accepts_deadline = _accepts_deadline(service)
+    try:
+        samples_per_frame = int(service.runtime.model.config.mimi.samples_per_latent)
+    except (AttributeError, TypeError, ValueError):
+        samples_per_frame = _DEFAULT_SAMPLES_PER_FRAME
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -299,6 +317,46 @@ def make_handler(
             else:
                 self._error(404, "not found")
 
+        def _collect_pcm(
+            self, text, voice_path, deadline, frame_streaming=False, on_block=None
+        ) -> np.ndarray:
+            """Run the synthesis stream to completion → one PCM array.
+
+            The deadline is also handed to the Service, which clamps each
+            chunk's max_steps to the remaining budget — on-device programs
+            can't be aborted mid-run, so this is what makes a 504 fire on
+            time even for single-chunk requests. ``on_block(nsamples)``
+            fires after each PCM block for progress reporting.
+            """
+            samples: List[np.ndarray] = []
+            nsamples = 0
+            stream_kwargs = {}
+            if frame_streaming and getattr(service, "supports_frame_streaming", False):
+                stream_kwargs["frame_streaming"] = True
+            if accepts_deadline:
+                stream_kwargs["deadline"] = deadline
+            for chunk in service.synthesize_stream(
+                text,
+                voice_path,
+                cancel=lambda: time.monotonic() > deadline,
+                **stream_kwargs,
+            ):
+                samples.append(chunk.samples)
+                nsamples += len(chunk.samples)
+                if on_block is not None:
+                    on_block(nsamples)
+                if time.monotonic() > deadline:
+                    raise TimeoutError
+            return np.concatenate(samples) if samples else np.zeros(0, np.float32)
+
+        @staticmethod
+        def _encode_body(pcm: np.ndarray, fmt: str) -> bytes:
+            if fmt == "flac":
+                from go_pocket_tts_tpu.utils.flac import encode_flac
+
+                return encode_flac(pcm)
+            return wav.encode_wav(pcm)
+
         def _handle_tts(self):
             parsed = self._read_tts_request()
             if parsed is None:
@@ -316,36 +374,10 @@ def make_handler(
             stats.enter()
             start = time.monotonic()
             try:
-                deadline = start + request_timeout
-                samples: List[np.ndarray] = []
-                # The deadline is also handed to the Service, which clamps
-                # each chunk's max_steps to the remaining budget — on-device
-                # programs can't be aborted mid-run, so this is what makes a
-                # 504 fire on time even for single-chunk requests.
-                kwargs = {"deadline": deadline} if accepts_deadline else {}
-                for chunk in service.synthesize_stream(
-                    text, voice_path, cancel=lambda: time.monotonic() > deadline, **kwargs
-                ):
-                    samples.append(chunk.samples)
-                    if time.monotonic() > deadline:
-                        raise TimeoutError
-                pcm = np.concatenate(samples) if samples else np.zeros(0, np.float32)
-                if fmt == "flac":
-                    from go_pocket_tts_tpu.utils.flac import encode_flac
-
-                    body = encode_flac(pcm)
-                else:
-                    body = wav.encode_wav(pcm)
-            except TimeoutError:
-                stats.count("timeout_504_total")
-                self._error(504, "synthesis timed out")
-                return
+                pcm = self._collect_pcm(text, voice_path, start + request_timeout)
+                body = self._encode_body(pcm, fmt)
             except Exception as exc:  # noqa: BLE001 - surface as 500 like the reference
-                if (
-                    "cancelled" in str(exc).lower()
-                    or "deadline" in str(exc).lower()
-                    or type(exc).__name__ == "CancelledError"
-                ):
+                if _is_timeout(exc):
                     stats.count("timeout_504_total")
                     self._error(504, "synthesis timed out")
                     return
@@ -398,22 +430,15 @@ def make_handler(
             wrote_header = False
             try:
                 deadline = start + request_timeout
-                # Best-effort total-frame estimate for the progress bar; the
+                # Best-effort total-frame estimate for the progress bar (the
+                # Service computes it with its own chunker + frame rate, so
+                # it agrees with the per-chunk estimated_max_steps); the
                 # final audio event is the ground truth.
                 frames_total = 0
                 try:
-                    from go_pocket_tts_tpu.text import (
-                        estimate_max_frames,
-                        prepare_chunks,
-                    )
-                    from go_pocket_tts_tpu.tts.service import MAX_TOKENS_PER_CHUNK
-
-                    tok = getattr(service, "tokenizer", None)
-                    if tok is not None:
-                        frames_total = sum(
-                            estimate_max_frames(c.num_tokens)
-                            for c in prepare_chunks(text, tok, MAX_TOKENS_PER_CHUNK)
-                        )
+                    estimator = getattr(service, "estimate_total_frames", None)
+                    if estimator is not None:
+                        frames_total = estimator(text)
                 except Exception:  # noqa: BLE001 - estimate only
                     frames_total = 0
 
@@ -424,22 +449,8 @@ def make_handler(
                 self.end_headers()
                 wrote_header = True
 
-                samples: List[np.ndarray] = []
-                nsamples = 0
-                stream_kwargs = {}
-                if getattr(service, "supports_frame_streaming", False):
-                    stream_kwargs["frame_streaming"] = True
-                if accepts_deadline:
-                    stream_kwargs["deadline"] = deadline
-                for chunk in service.synthesize_stream(
-                    text,
-                    voice_path,
-                    cancel=lambda: time.monotonic() > deadline,
-                    **stream_kwargs,
-                ):
-                    samples.append(chunk.samples)
-                    nsamples += len(chunk.samples)
-                    done = nsamples // _SAMPLES_PER_FRAME
+                def emit_progress(nsamples: int) -> None:
+                    done = nsamples // samples_per_frame
                     self._write_chunk(
                         _sse_event(
                             "progress",
@@ -450,15 +461,15 @@ def make_handler(
                             },
                         )
                     )
-                    if time.monotonic() > deadline:
-                        raise TimeoutError
-                pcm = np.concatenate(samples) if samples else np.zeros(0, np.float32)
-                if fmt == "flac":
-                    from go_pocket_tts_tpu.utils.flac import encode_flac
 
-                    body = encode_flac(pcm)
-                else:
-                    body = wav.encode_wav(pcm)
+                pcm = self._collect_pcm(
+                    text,
+                    voice_path,
+                    deadline,
+                    frame_streaming=True,
+                    on_block=emit_progress,
+                )
+                body = self._encode_body(pcm, fmt)
                 self._write_chunk(
                     _sse_event(
                         "audio",
@@ -480,12 +491,7 @@ def make_handler(
                     len(body),
                 )
             except Exception as exc:  # noqa: BLE001
-                timed_out = (
-                    "cancelled" in str(exc).lower()
-                    or "deadline" in str(exc).lower()
-                    or type(exc).__name__ == "CancelledError"
-                    or isinstance(exc, TimeoutError)
-                )
+                timed_out = _is_timeout(exc)
                 status = 504 if timed_out else 500
                 msg = "synthesis timed out" if timed_out else str(exc)
                 stats.count("timeout_504_total" if timed_out else "error_total")
@@ -567,12 +573,7 @@ def make_handler(
                     total,
                 )
             except Exception as exc:  # noqa: BLE001
-                timed_out = (
-                    "cancelled" in str(exc).lower()
-                    or "deadline" in str(exc).lower()
-                    or type(exc).__name__ == "CancelledError"
-                    or isinstance(exc, TimeoutError)
-                )
+                timed_out = _is_timeout(exc)
                 if not wrote_header:
                     if timed_out:
                         stats.count("timeout_504_total")

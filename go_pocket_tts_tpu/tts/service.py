@@ -305,6 +305,25 @@ class Service:
             or [np.zeros(0, np.float32)]
         )
 
+    def estimate_total_frames(self, input_text: str) -> int:
+        """Best-effort total-frame estimate for a request (progress bars).
+
+        Uses the same chunker and the runtime's own frame rate
+        (``mimi_timing``), so the estimate is consistent with the per-chunk
+        ``estimated_max_steps`` the generation path computes — callers must
+        not re-derive this with a default frame rate.
+        """
+        if self.tokenizer is None or self.runtime is None:
+            return 0
+        try:
+            frame_rate, _enc, _steps = self.runtime.mimi_timing()
+        except AttributeError:
+            frame_rate = 0.0  # estimate_max_frames falls back to its default
+        return sum(
+            estimate_max_frames(c.num_tokens, frame_rate)
+            for c in prepare_chunks(input_text, self.tokenizer, MAX_TOKENS_PER_CHUNK)
+        )
+
     @property
     def supports_frame_streaming(self) -> bool:
         return isinstance(self.runtime, TPURuntime) or hasattr(

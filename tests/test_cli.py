@@ -84,6 +84,43 @@ def test_serving_autotune_respects_explicit_flags():
     assert cfg.runtime.steps_per_sync_burst == cfgmod.AUTOTUNE_BURST_STEPS
 
 
+def test_serving_autotune_never_silently_enables_int4():
+    # --runtime-quantize-bits 4 with quantize unset must keep serving bf16:
+    # autotune only knows the measured int8 width, and flipping quantize on
+    # here would silently switch the server to the unmeasured INT4 path
+    # while the log claims "int8 weights".
+    parser = build_parser()
+    cfg = cfgmod.load_config(
+        parser.parse_args(
+            ["doctor", "--runtime-batch-slots", "8", "--runtime-quantize-bits", "4"]
+        )
+    )
+    changes = cfgmod.apply_serving_autotune(cfg)
+    assert cfg.runtime.quantize is False
+    assert cfg.runtime.kv_quantize is False
+    assert cfg.runtime.steps_per_sync_burst == cfgmod.AUTOTUNE_BURST_STEPS
+    assert all("quantize=true" not in c for c in changes)
+
+    # Explicit int4 weights (quantize set by the user) still get int8 KV —
+    # the KV cache width is independent of the weight width.
+    cfg = cfgmod.load_config(
+        parser.parse_args(
+            [
+                "doctor",
+                "--runtime-batch-slots",
+                "8",
+                "--runtime-quantize",
+                "true",
+                "--runtime-quantize-bits",
+                "4",
+            ]
+        )
+    )
+    cfgmod.apply_serving_autotune(cfg)
+    assert cfg.runtime.quantize_bits == 4
+    assert cfg.runtime.kv_quantize is True
+
+
 def test_serving_autotune_respects_env_and_off_switch(monkeypatch):
     monkeypatch.setenv("POCKETTTS_RUNTIME_STEPS_PER_SYNC_BURST", "0")
     parser = build_parser()
