@@ -320,11 +320,22 @@ def cmd_model_export(args) -> int:
     framework's alternate backend consumes the same safetensors, so the
     export here covers the remaining artifact operations: re-encode the
     checkpoint, optionally stripping the voice-cloning weights (producing the
-    `without-voice-cloning` variant).
+    `without-voice-cloning` variant), and pre-quantized serving checkpoints
+    (`--quantize int8|int4` — the INT8-artifact analogue of the reference's
+    dynamic-quantized ONNX export, `scripts/export_onnx.py:55-300`).
     """
     cfg = load_config(args)
     _setup_logging(cfg.log_level)
     from go_pocket_tts_tpu.utils.safetensors import open_store, write_file
+
+    quantize = getattr(args, "quantize", "")
+    if quantize:
+        # The quantized-linear set is derived by recording a real model load
+        # (host-side); pin CPU so the export tool never touches the device.
+        if not os.environ.get("POCKETTTS_PLATFORM"):
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
 
     store = open_store(cfg.paths.model_path)
     strip_prefixes = (
@@ -333,13 +344,33 @@ def cmd_model_export(args) -> int:
         if args.strip_voice_cloning
         else ()
     )
-    tensors = {
-        name: store.tensor(name)
+    keep = [
+        name
         for name in store.names()
         if not strip_prefixes or not name.startswith(strip_prefixes)
-    }
-    write_file(args.output, tensors)
-    print(json.dumps({"output": args.output, "tensors": len(tensors)}))
+    ]
+    result = {"output": args.output}
+    if quantize:
+        from go_pocket_tts_tpu.model_assets.quantize_export import (
+            QUANT_METADATA_KEY,
+            build_quantized_checkpoint,
+        )
+
+        bits = {"int8": 8, "int4": 4}[quantize]
+        tensors, metadata, quantized = build_quantized_checkpoint(
+            store, bits, keep_names=keep
+        )
+        write_file(args.output, tensors, metadata=metadata)
+        result.update(
+            tensors=len(tensors),
+            quantized=len(quantized),
+            format=metadata[QUANT_METADATA_KEY],
+        )
+    else:
+        tensors = {name: store.tensor(name) for name in keep}
+        write_file(args.output, tensors, metadata=dict(store.metadata) or None)
+        result["tensors"] = len(tensors)
+    print(json.dumps(result))
     return 0
 
 
@@ -490,6 +521,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--strip-voice-cloning",
         action="store_true",
         help="Drop Mimi encoder / speaker projection weights",
+    )
+    p.add_argument(
+        "--quantize",
+        default="",
+        choices=("", "int8", "int4"),
+        help="Write linear weights pre-quantized (smaller artifact; loads "
+        "directly into the serving quantized form)",
     )
     p.set_defaults(fn=cmd_model_export)
 

@@ -9,13 +9,20 @@ the loader never hardcodes layer counts (`flow_transformer.go:482-511`).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+import contextlib
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from go_pocket_tts_tpu.utils.safetensors import Store
 
-__all__ = ["VarBuilder", "linear_params", "layer_norm_params"]
+__all__ = [
+    "VarBuilder",
+    "linear_params",
+    "layer_norm_params",
+    "record_linear_weight_names",
+]
 
 
 class VarBuilder:
@@ -54,6 +61,82 @@ class VarBuilder:
             return None
         return self.tensor(name)
 
+    def stored_dtype(self, name: str) -> str:
+        """The on-disk dtype string ("F32", "I8", "U8", ...)."""
+        return self._store.dtype(self.full_name(name))
+
+    def raw(self, name: str) -> np.ndarray:
+        """Decode without widening/casting (int8 stays int8)."""
+        return self._store.tensor(self.full_name(name))
+
+
+# When set (via record_linear_weight_names), every linear_params call appends
+# the full checkpoint name of its weight tensor. `model export --quantize`
+# uses this to derive the exact set of linears the runtime would quantize —
+# the loader itself is the ground truth, not a name heuristic.
+_LINEAR_NAMES_RECORDER: Optional[List[str]] = None
+
+
+@contextlib.contextmanager
+def record_linear_weight_names():
+    global _LINEAR_NAMES_RECORDER
+    prev = _LINEAR_NAMES_RECORDER
+    names: List[str] = []
+    _LINEAR_NAMES_RECORDER = names
+    try:
+        yield names
+    finally:
+        _LINEAR_NAMES_RECORDER = prev
+
+
+def _unpack_nibbles(packed: np.ndarray) -> np.ndarray:
+    """[out, in/2] uint8 → [out, in] int8 in [-8, 7] (little nibble first)."""
+    low = (packed & 0x0F).astype(np.int8)
+    high = (packed >> 4).astype(np.int8)
+    low = (low ^ 0x8) - 0x8  # sign-extend 4-bit two's complement
+    high = (high ^ 0x8) - 0x8
+    out = np.empty((packed.shape[0], packed.shape[1] * 2), dtype=np.int8)
+    out[:, 0::2] = low
+    out[:, 1::2] = high
+    return out
+
+
+def _prequantized_linear_params(
+    vb: VarBuilder, name: str, with_bias: bool
+) -> Dict[str, jnp.ndarray]:
+    """Load a pre-quantized linear written by ``model export --quantize``.
+
+    On-disk layout keeps the torch orientation (``weight`` [out, in]) so the
+    checkpoint stays name/shape-compatible with tooling; scales are stored in
+    the runtime orientation (int8: [out]; grouped int4: [G, out]) so no
+    transpose is needed for them. INT4 weights are packed two nibbles per
+    byte (U8 [out, in/2], little nibble = even input index).
+    """
+    stored = vb.stored_dtype(name + ".weight")
+    scale = np.asarray(vb.raw(name + ".weight_scale"), dtype=np.float32)
+    if stored == "U8":
+        vals = _unpack_nibbles(vb.raw(name + ".weight"))  # [out, in]
+        w = jnp.asarray(vals.T).astype(jnp.int4)
+    else:
+        w = jnp.asarray(vb.raw(name + ".weight").T)  # int8 [in, out]
+    out_dim = w.shape[1]
+    if scale.shape[-1] != out_dim:
+        raise ValueError(
+            f"linear {name!r}: scale shape {scale.shape} incompatible with "
+            f"out dim {out_dim}"
+        )
+    params: Dict[str, jnp.ndarray] = {"w": w, "scale": jnp.asarray(scale)}
+    if with_bias:
+        b = vb.tensor_maybe(name + ".bias")
+        if b is not None:
+            if b.shape != (out_dim,):
+                raise ValueError(
+                    f"linear {name!r} bias shape {b.shape} incompatible with "
+                    f"out dim {out_dim}"
+                )
+            params["b"] = b
+    return params
+
 
 def linear_params(vb: VarBuilder, name: str, with_bias: bool) -> Dict[str, jnp.ndarray]:
     """Load a torch-layout linear: weight ``[out, in]``, optional bias ``[out]``.
@@ -61,7 +144,16 @@ def linear_params(vb: VarBuilder, name: str, with_bias: bool) -> Dict[str, jnp.n
     Weights are stored **transposed** to ``[in, out]`` so the forward pass is
     a plain ``x @ w`` — the layout XLA prefers for feeding the MXU without an
     extra transpose fusion.
+
+    Pre-quantized checkpoints (``model export --quantize``) store the weight
+    as I8 (or nibble-packed U8 for int4) plus a ``.weight_scale`` companion;
+    those load directly into the quantized param form consumed by
+    :func:`apply_linear`, skipping load-time quantization entirely.
     """
+    if _LINEAR_NAMES_RECORDER is not None:
+        _LINEAR_NAMES_RECORDER.append(vb.full_name(name + ".weight"))
+    if vb.has(name + ".weight") and vb.stored_dtype(name + ".weight") in ("I8", "U8"):
+        return _prequantized_linear_params(vb, name, with_bias)
     w = vb.tensor(name + ".weight")
     if w.ndim != 2:
         raise ValueError(f"linear {name!r} weight must be rank-2, got {w.shape}")

@@ -5,7 +5,9 @@ Capability parity with the reference store (`internal/safetensors/store.go`,
 
 - format: ``[8-byte LE header length][JSON header][raw tensor data]``
 - supported dtypes on read: F32, F16 (incl. subnormals), BF16, I64
-  (`store.go:14-18`, `store.go:339-429`)
+  (`store.go:14-18`, `store.go:339-429`); plus I8/U8, which the reference
+  store never needs but this framework's pre-quantized serving checkpoints
+  use (``model export --quantize``, int8 weights / packed-nibble int4)
 - offset/shape validation against the payload (`store.go:140-200`)
 - optional ``key_mapper`` renaming with lenient/strict modes
   (`store.go:21-31,100-125`)
@@ -56,7 +58,7 @@ class SafetensorsError(ValueError):
 
 _MAX_HEADER_BYTES = 100 * 1024 * 1024  # sanity limit, matches reader.go:186
 
-_DTYPE_SIZES = {"F32": 4, "F16": 2, "BF16": 2, "I64": 8}
+_DTYPE_SIZES = {"F32": 4, "F16": 2, "BF16": 2, "I64": 8, "I8": 1, "U8": 1}
 
 # KeyMapper: name -> (mapped_name, keep)
 KeyMapper = Callable[[str], Tuple[str, bool]]
@@ -203,6 +205,10 @@ class Store:
             arr = _bf16_to_f32(raw, n)
         elif entry.dtype == "I64":
             arr = np.frombuffer(raw, dtype="<i8", count=n).copy()
+        elif entry.dtype == "I8":
+            arr = np.frombuffer(raw, dtype=np.int8, count=n).copy()
+        elif entry.dtype == "U8":
+            arr = np.frombuffer(raw, dtype=np.uint8, count=n).copy()
         else:  # pragma: no cover - guarded in _parse_entry
             raise SafetensorsError(f"unsupported dtype {entry.dtype!r}")
         return arr.reshape(entry.shape)
@@ -225,22 +231,33 @@ def open_store_from_bytes(data: bytes, **kwargs) -> Store:
 # -- writer ---------------------------------------------------------------
 
 
-def encode_tensors(tensors: Mapping[str, np.ndarray]) -> bytes:
+def encode_tensors(
+    tensors: Mapping[str, np.ndarray],
+    metadata: Optional[Mapping[str, str]] = None,
+) -> bytes:
     """Encode named tensors as a safetensors payload.
 
     Float inputs are stored as F32 (the reference writer is F32-only,
     `writer.go:14-98`); int64 inputs are stored as I64 so model-state voice
-    files round-trip.
+    files round-trip; int8/uint8 are stored as I8/U8 (pre-quantized serving
+    checkpoints). ``metadata`` becomes the standard ``__metadata__`` header
+    entry (string→string).
     """
     if not tensors:
         raise SafetensorsError("safetensors: no tensors to encode")
     header: Dict[str, dict] = {}
+    if metadata:
+        header["__metadata__"] = {str(k): str(v) for k, v in metadata.items()}
     blobs: List[bytes] = []
     offset = 0
     for name, arr in tensors.items():
         a = np.asarray(arr)
         if a.dtype == np.int64:
             dtype, blob = "I64", a.astype("<i8").tobytes(order="C")
+        elif a.dtype == np.int8:
+            dtype, blob = "I8", a.tobytes(order="C")
+        elif a.dtype == np.uint8:
+            dtype, blob = "U8", a.tobytes(order="C")
         else:
             dtype, blob = "F32", a.astype("<f4").tobytes(order="C")
         header[name] = {
@@ -254,8 +271,12 @@ def encode_tensors(tensors: Mapping[str, np.ndarray]) -> bytes:
     return struct.pack("<Q", len(header_bytes)) + header_bytes + b"".join(blobs)
 
 
-def write_file(path: str | os.PathLike, tensors: Mapping[str, np.ndarray]) -> None:
-    payload = encode_tensors(tensors)
+def write_file(
+    path: str | os.PathLike,
+    tensors: Mapping[str, np.ndarray],
+    metadata: Optional[Mapping[str, str]] = None,
+) -> None:
+    payload = encode_tensors(tensors, metadata=metadata)
     tmp = f"{path}.tmp"
     with open(tmp, "wb") as f:
         f.write(payload)

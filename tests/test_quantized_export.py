@@ -1,0 +1,177 @@
+"""Pre-quantized checkpoint export (`model export --quantize`).
+
+The contract under test: a pre-quantized artifact loads into EXACTLY the
+param tree that load-time quantization (`--runtime-quantize`) would build —
+leaf-for-leaf — so serving numerics are bit-identical and the artifact is
+just a faster/smaller way to ship the same model.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from go_pocket_tts_tpu.cli.main import main
+from go_pocket_tts_tpu.model_assets.quantize_export import (
+    QUANT_METADATA_KEY,
+    build_quantized_checkpoint,
+    linear_weight_names,
+    quantize_weight_np,
+)
+from go_pocket_tts_tpu.models import synthetic
+from go_pocket_tts_tpu.models.model import PocketTTSModel, load_model_from_store
+from go_pocket_tts_tpu.models.quantize import quantize_linear, quantize_model_params
+from go_pocket_tts_tpu.runtime import GenerateConfig, TPURuntime
+from go_pocket_tts_tpu.utils.safetensors import (
+    encode_tensors,
+    open_store,
+    open_store_from_bytes,
+    validate_model_keys,
+    write_file,
+)
+
+ARCH = synthetic.tiny_arch()
+
+
+def _f32_store():
+    return open_store_from_bytes(encode_tensors(synthetic.build_checkpoint(ARCH, seed=9)))
+
+
+def test_i8_u8_roundtrip_with_metadata():
+    t = {
+        "q": np.arange(-8, 8, dtype=np.int8).reshape(4, 4),
+        "p": np.arange(16, dtype=np.uint8).reshape(2, 8),
+        "f": np.linspace(-1, 1, 6, dtype=np.float32).reshape(2, 3),
+    }
+    data = encode_tensors(t, metadata={"pockettts.quantize": "int8"})
+    store = open_store_from_bytes(data)
+    assert store.dtype("q") == "I8" and store.dtype("p") == "U8"
+    np.testing.assert_array_equal(store.tensor("q"), t["q"])
+    np.testing.assert_array_equal(store.tensor("p"), t["p"])
+    assert store.tensor("q").dtype == np.int8
+    assert store.tensor("p").dtype == np.uint8
+    assert store.metadata["pockettts.quantize"] == "int8"
+
+
+@pytest.mark.parametrize(
+    "bits,k",
+    [(8, 96), (4, 256), (4, 96)],  # int8; int4 grouped; int4 per-channel
+)
+def test_quantize_weight_np_matches_runtime(bits, k):
+    rng = np.random.RandomState(3)
+    w = (rng.randn(24, k) / 7).astype(np.float32)  # torch layout [out, in]
+    stored, scale = quantize_weight_np(w, bits)
+
+    ref = quantize_linear({"w": jnp.asarray(w.T)}, bits=bits)  # runtime layout
+    ref_q = np.asarray(ref["w"].astype(jnp.int8))  # [in, out]
+    ref_scale = np.asarray(ref["scale"])
+
+    if bits == 8:
+        assert stored.dtype == np.int8
+        np.testing.assert_array_equal(stored.T, ref_q)
+        np.testing.assert_array_equal(scale, ref_scale)
+    else:
+        assert stored.dtype == np.uint8 and stored.shape == (24, k // 2)
+        low = ((stored & 0x0F).astype(np.int8) ^ 0x8) - 0x8
+        high = ((stored >> 4).astype(np.int8) ^ 0x8) - 0x8
+        vals = np.empty((24, k), dtype=np.int8)
+        vals[:, 0::2] = low
+        vals[:, 1::2] = high
+        np.testing.assert_array_equal(vals.T, ref_q)
+        np.testing.assert_array_equal(scale, ref_scale)
+
+
+def _assert_trees_equal(a, b):
+    la = jax.tree_util.tree_flatten_with_path(a)
+    lb = jax.tree_util.tree_flatten_with_path(b)
+    assert [p for p, _ in la[0]] == [p for p, _ in lb[0]]
+    for (path, x), (_, y) in zip(la[0], lb[0]):
+        assert x.dtype == y.dtype, (path, x.dtype, y.dtype)
+        if x.dtype == jnp.int4:
+            x = x.astype(jnp.int8)
+            y = y.astype(jnp.int8)
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=str(path))
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_prequantized_load_equals_load_time_quantize(bits):
+    src = _f32_store()
+    tensors, metadata, quantized = build_quantized_checkpoint(
+        src, bits, num_heads=ARCH.num_heads
+    )
+    assert metadata[QUANT_METADATA_KEY] == ("int8" if bits == 8 else "int4-g128")
+    assert quantized  # every transformer/flow linear
+    store_q = open_store_from_bytes(encode_tensors(tensors, metadata=metadata))
+
+    pre = load_model_from_store(store_q, num_heads=ARCH.num_heads)
+    ref = load_model_from_store(_f32_store(), num_heads=ARCH.num_heads)
+    ref_q = quantize_model_params(ref.params, bits=bits)
+    _assert_trees_equal(pre.params, ref_q)
+
+
+def test_prequantized_generation_sample_exact_int4():
+    src = _f32_store()
+    tensors, metadata, _ = build_quantized_checkpoint(src, 4, num_heads=ARCH.num_heads)
+    store_q = open_store_from_bytes(encode_tensors(tensors, metadata=metadata))
+    pre = load_model_from_store(store_q, num_heads=ARCH.num_heads)
+    ref = load_model_from_store(_f32_store(), num_heads=ARCH.num_heads)
+
+    cfg = GenerateConfig(temperature=0.0, eos_threshold=1e9, max_steps=4)
+    a = TPURuntime(pre, seed=1, frame_bucket=64).generate_audio([3, 7], cfg)
+    b = TPURuntime(ref, seed=1, frame_bucket=64, quantize=4).generate_audio([3, 7], cfg)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_export_is_idempotent():
+    src = _f32_store()
+    tensors, metadata, quantized = build_quantized_checkpoint(
+        src, 8, num_heads=ARCH.num_heads
+    )
+    store_q = open_store_from_bytes(encode_tensors(tensors, metadata=metadata))
+    tensors2, _, quantized2 = build_quantized_checkpoint(
+        store_q, 8, num_heads=ARCH.num_heads
+    )
+    assert quantized2 == []  # already-quantized tensors pass through
+    assert set(tensors2) == set(tensors)
+
+
+def test_cli_export_quantize_and_strip(tmp_path, capsys):
+    src = tmp_path / "model.safetensors"
+    write_file(src, synthetic.build_checkpoint(ARCH, seed=9))
+    dst = tmp_path / "model.int4.safetensors"
+
+    rc = main(
+        [
+            "model",
+            "export",
+            "--paths-model-path",
+            str(src),
+            "--output",
+            str(dst),
+            "--quantize",
+            "int4",
+            "--strip-voice-cloning",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["format"] == "int4-g128" and out["quantized"] > 0
+    assert os.path.getsize(dst) < os.path.getsize(src) * 0.55
+
+    validate_model_keys(dst)
+    store = open_store(dst)
+    assert store.metadata[QUANT_METADATA_KEY] == "int4-g128"
+    assert not any(n.startswith("mimi.encoder") for n in store.names())
+    model = load_model_from_store(store, num_heads=ARCH.num_heads)
+    lin = model.params["flow_lm"]["transformer"]["layers"][0]["in_proj"]
+    assert "scale" in lin
+
+
+def test_linear_weight_names_covers_transformer():
+    names = linear_weight_names(_f32_store(), num_heads=ARCH.num_heads)
+    assert "flow_lm.transformer.layers.0.self_attn.in_proj.weight" in names
+    assert "flow_lm.conditioner.embed.weight" not in names  # gather, not linear
