@@ -30,8 +30,32 @@ __all__ = [
     "quantize_linear",
     "quantize_model_params",
     "is_quantized",
+    "model_quantized_bits",
     "quantize_kv_rows",
 ]
+
+
+def model_quantized_bits(params: Dict) -> int | None:
+    """4 or 8 if the param tree carries (pre-)quantized linears, else None.
+
+    Mixed trees (an int4 export can hold int8 fallbacks for odd input dims)
+    report the narrowest width — that is the artifact's headline format.
+    """
+    found: set = set()
+
+    def walk(node):
+        if isinstance(node, dict):
+            if is_quantized(node):
+                found.add(4 if node["w"].dtype == jnp.int4 else 8)
+                return
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+
+    walk(params)
+    return min(found) if found else None
 
 
 def quantize_kv_rows(x: jax.Array):

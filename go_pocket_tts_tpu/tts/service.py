@@ -153,6 +153,17 @@ class Service:
             from go_pocket_tts_tpu.models.model import load_model
 
             model = load_model(cfg.paths.model_path)
+            from go_pocket_tts_tpu.models.quantize import model_quantized_bits
+
+            pre_bits = model_quantized_bits(model.params)
+            if pre_bits:
+                # `model export --quantize` artifact: the weights arrived
+                # already quantized, so any --runtime-quantize walk is a no-op.
+                log.info(
+                    "checkpoint is pre-quantized (int%d); load-time weight "
+                    "quantization is skipped",
+                    pre_bits,
+                )
             dtype = jnp.bfloat16 if cfg.runtime.dtype == "bfloat16" else jnp.float32
             seed = None if cfg.runtime.seed < 0 else cfg.runtime.seed
             if cfg.runtime.batch_slots > 1:

@@ -171,6 +171,47 @@ def test_cli_export_quantize_and_strip(tmp_path, capsys):
     assert "scale" in lin
 
 
+def test_prequantized_through_batched_engine():
+    """Config-5 serving shape: pre-quantized artifact == load-time quantize
+    through the continuous batcher, sample-exact at temp 0."""
+    from go_pocket_tts_tpu.parallel.batching import ContinuousBatcher
+
+    src = _f32_store()
+    tensors, metadata, _ = build_quantized_checkpoint(src, 8, num_heads=ARCH.num_heads)
+    pre = load_model_from_store(
+        open_store_from_bytes(encode_tensors(tensors, metadata=metadata)),
+        num_heads=ARCH.num_heads,
+    )
+    ref = load_model_from_store(_f32_store(), num_heads=ARCH.num_heads)
+
+    cfg = GenerateConfig(temperature=0.0, eos_threshold=1e9, max_steps=4)
+    a = ContinuousBatcher(
+        pre, slots=2, prompt_capacity=64, max_frames=64, seed=3, kv_quantize=True
+    )
+    b = ContinuousBatcher(
+        ref, slots=2, prompt_capacity=64, max_frames=64, seed=3,
+        quantize=True, kv_quantize=True,
+    )
+    a.start()
+    b.start()
+    try:
+        got = a.generate([5, 9, 2], cfg, timeout=60)
+        want = b.generate([5, 9, 2], cfg, timeout=60)
+    finally:
+        a.stop()
+        b.stop()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_model_quantized_bits():
+    from go_pocket_tts_tpu.models.quantize import model_quantized_bits
+
+    ref = load_model_from_store(_f32_store(), num_heads=ARCH.num_heads)
+    assert model_quantized_bits(ref.params) is None
+    assert model_quantized_bits(quantize_model_params(ref.params, bits=8)) == 8
+    assert model_quantized_bits(quantize_model_params(ref.params, bits=4)) == 4
+
+
 def test_linear_weight_names_covers_transformer():
     names = linear_weight_names(_f32_store(), num_heads=ARCH.num_heads)
     assert "flow_lm.transformer.layers.0.self_attn.in_proj.weight" in names
