@@ -39,12 +39,13 @@ from typing import Dict, Iterable, List, Mapping, Optional, Set, Tuple
 
 import numpy as np
 
-from go_pocket_tts_tpu.utils.safetensors import Store
+from go_pocket_tts_tpu.utils.safetensors import Store, pack_nibbles, unpack_nibbles
 
 __all__ = [
     "QUANT_METADATA_KEY",
     "linear_weight_names",
     "quantize_weight_np",
+    "dequantize_weight_np",
     "build_quantized_checkpoint",
 ]
 
@@ -63,10 +64,24 @@ def linear_weight_names(store: Store, num_heads: int = 16) -> Set[str]:
     return set(names)
 
 
-def _pack_nibbles(q: np.ndarray) -> np.ndarray:
-    """[out, in] int8 in [-8, 7] → [out, in/2] uint8 (little nibble first)."""
-    u = q.astype(np.uint8) & 0x0F
-    return (u[:, 0::2] | (u[:, 1::2] << 4)).astype(np.uint8)
+def dequantize_weight_np(stored: np.ndarray, scale: np.ndarray) -> np.ndarray:
+    """Reconstruct the float weight ``[out, in]`` from the on-disk pair.
+
+    Used by float-math consumers of pre-quantized artifacts (the torch
+    oracle): ``x @ (q·scale)`` equals the serving path's ``(x @ q)·scale``
+    up to float association, so cross-engine parity holds on quantized
+    checkpoints too.
+    """
+    scale = np.asarray(scale, dtype=np.float32)
+    if stored.dtype == np.uint8:
+        vals = unpack_nibbles(stored).astype(np.float32)  # [out, in]
+        if scale.ndim == 2:  # grouped: scale [G, out]
+            out_dim, k = vals.shape
+            g = scale.shape[0]
+            wg = vals.reshape(out_dim, g, k // g)
+            return (wg * scale.T[:, :, None]).reshape(out_dim, k)
+        return vals * scale[:, None]
+    return stored.astype(np.float32) * scale[:, None]
 
 
 def quantize_weight_np(
@@ -98,11 +113,11 @@ def quantize_weight_np(
         scale = np.abs(wg).max(axis=2) / 7.0  # [out, G]
         scale = np.where(scale > 0, scale, 1.0).astype(np.float32)
         q = np.clip(np.rint(wg / scale[:, :, None]), -7, 7).astype(np.int8)
-        return _pack_nibbles(q.reshape(out_dim, k)), np.ascontiguousarray(scale.T)
+        return pack_nibbles(q.reshape(out_dim, k)), np.ascontiguousarray(scale.T)
     scale = np.abs(w).max(axis=1) / 7.0  # [out]
     scale = np.where(scale > 0, scale, 1.0).astype(np.float32)
     q = np.clip(np.rint(w / scale[:, None]), -7, 7).astype(np.int8)
-    return _pack_nibbles(q), scale
+    return pack_nibbles(q), scale
 
 
 def build_quantized_checkpoint(

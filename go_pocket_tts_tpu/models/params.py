@@ -15,7 +15,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from go_pocket_tts_tpu.utils.safetensors import Store
+from go_pocket_tts_tpu.utils.safetensors import Store, unpack_nibbles
 
 __all__ = [
     "VarBuilder",
@@ -89,18 +89,6 @@ def record_linear_weight_names():
         _LINEAR_NAMES_RECORDER = prev
 
 
-def _unpack_nibbles(packed: np.ndarray) -> np.ndarray:
-    """[out, in/2] uint8 → [out, in] int8 in [-8, 7] (little nibble first)."""
-    low = (packed & 0x0F).astype(np.int8)
-    high = (packed >> 4).astype(np.int8)
-    low = (low ^ 0x8) - 0x8  # sign-extend 4-bit two's complement
-    high = (high ^ 0x8) - 0x8
-    out = np.empty((packed.shape[0], packed.shape[1] * 2), dtype=np.int8)
-    out[:, 0::2] = low
-    out[:, 1::2] = high
-    return out
-
-
 def _prequantized_linear_params(
     vb: VarBuilder, name: str, with_bias: bool
 ) -> Dict[str, jnp.ndarray]:
@@ -115,7 +103,7 @@ def _prequantized_linear_params(
     stored = vb.stored_dtype(name + ".weight")
     scale = np.asarray(vb.raw(name + ".weight_scale"), dtype=np.float32)
     if stored == "U8":
-        vals = _unpack_nibbles(vb.raw(name + ".weight"))  # [out, in]
+        vals = unpack_nibbles(vb.raw(name + ".weight"))  # [out, in]
         w = jnp.asarray(vals.T).astype(jnp.int4)
     else:
         w = jnp.asarray(vb.raw(name + ".weight").T)  # int8 [in, out]

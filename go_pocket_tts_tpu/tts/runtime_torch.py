@@ -34,6 +34,15 @@ __all__ = ["TorchRuntime"]
 
 
 def _t(store: Store, name: str) -> torch.Tensor:
+    if store.dtype(name) in ("I8", "U8") and store.has(name + "_scale"):
+        # Pre-quantized artifact (`model export --quantize`): reconstruct the
+        # float weight — raw int codes cast to float would be silent garbage.
+        from go_pocket_tts_tpu.model_assets.quantize_export import (
+            dequantize_weight_np,
+        )
+
+        w = dequantize_weight_np(store.tensor(name), store.tensor(name + "_scale"))
+        return torch.from_numpy(np.ascontiguousarray(w))
     return torch.from_numpy(np.ascontiguousarray(store.tensor_f32(name)))
 
 

@@ -39,6 +39,8 @@ __all__ = [
     "open_store_from_bytes",
     "encode_tensors",
     "write_file",
+    "pack_nibbles",
+    "unpack_nibbles",
     "VoiceFileKind",
     "VoiceModelState",
     "inspect_voice_file",
@@ -281,6 +283,31 @@ def write_file(
     with open(tmp, "wb") as f:
         f.write(payload)
     os.replace(tmp, path)
+
+
+# -- int4 nibble packing (pre-quantized checkpoints) -----------------------
+#
+# INT4 weights are stored as U8 with two two's-complement nibbles per byte
+# along the last axis, little nibble = even index. Shared by the exporter
+# (model export --quantize int4), the JAX loader, and the torch oracle.
+
+
+def pack_nibbles(q: np.ndarray) -> np.ndarray:
+    """``[..., n]`` int8 in [-8, 7] → ``[..., n/2]`` uint8."""
+    if q.shape[-1] % 2 != 0:
+        raise ValueError(f"cannot nibble-pack odd last dim {q.shape}")
+    u = q.astype(np.uint8) & 0x0F
+    return (u[..., 0::2] | (u[..., 1::2] << 4)).astype(np.uint8)
+
+
+def unpack_nibbles(packed: np.ndarray) -> np.ndarray:
+    """``[..., n/2]`` uint8 → ``[..., n]`` int8 in [-8, 7]."""
+    low = ((packed & 0x0F).astype(np.int8) ^ 0x8) - 0x8
+    high = ((packed >> 4).astype(np.int8) ^ 0x8) - 0x8
+    out = np.empty(packed.shape[:-1] + (packed.shape[-1] * 2,), dtype=np.int8)
+    out[..., 0::2] = low
+    out[..., 1::2] = high
+    return out
 
 
 # -- model-key validation -------------------------------------------------

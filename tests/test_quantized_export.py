@@ -212,6 +212,45 @@ def test_model_quantized_bits():
     assert model_quantized_bits(quantize_model_params(ref.params, bits=4)) == 4
 
 
+@pytest.mark.parametrize("bits,k", [(8, 96), (4, 256), (4, 96)])
+def test_dequantize_matches_serving_matmul(bits, k):
+    """x @ dequant(w).T == the serving path's quantized apply_linear."""
+    from go_pocket_tts_tpu.model_assets.quantize_export import dequantize_weight_np
+    from go_pocket_tts_tpu.models.params import apply_linear
+
+    rng = np.random.RandomState(11)
+    w = (rng.randn(24, k) / 7).astype(np.float32)  # [out, in]
+    stored, scale = quantize_weight_np(w, bits)
+    deq = dequantize_weight_np(stored, scale)  # [out, in]
+
+    x = rng.randn(3, k).astype(np.float32)
+    ref = quantize_linear({"w": jnp.asarray(w.T)}, bits=bits)
+    y_serving = np.asarray(apply_linear(ref, jnp.asarray(x)))
+    y_deq = x @ deq.T
+    np.testing.assert_allclose(y_deq, y_serving, atol=1e-4, rtol=1e-4)
+
+
+def test_torch_oracle_reads_prequantized_artifact():
+    """Cross-engine parity holds on a pre-quantized checkpoint: the torch
+    oracle dequantizes I8/U8 weights instead of casting raw codes."""
+    torch = pytest.importorskip("torch")  # noqa: F841
+    from go_pocket_tts_tpu.tts.runtime_torch import TorchRuntime
+
+    src = _f32_store()
+    tensors, metadata, _ = build_quantized_checkpoint(src, 8, num_heads=ARCH.num_heads)
+    data = encode_tensors(tensors, metadata=metadata)
+
+    cfg = GenerateConfig(temperature=0.0, eos_threshold=1e9, max_steps=4)
+    pre = load_model_from_store(open_store_from_bytes(data), num_heads=ARCH.num_heads)
+    a = TPURuntime(pre, seed=1, frame_bucket=64).generate_audio([3, 7], cfg)
+    b = TorchRuntime(
+        open_store_from_bytes(data), num_heads=ARCH.num_heads, seed=1
+    ).generate_audio([3, 7], cfg)
+    assert len(a) == len(b)
+    rms = np.sqrt(np.mean((a - b) ** 2))
+    assert rms < 1e-3, rms
+
+
 def test_linear_weight_names_covers_transformer():
     names = linear_weight_names(_f32_store(), num_heads=ARCH.num_heads)
     assert "flow_lm.transformer.layers.0.self_attn.in_proj.weight" in names
