@@ -50,7 +50,11 @@ def verify_native_model(
 
             model = load_model(model_path)
             d = model.config.flow_lm.d_model
-            res.record("model smoke load", True, f"d_model={d}")
+            from go_pocket_tts_tpu.models.quantize import model_quantized_bits
+
+            bits = model_quantized_bits(model.params)
+            detail = f"d_model={d}" + (f", pre-quantized int{bits}" if bits else "")
+            res.record("model smoke load", True, detail)
         except Exception as exc:  # noqa: BLE001
             res.record("model smoke load", False, str(exc))
 
