@@ -116,10 +116,16 @@ def run_doctor(
     res.record("model file", model_ok, cfg.paths.model_path)
     if model_ok:
         try:
-            from go_pocket_tts_tpu.utils.safetensors import validate_model_keys
+            from go_pocket_tts_tpu.utils.safetensors import (
+                read_header_metadata,
+                validate_model_keys,
+            )
 
             validate_model_keys(cfg.paths.model_path)
-            res.record("model keys", True)
+            fmt = read_header_metadata(cfg.paths.model_path).get(
+                "pockettts.quantize", ""
+            )
+            res.record("model keys", True, f"pre-quantized {fmt}" if fmt else "")
         except Exception as exc:  # noqa: BLE001
             res.record("model keys", False, str(exc))
 

@@ -332,7 +332,12 @@ def cmd_model_export(args) -> int:
     if quantize:
         # The quantized-linear set is derived by recording a real model load
         # (host-side); pin CPU so the export tool never touches the device.
-        if not os.environ.get("POCKETTTS_PLATFORM"):
+        # An explicit platform pin (POCKETTTS_PLATFORM, or JAX_PLATFORMS as
+        # the test conftest sets) wins — never mutate an in-process caller's
+        # chosen backend.
+        if not os.environ.get("POCKETTTS_PLATFORM") and not os.environ.get(
+            "JAX_PLATFORMS"
+        ):
             import jax
 
             jax.config.update("jax_platforms", "cpu")
@@ -364,7 +369,7 @@ def cmd_model_export(args) -> int:
         result.update(
             tensors=len(tensors),
             quantized=len(quantized),
-            format=metadata[QUANT_METADATA_KEY],
+            format=metadata.get(QUANT_METADATA_KEY, "unquantized"),
         )
     else:
         tensors = {name: store.tensor(name) for name in keep}

@@ -84,8 +84,17 @@ def dequantize_weight_np(stored: np.ndarray, scale: np.ndarray) -> np.ndarray:
     return stored.astype(np.float32) * scale[:, None]
 
 
+def _group_size() -> int:
+    # The runtime's grouping constant is the single source of truth; resolved
+    # lazily so importing this module stays jax-free (the torch oracle pulls
+    # in dequantize_weight_np only).
+    from go_pocket_tts_tpu.models.quantize import GROUP_SIZE
+
+    return GROUP_SIZE
+
+
 def quantize_weight_np(
-    w: np.ndarray, bits: int, group_size: int = 128
+    w: np.ndarray, bits: int, group_size: Optional[int] = None
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Quantize a torch-orientation weight ``[out, in]``.
 
@@ -96,6 +105,8 @@ def quantize_weight_np(
     """
     if bits not in (8, 4):
         raise ValueError(f"quantize bits must be 8 or 4, got {bits}")
+    if group_size is None:
+        group_size = _group_size()
     w = np.asarray(w, dtype=np.float32)
     if w.ndim != 2:
         raise ValueError(f"expected rank-2 weight, got shape {w.shape}")
@@ -147,5 +158,11 @@ def build_quantized_checkpoint(
         else:
             tensors[name] = store.tensor(name)
     metadata = dict(store.metadata)
-    metadata[QUANT_METADATA_KEY] = "int8" if bits == 8 else "int4-g128"
+    if quantized:
+        metadata[QUANT_METADATA_KEY] = (
+            "int8" if bits == 8 else f"int4-g{_group_size()}"
+        )
+    # else: nothing was (re-)quantized — keep the source's own stamp so an
+    # int8 artifact re-exported with --quantize int4 stays labeled int8
+    # instead of lying about its contents.
     return tensors, metadata, quantized

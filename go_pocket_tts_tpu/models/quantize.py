@@ -90,9 +90,14 @@ def quantize_linear(p: Dict, bits: int = 8) -> Dict:
     if bits not in (8, 4):
         raise ValueError(f"quantize bits must be 8 or 4, got {bits}")
     w = p["w"]
+    k = w.shape[0]
+    if bits == 4 and k % 2 != 0:
+        # An odd input dim cannot nibble-pack on disk; fall back to int8 here
+        # too so load-time quantization stays leaf-exact with the exported
+        # artifact (model_assets/quantize_export.py applies the same rule).
+        bits = 8
     qmax = 127.0 if bits == 8 else 7.0
     qtype = jnp.int8 if bits == 8 else jnp.int4
-    k = w.shape[0]
     if bits == 4 and k % GROUP_SIZE == 0 and k > GROUP_SIZE:
         g = k // GROUP_SIZE
         wg = w.reshape(g, GROUP_SIZE, w.shape[1])

@@ -164,6 +164,18 @@ class Service:
                     "quantization is skipped",
                     pre_bits,
                 )
+                cfg_bits = cfg.runtime.quantize_bits or 8
+                if cfg.runtime.quantize and cfg_bits != pre_bits:
+                    # The artifact always wins — re-quantizing quantized
+                    # weights is a no-op — so say loudly that the configured
+                    # (or autotuned) width is NOT what will serve.
+                    log.warning(
+                        "runtime.quantize requests int%d but the checkpoint "
+                        "carries int%d weights; the artifact's int%d serves",
+                        cfg_bits,
+                        pre_bits,
+                        pre_bits,
+                    )
             dtype = jnp.bfloat16 if cfg.runtime.dtype == "bfloat16" else jnp.float32
             seed = None if cfg.runtime.seed < 0 else cfg.runtime.seed
             if cfg.runtime.batch_slots > 1:

@@ -50,6 +50,7 @@ __all__ = [
     "load_voice_model_state",
     "load_voice_model_state_from_bytes",
     "validate_model_keys",
+    "read_header_metadata",
     "REQUIRED_MODEL_KEYS",
 ]
 
@@ -326,10 +327,7 @@ REQUIRED_MODEL_KEYS = (
 )
 
 
-def validate_model_keys(
-    path: str | os.PathLike, required: Sequence[str] = REQUIRED_MODEL_KEYS
-) -> None:
-    """Header-only presence check of required model tensors (reader.go:166-217)."""
+def _read_header(path: str | os.PathLike) -> dict:
     with open(path, "rb") as f:
         head = f.read(8)
         if len(head) < 8:
@@ -342,10 +340,26 @@ def validate_model_keys(
         header_raw = f.read(header_len)
     if len(header_raw) != header_len:
         raise SafetensorsError("safetensors: truncated header")
-    header = json.loads(header_raw.decode("utf-8"))
+    return json.loads(header_raw.decode("utf-8"))
+
+
+def validate_model_keys(
+    path: str | os.PathLike, required: Sequence[str] = REQUIRED_MODEL_KEYS
+) -> None:
+    """Header-only presence check of required model tensors (reader.go:166-217)."""
+    header = _read_header(path)
     missing = [k for k in required if k not in header]
     if missing:
         raise SafetensorsError(f"safetensors: missing required tensors: {missing}")
+
+
+def read_header_metadata(path: str | os.PathLike) -> Dict[str, str]:
+    """Header-only ``__metadata__`` read (no tensor data touched) — cheap
+    format detection, e.g. doctor reporting a pre-quantized checkpoint."""
+    meta = _read_header(path).get("__metadata__")
+    if not isinstance(meta, dict):
+        return {}
+    return {str(k): str(v) for k, v in meta.items()}
 
 
 # -- voice files ----------------------------------------------------------

@@ -38,11 +38,7 @@ def main() -> int:
     from go_pocket_tts_tpu.models import synthetic
     from go_pocket_tts_tpu.models.model import load_model_from_store
     from go_pocket_tts_tpu.models.quantize import quantize_model_params
-    from go_pocket_tts_tpu.utils.safetensors import (
-        encode_tensors,
-        open_store,
-        write_file,
-    )
+    from go_pocket_tts_tpu.utils.safetensors import open_store, write_file
 
     work = "/tmp/prequant_load"
     os.makedirs(work, exist_ok=True)

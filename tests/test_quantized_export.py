@@ -138,6 +138,72 @@ def test_export_is_idempotent():
     assert quantized2 == []  # already-quantized tensors pass through
     assert set(tensors2) == set(tensors)
 
+    # Re-exporting an int8 artifact as int4 quantizes nothing — the metadata
+    # must keep telling the truth (int8), not claim int4.
+    _, metadata3, quantized3 = build_quantized_checkpoint(
+        store_q, 4, num_heads=ARCH.num_heads
+    )
+    assert quantized3 == []
+    assert metadata3[QUANT_METADATA_KEY] == "int8"
+
+
+def test_odd_input_dim_int4_falls_back_to_int8_everywhere():
+    """Odd in-dims can't nibble-pack; BOTH the exporter and load-time
+    quantization fall back to int8 so the leaf-exact contract holds."""
+    rng = np.random.RandomState(2)
+    w = (rng.randn(10, 97) / 5).astype(np.float32)  # odd k
+    stored, scale = quantize_weight_np(w, 4)
+    assert stored.dtype == np.int8  # exporter fallback
+
+    q = quantize_linear({"w": jnp.asarray(w.T)}, bits=4)
+    assert q["w"].dtype == jnp.int8  # runtime fallback matches
+    np.testing.assert_array_equal(stored.T, np.asarray(q["w"]))
+    np.testing.assert_array_equal(scale, np.asarray(q["scale"]))
+
+
+def test_read_header_metadata(tmp_path):
+    from go_pocket_tts_tpu.utils.safetensors import read_header_metadata
+
+    src = tmp_path / "m.safetensors"
+    write_file(
+        src,
+        {"a": np.zeros((2, 2), np.float32)},
+        metadata={QUANT_METADATA_KEY: "int4-g128"},
+    )
+    assert read_header_metadata(src) == {QUANT_METADATA_KEY: "int4-g128"}
+    plain = tmp_path / "p.safetensors"
+    write_file(plain, {"a": np.zeros((2, 2), np.float32)})
+    assert read_header_metadata(plain) == {}
+
+
+def test_service_warns_on_quantize_bits_conflict(tmp_path, caplog):
+    """--runtime-quantize int8 against an int4 artifact must warn loudly:
+    the artifact wins and the configured width is not what serves."""
+    import logging
+
+    from go_pocket_tts_tpu.config import Config
+    from go_pocket_tts_tpu.tts.service import Service
+    from test_tokenizer import _toy_model
+
+    src = _f32_store()
+    tensors, metadata, _ = build_quantized_checkpoint(src, 4, num_heads=ARCH.num_heads)
+    model_path = tmp_path / "model.int4.safetensors"
+    write_file(model_path, tensors, metadata=metadata)
+    tok_path = tmp_path / "tok.model"
+    tok_path.write_bytes(_toy_model().serialize())
+
+    cfg = Config()
+    cfg.paths.model_path = str(model_path)
+    cfg.paths.tokenizer_model = str(tok_path)
+    cfg.runtime.quantize = True
+    cfg.runtime.quantize_bits = 8
+    with caplog.at_level(logging.WARNING, logger="pockettts.service"):
+        Service.from_config(cfg)
+    assert any(
+        "int8" in r.getMessage() and "int4" in r.getMessage()
+        for r in caplog.records
+    ), caplog.records
+
 
 def test_cli_export_quantize_and_strip(tmp_path, capsys):
     src = tmp_path / "model.safetensors"
