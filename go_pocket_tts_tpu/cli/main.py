@@ -354,6 +354,7 @@ def cmd_model_export(args) -> int:
         for name in store.names()
         if not strip_prefixes or not name.startswith(strip_prefixes)
     ]
+    float_dtype = getattr(args, "dtype", "") or "f32"
     result = {"output": args.output}
     if quantize:
         from go_pocket_tts_tpu.model_assets.quantize_export import (
@@ -363,7 +364,7 @@ def cmd_model_export(args) -> int:
 
         bits = {"int8": 8, "int4": 4}[quantize]
         tensors, metadata, quantized = build_quantized_checkpoint(
-            store, bits, keep_names=keep
+            store, bits, keep_names=keep, float_dtype=float_dtype
         )
         write_file(args.output, tensors, metadata=metadata)
         result.update(
@@ -372,7 +373,21 @@ def cmd_model_export(args) -> int:
             format=metadata.get(QUANT_METADATA_KEY, "unquantized"),
         )
     else:
-        tensors = {name: store.tensor(name) for name in keep}
+        tensors = {}
+        if float_dtype == "bf16":
+            from go_pocket_tts_tpu.model_assets.quantize_export import to_bf16
+
+            float_kinds = ("F32", "F16", "BF16")
+            for name in keep:
+                # Quantization scales must stay f32-exact even on re-encode.
+                if store.dtype(name) in float_kinds and not name.endswith(
+                    ".weight_scale"
+                ):
+                    tensors[name] = to_bf16(store.tensor_f32(name))
+                else:
+                    tensors[name] = store.tensor(name)
+        else:
+            tensors = {name: store.tensor(name) for name in keep}
         write_file(args.output, tensors, metadata=dict(store.metadata) or None)
         result["tensors"] = len(tensors)
     print(json.dumps(result))
@@ -533,6 +548,13 @@ def build_parser() -> argparse.ArgumentParser:
         choices=("", "int8", "int4"),
         help="Write linear weights pre-quantized (smaller artifact; loads "
         "directly into the serving quantized form)",
+    )
+    p.add_argument(
+        "--dtype",
+        default="",
+        choices=("", "f32", "bf16"),
+        help="Storage dtype for float tensors (bf16 halves them; combines "
+        "with --quantize, where scales stay f32)",
     )
     p.set_defaults(fn=cmd_model_export)
 

@@ -47,6 +47,7 @@ __all__ = [
     "quantize_weight_np",
     "dequantize_weight_np",
     "build_quantized_checkpoint",
+    "to_bf16",
 ]
 
 QUANT_METADATA_KEY = "pockettts.quantize"
@@ -131,18 +132,30 @@ def quantize_weight_np(
     return pack_nibbles(q), scale
 
 
+def to_bf16(a: np.ndarray) -> np.ndarray:
+    """Round-to-nearest-even f32 → bf16 (ml_dtypes array; encodes as BF16)."""
+    import ml_dtypes
+
+    return np.asarray(a, dtype=ml_dtypes.bfloat16)
+
+
 def build_quantized_checkpoint(
     store: Store,
     bits: int,
     num_heads: int = 16,
     keep_names: Optional[Iterable[str]] = None,
+    float_dtype: str = "f32",
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, str], List[str]]:
     """Produce ``(tensors, metadata, quantized_names)`` for writing.
 
     ``keep_names`` restricts the output (e.g. after --strip-voice-cloning);
     already-quantized or non-float tensors pass through untouched, so the
-    export is idempotent.
+    export is idempotent. ``float_dtype="bf16"`` stores the remaining float
+    tensors (biases, norms, conv kernels, embeddings) as BF16 — quantization
+    scales stay F32 for exactness.
     """
+    if float_dtype not in ("f32", "bf16"):
+        raise ValueError(f"float_dtype must be f32 or bf16, got {float_dtype!r}")
     linears = linear_weight_names(store, num_heads=num_heads)
     keep = set(keep_names) if keep_names is not None else None
     tensors: Dict[str, np.ndarray] = {}
@@ -155,6 +168,12 @@ def build_quantized_checkpoint(
             tensors[name] = q
             tensors[name + "_scale"] = scale
             quantized.append(name)
+        elif (
+            float_dtype == "bf16"
+            and store.dtype(name) in _FLOAT_DTYPES
+            and not name.endswith(".weight_scale")
+        ):
+            tensors[name] = to_bf16(store.tensor_f32(name))
         else:
             tensors[name] = store.tensor(name)
     metadata = dict(store.metadata)

@@ -241,13 +241,21 @@ def encode_tensors(
     """Encode named tensors as a safetensors payload.
 
     Float inputs are stored as F32 (the reference writer is F32-only,
-    `writer.go:14-98`); int64 inputs are stored as I64 so model-state voice
-    files round-trip; int8/uint8 are stored as I8/U8 (pre-quantized serving
-    checkpoints). ``metadata`` becomes the standard ``__metadata__`` header
-    entry (string→string).
+    `writer.go:14-98`), except ``ml_dtypes.bfloat16`` arrays which are
+    stored as BF16 (half the bytes; `model export --dtype bf16`); int64
+    inputs are stored as I64 so model-state voice files round-trip;
+    int8/uint8 are stored as I8/U8 (pre-quantized serving checkpoints).
+    ``metadata`` becomes the standard ``__metadata__`` header entry
+    (string→string).
     """
     if not tensors:
         raise SafetensorsError("safetensors: no tensors to encode")
+    try:
+        import ml_dtypes
+
+        _bf16 = np.dtype(ml_dtypes.bfloat16)
+    except ImportError:  # pragma: no cover - ml_dtypes ships with jax here
+        _bf16 = None
     header: Dict[str, dict] = {}
     if metadata:
         header["__metadata__"] = {str(k): str(v) for k, v in metadata.items()}
@@ -261,6 +269,12 @@ def encode_tensors(
             dtype, blob = "I8", a.tobytes(order="C")
         elif a.dtype == np.uint8:
             dtype, blob = "U8", a.tobytes(order="C")
+        elif _bf16 is not None and a.dtype == _bf16:
+            # bf16 bit pattern == high 16 bits of the f32; store little-endian.
+            dtype = "BF16"
+            blob = (
+                np.ascontiguousarray(a).view(np.uint16).astype("<u2").tobytes()
+            )
         else:
             dtype, blob = "F32", a.astype("<f4").tobytes(order="C")
         header[name] = {

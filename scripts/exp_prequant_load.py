@@ -48,12 +48,17 @@ def main() -> int:
         write_file(f32_path, synthetic.build_checkpoint(arch, seed=5))
 
     paths = {"f32": f32_path}
-    for tag, bits in (("int8", 8), ("int4", 4)):
+    for tag, bits, fdt in (
+        ("int8", 8, "f32"),
+        ("int4", 4, "f32"),
+        ("int8bf16", 8, "bf16"),
+        ("int4bf16", 4, "bf16"),
+    ):
         p = os.path.join(work, f"model.{tag}.safetensors")
         if not os.path.exists(p):
             store = open_store(f32_path)
             tensors, metadata, _ = build_quantized_checkpoint(
-                store, bits, num_heads=arch.num_heads
+                store, bits, num_heads=arch.num_heads, float_dtype=fdt
             )
             write_file(p, tensors, metadata=metadata)
         paths[tag] = p
@@ -80,6 +85,8 @@ def main() -> int:
         "f32_quantize_int4": (paths["f32"], 4),
         "prequant_int8": (paths["int8"], None),
         "prequant_int4": (paths["int4"], None),
+        "prequant_int8_bf16": (paths["int8bf16"], None),
+        "prequant_int4_bf16": (paths["int4bf16"], None),
     }.items():
         times = [time_load(path, qbits) for _ in range(3)]
         results["load_s"][name] = round(float(np.median(times)), 3)

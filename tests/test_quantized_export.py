@@ -317,6 +317,59 @@ def test_torch_oracle_reads_prequantized_artifact():
     assert rms < 1e-3, rms
 
 
+def test_bf16_write_roundtrip():
+    """BF16 storage is bit-exact: write bf16, read back the same values."""
+    import ml_dtypes
+
+    rng = np.random.RandomState(4)
+    f = rng.randn(5, 7).astype(np.float32)
+    b = np.asarray(f, dtype=ml_dtypes.bfloat16)
+    store = open_store_from_bytes(encode_tensors({"x": b}))
+    assert store.dtype("x") == "BF16"
+    got = store.tensor("x")  # widens to f32, losslessly for bf16 values
+    np.testing.assert_array_equal(got, b.astype(np.float32))
+
+
+def test_cli_export_bf16_and_quantized_bf16(tmp_path, capsys):
+    src = tmp_path / "model.safetensors"
+    write_file(src, synthetic.build_checkpoint(ARCH, seed=9))
+
+    bf16 = tmp_path / "model.bf16.safetensors"
+    rc = main(
+        ["model", "export", "--paths-model-path", str(src),
+         "--output", str(bf16), "--dtype", "bf16"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    assert os.path.getsize(bf16) < os.path.getsize(src) * 0.55
+    model = load_model_from_store(open_store(bf16), num_heads=ARCH.num_heads)
+    assert model.config.flow_lm.d_model == ARCH.d_model
+
+    both = tmp_path / "model.int8.bf16.safetensors"
+    rc = main(
+        ["model", "export", "--paths-model-path", str(src), "--output",
+         str(both), "--quantize", "int8", "--dtype", "bf16"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["format"] == "int8"
+    store = open_store(both)
+    # int8 weights + f32 scales + bf16 everything-else
+    assert store.dtype("flow_lm.transformer.layers.0.self_attn.in_proj.weight") == "I8"
+    assert (
+        store.dtype("flow_lm.transformer.layers.0.self_attn.in_proj.weight_scale")
+        == "F32"
+    )
+    assert store.dtype("flow_lm.transformer.layers.0.norm1.weight") == "BF16"
+    # tiny arch is conv-heavy; the real arch drops further (PERF.md)
+    assert os.path.getsize(both) < os.path.getsize(src) * 0.40
+
+    cfg = GenerateConfig(temperature=0.0, eos_threshold=1e9, max_steps=4)
+    m = load_model_from_store(store, num_heads=ARCH.num_heads)
+    audio = TPURuntime(m, seed=1, frame_bucket=64).generate_audio([3, 7], cfg)
+    assert np.all(np.isfinite(audio)) and len(audio) > 0
+
+
 def test_linear_weight_names_covers_transformer():
     names = linear_weight_names(_f32_store(), num_heads=ARCH.num_heads)
     assert "flow_lm.transformer.layers.0.self_attn.in_proj.weight" in names
