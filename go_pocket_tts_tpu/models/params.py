@@ -170,6 +170,26 @@ def layer_norm_params(vb: VarBuilder, name: str) -> Dict[str, jnp.ndarray]:
 # may carry an ":interpret" suffix for CPU testing.
 _QUANT_BACKEND = "xla"
 
+# INT4 grouped-matmul formulation (hardware A/B, scripts/exp_int4_step.py):
+#   "split"   — G separate 128-row contractions, scale folded into f32
+#               partials post-matmul (most precise; G-way split reduction)
+#   "dequant" — dequantize the packed s4 weight in-flight to one x.dtype
+#               operand and run a single dot (XLA can fuse convert+scale
+#               into the dot's operand stream; one full-K MXU contraction)
+# Both read the same packed s4 buffer from HBM; which one the TPU compiler
+# actually keeps un-materialized is an empirical question — settle it on
+# hardware before defaulting. Env override: POCKETTTS_INT4_VARIANT.
+import os as _os
+
+_INT4_VARIANT = _os.environ.get("POCKETTTS_INT4_VARIANT", "split")
+
+
+def set_int4_matmul_variant(variant: str) -> None:
+    global _INT4_VARIANT
+    if variant not in ("split", "dequant"):
+        raise ValueError(f"unknown int4 matmul variant {variant!r}")
+    _INT4_VARIANT = variant
+
 
 def set_quantized_matmul_backend(backend: str) -> None:
     global _QUANT_BACKEND
@@ -199,6 +219,23 @@ def apply_linear(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
             # read is the packed s4 buffer — the convert runs post-load and
             # fuses into the matmul's operand stream).
             scale = params["scale"]
+            if _INT4_VARIANT == "dequant":
+                wf = w.astype(jnp.float32)
+                if scale.ndim == 2:
+                    g = scale.shape[0]
+                    wf = (
+                        wf.reshape(g, k // g, n)
+                        * scale[:, None, :].astype(jnp.float32)
+                    ).reshape(k, n)
+                else:
+                    wf = wf * scale.astype(jnp.float32)
+                y = jnp.matmul(
+                    x, wf.astype(x.dtype), preferred_element_type=jnp.float32
+                )
+                y = y.astype(x.dtype)
+                if "b" in params:
+                    y = y + params["b"].astype(x.dtype)
+                return y
             if scale.ndim == 2:
                 # Group-wise scales [G, out] (models/quantize.py): contract
                 # each 128-row input slab separately, fold its scale into the

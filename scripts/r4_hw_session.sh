@@ -29,6 +29,10 @@ echo "[$(stamp)] 2/4 burst profile (drainer-thread verdict: harvest stall should
 timeout 900 python scripts/exp_burst_profile.py > "$OUT/burst_profile.txt" 2>&1 || true
 tail -20 "$OUT/burst_profile.txt"
 
+echo "[$(stamp)] 2b/4 INT4 verdict (split vs dequant vs int8 baseline; decision rule in the script)"
+timeout 1800 python scripts/exp_int4_step.py > "$OUT/int4_step.txt" 2>&1 || true
+tail -5 "$OUT/int4_step.txt"
+
 echo "[$(stamp)] 3/4 slot scaling 8/16/32 (int8+KV, k=64 -> the ~400x device-bound estimate)"
 SLOTS_LIST=8,16,32 Q=1 K=64 timeout 1800 python scripts/exp_slot_scaling.py > "$OUT/slot_scaling.txt" 2>&1 || true
 tail -20 "$OUT/slot_scaling.txt"

@@ -64,6 +64,35 @@ def test_quantized_generation_close_to_f32():
     assert np.all(np.isfinite(quant))
 
 
+def test_int4_matmul_variants_agree():
+    """The two XLA int4 formulations (split contractions vs in-flight
+    dequant single dot; hardware A/B in scripts/exp_int4_step.py) must
+    agree numerically on both grouped and per-channel scales."""
+    from go_pocket_tts_tpu.models.params import set_int4_matmul_variant
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(4, 256).astype(np.float32))
+    xs = jnp.asarray(rng.randn(4, 96).astype(np.float32))
+    grouped = quantize_linear(
+        {"w": jnp.asarray(rng.randn(256, 32).astype(np.float32) / 8)}, bits=4
+    )
+    perchan = quantize_linear(
+        {"w": jnp.asarray(rng.randn(96, 32).astype(np.float32) / 8)}, bits=4
+    )
+    assert grouped["scale"].ndim == 2 and perchan["scale"].ndim == 1
+    try:
+        set_int4_matmul_variant("split")
+        y1g = np.asarray(apply_linear(grouped, x))
+        y1p = np.asarray(apply_linear(perchan, xs))
+        set_int4_matmul_variant("dequant")
+        y2g = np.asarray(apply_linear(grouped, x))
+        y2p = np.asarray(apply_linear(perchan, xs))
+    finally:
+        set_int4_matmul_variant("split")
+    np.testing.assert_allclose(y1g, y2g, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(y1p, y2p, atol=1e-4, rtol=1e-4)
+
+
 def test_quantize_linear_int4_roundtrip_accuracy():
     rng = np.random.RandomState(0)
     w = jnp.asarray(rng.randn(64, 32).astype(np.float32) / 8)
