@@ -20,7 +20,13 @@ from typing import List, Optional
 
 import numpy as np
 
-from go_pocket_tts_tpu.config import Config, load_config, register_flags
+from go_pocket_tts_tpu.config import (
+    BACKEND_CLI,
+    Config,
+    load_config,
+    normalize_backend,
+    register_flags,
+)
 from go_pocket_tts_tpu.utils import dsp, wav
 
 log = logging.getLogger("pockettts")
@@ -76,6 +82,18 @@ def _resolve_voice(cfg: Config, voice: str) -> str:
 def cmd_synth(args) -> int:
     cfg = load_config(args)
     _setup_logging(cfg.log_level)
+
+    tts_args = getattr(args, "tts_arg", None) or []
+    if tts_args:
+        # Pass-through flags reach the wrapped binary only
+        # (`cmd/pockettts/synth.go:173-174` errors identically).
+        if normalize_backend(cfg.tts.backend) != BACKEND_CLI:
+            print(
+                "error: --tts-arg is only supported with --backend cli",
+                file=sys.stderr,
+            )
+            return 2
+        cfg.tts.cli_args = list(tts_args)
 
     text = args.text
     if not text or text == "-":
@@ -455,6 +473,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = add("synth", cmd_synth, "Synthesize text to a WAV file")
     p.add_argument("--text", default="", help="Text to synthesize ('-' or empty = stdin)")
+    p.add_argument(
+        "--tts-arg",
+        action="append",
+        dest="tts_arg",
+        metavar="KEY=VALUE",
+        help="Pass-through pocket-tts flag in key=value form (repeatable; "
+        "--backend cli only)",
+    )
     p.add_argument("--out", default="out.wav", help="Output WAV path ('-' = stdout)")
     p.add_argument(
         "--format",

@@ -108,6 +108,9 @@ class TTSConfig:
     backend: str = BACKEND_TPU
     voice: str = ""
     cli_path: str = ""
+    # Pass-through flags for the external binary (cli backend only;
+    # `synth --tts-arg k=v`, repeatable — `cmd/pockettts/synth.go:74,521-551`).
+    cli_args: List[str] = field(default_factory=list)
     temperature: float = 0.7
     eos_threshold: float = -4.0
     max_steps: int = 256

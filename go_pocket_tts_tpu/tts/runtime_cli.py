@@ -8,22 +8,52 @@ Used by ``serve``/``synth`` when ``--backend cli`` is selected.
 from __future__ import annotations
 
 import subprocess
-from typing import List, Optional
+from typing import List, Optional, Sequence
 
 import numpy as np
 
 from go_pocket_tts_tpu.utils import wav
 
-__all__ = ["CLIRuntime"]
+__all__ = ["CLIRuntime", "build_passthrough_args"]
+
+
+def build_passthrough_args(items: Sequence[str]) -> List[str]:
+    """``k=v`` items → normalized ``--k=v`` flags for the wrapped binary
+    (`cmd/pockettts/synth.go:521-551`): blank items skipped, missing ``=``
+    or empty key rejected, existing ``-``/``--`` prefixes preserved."""
+    args: List[str] = []
+    for item in items:
+        item = item.strip()
+        if not item:
+            continue
+        key, sep, val = item.partition("=")
+        if not sep:
+            raise ValueError(f"invalid --tts-arg {item!r}: expected key=value")
+        key = key.strip()
+        val = val.strip()
+        if not key:
+            raise ValueError(f"invalid --tts-arg {item!r}: empty key")
+        if key.startswith("--") or key.startswith("-"):
+            args.append(f"{key}={val}")
+        else:
+            args.append(f"--{key}={val}")
+    return args
 
 
 class CLIRuntime:
     """Whole-text synthesizer over a subprocess (no tokenizer round-trip)."""
 
-    def __init__(self, cli_path: str = "pocket-tts", quiet: bool = True, timeout: float = 300.0):
+    def __init__(
+        self,
+        cli_path: str = "pocket-tts",
+        quiet: bool = True,
+        timeout: float = 300.0,
+        extra_args: Sequence[str] = (),
+    ):
         self.cli_path = cli_path
         self.quiet = quiet
         self.timeout = timeout
+        self.extra_args = build_passthrough_args(extra_args)
 
     def mimi_timing(self):
         return 12.5, 200.0, 16
@@ -34,6 +64,7 @@ class CLIRuntime:
             cmd += ["--voice", voice_path]
         if self.quiet:
             cmd.append("--quiet")
+        cmd += self.extra_args
         proc = subprocess.run(
             cmd, capture_output=True, timeout=self.timeout, check=False
         )

@@ -250,7 +250,9 @@ class Service:
         elif backend == BACKEND_CLI:
             from go_pocket_tts_tpu.tts.runtime_cli import CLIRuntime
 
-            runtime = CLIRuntime(cfg.tts.cli_path or "pocket-tts")
+            runtime = CLIRuntime(
+                cfg.tts.cli_path or "pocket-tts", extra_args=cfg.tts.cli_args
+            )
         else:  # pragma: no cover
             raise ValueError(f"unsupported backend {backend!r}")
         return cls(runtime, tokenizer, cfg.tts)

@@ -146,6 +146,50 @@ def test_cli_backend_subprocess(tmp_path, monkeypatch):
     assert len(out) == 480
 
 
+def test_cli_backend_passthrough_args(tmp_path):
+    """`--tts-arg k=v` flags reach the wrapped binary normalized to --k=v
+    (`cmd/pockettts/synth.go:521-551` semantics)."""
+    from go_pocket_tts_tpu.tts.runtime_cli import CLIRuntime, build_passthrough_args
+
+    assert build_passthrough_args(
+        [" seed=7 ", "", "--temp=0.5", "-q=1", "speed = fast"]
+    ) == ["--seed=7", "--temp=0.5", "-q=1", "--speed=fast"]
+    with pytest.raises(ValueError, match="expected key=value"):
+        build_passthrough_args(["novalue"])
+    with pytest.raises(ValueError, match="empty key"):
+        build_passthrough_args(["=x"])
+
+    fake = tmp_path / "pocket-tts"
+    payload_wav = tmp_path / "payload.wav"
+    argdump = tmp_path / "args.txt"
+    payload_wav.write_bytes(wav.encode_wav(np.full(480, 0.25, np.float32)))
+    fake.write_text(
+        "#!/bin/sh\n"
+        f'echo "$@" > "{argdump}"\n'
+        f'cat "{payload_wav}"\n'
+    )
+    fake.chmod(0o755)
+
+    rt = CLIRuntime(str(fake), extra_args=["seed=7", "temp=0.5"])
+    samples = rt.synthesize_text("hello", "")
+    assert len(samples) == 480
+    dumped = argdump.read_text()
+    assert "--seed=7" in dumped and "--temp=0.5" in dumped
+
+
+def test_synth_tts_arg_requires_cli_backend(tmp_path, capsys):
+    """Mirror of the reference's guard: --tts-arg with a native backend is
+    a hard error (`cmd/pockettts/synth.go:173-174`)."""
+    from go_pocket_tts_tpu.cli.main import main
+
+    rc = main(
+        ["synth", "--text", "hi", "--out", str(tmp_path / "o.wav"),
+         "--tts-arg", "seed=7"]
+    )
+    assert rc == 2
+    assert "--backend cli" in capsys.readouterr().err
+
+
 def test_cli_backend_failure(tmp_path):
     from go_pocket_tts_tpu.tts.runtime_cli import CLIRuntime
 
