@@ -111,6 +111,9 @@ class TTSConfig:
     # Pass-through flags for the external binary (cli backend only;
     # `synth --tts-arg k=v`, repeatable — `cmd/pockettts/synth.go:74,521-551`).
     cli_args: List[str] = field(default_factory=list)
+    # Pass --quiet to the wrapped binary (cli backend; default true like the
+    # reference, `internal/config/config.go:98,139`).
+    quiet: bool = True
     temperature: float = 0.7
     eos_threshold: float = -4.0
     max_steps: int = 256
@@ -182,6 +185,8 @@ _FLAG_MAP = [
     ("backend", "tts", "backend", str, "Synthesis backend (tpu|native|torch|cli)"),
     ("tts-voice", "tts", "voice", str, "Voice name or .safetensors file path"),
     ("tts-cli-path", "tts", "cli_path", str, "Path to external pocket-tts executable"),
+    ("tts-quiet", "tts", "quiet", _parse_bool,
+     "Pass --quiet to the wrapped pocket-tts binary (cli backend)"),
     ("temperature", "tts", "temperature", float, "Noise temperature for flow sampling"),
     ("eos-threshold", "tts", "eos_threshold", float, "Raw logit threshold for EOS detection"),
     ("max-steps", "tts", "max_steps", int, "Maximum autoregressive generation steps"),

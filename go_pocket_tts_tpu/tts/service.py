@@ -251,7 +251,9 @@ class Service:
             from go_pocket_tts_tpu.tts.runtime_cli import CLIRuntime
 
             runtime = CLIRuntime(
-                cfg.tts.cli_path or "pocket-tts", extra_args=cfg.tts.cli_args
+                cfg.tts.cli_path or "pocket-tts",
+                quiet=cfg.tts.quiet,
+                extra_args=cfg.tts.cli_args,
             )
         else:  # pragma: no cover
             raise ValueError(f"unsupported backend {backend!r}")

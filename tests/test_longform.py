@@ -175,6 +175,11 @@ def test_cli_backend_passthrough_args(tmp_path):
     assert len(samples) == 480
     dumped = argdump.read_text()
     assert "--seed=7" in dumped and "--temp=0.5" in dumped
+    assert "--quiet" in dumped  # tts.quiet defaults true like the reference
+
+    rt = CLIRuntime(str(fake), quiet=False)
+    rt.synthesize_text("hello", "")
+    assert "--quiet" not in argdump.read_text()
 
 
 def test_synth_tts_arg_requires_cli_backend(tmp_path, capsys):
