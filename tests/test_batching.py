@@ -78,6 +78,43 @@ def test_batched_more_requests_than_slots(model):
     assert all(len(o) == 3 * 1920 for o in outs)
 
 
+def test_batched_16_slots_oversubscribed(model):
+    """CPU smoke at the hardware-session scale (exp_slot_scaling runs 16/32
+    slots): 24 requests through 16 slots with int8 weights+KV and burst
+    admission must all match the single-request engine at temp 0. Guards
+    the wide-batch paths (_pad_count at full slots, epoch recycling under
+    churn) that 2-4-slot tests never reach."""
+    from go_pocket_tts_tpu.models.quantize import quantize_model_params
+    from go_pocket_tts_tpu.models.model import PocketTTSModel
+
+    qmodel = PocketTTSModel(quantize_model_params(model.params), model.config)
+    want = {}
+    single = TPURuntime(qmodel, seed=3, frame_bucket=64)
+    tokens = [[3 + (i % 7), 4, 5 + (i % 3)] for i in range(24)]
+    for i in (0, 7, 23):  # spot-check oracle lanes only (CPU time)
+        want[i] = single.generate_audio(tokens[i], _cfg(max_steps=3))
+
+    batcher = ContinuousBatcher(
+        model, slots=16, prompt_capacity=64, max_frames=64, seed=3,
+        quantize=True, kv_quantize=True, steps_per_sync=4,
+    )
+    batcher.start()
+    try:
+        futs = [batcher.submit(t, _cfg(max_steps=3)) for t in tokens]
+        outs = [f.result(timeout=300) for f in futs]
+    finally:
+        batcher.stop()
+    assert all(len(o) == 3 * 1920 for o in outs)
+    # int8 KV perturbs vs the full-precision-KV single engine: bounded drift.
+    for i, ref in want.items():
+        rms = np.sqrt(np.mean((outs[i] - ref) ** 2))
+        assert rms < 0.05 * (np.std(ref) + 1e-6), (i, rms)
+    # Batch-position invariance at width 16: identical inputs (lanes 0 and
+    # 21 share tokens) must produce identical audio at temp 0.
+    assert tokens[0] == tokens[21]
+    np.testing.assert_array_equal(outs[0], outs[21])
+
+
 def test_batched_eos_early_exit(model):
     """eos_threshold=-inf → EOS at step 0 → frames_after_eos+1 frames."""
     batcher = ContinuousBatcher(model, slots=2, prompt_capacity=64, max_frames=64, seed=3)
