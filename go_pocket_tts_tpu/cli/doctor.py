@@ -168,11 +168,25 @@ def run_doctor(
         preview = deepcopy(cfg)
         changes = apply_serving_autotune(preview)
         if changes:
+            note = ""
+            try:
+                from go_pocket_tts_tpu.utils.safetensors import read_header_metadata
+
+                fmt = read_header_metadata(cfg.paths.model_path).get(
+                    "pockettts.quantize", ""
+                )
+                if fmt and any("runtime.quantize=" in c for c in changes):
+                    # Weights arrive already quantized; the walk is a no-op
+                    # and the artifact's width is what actually serves.
+                    note = f" [checkpoint pre-quantized {fmt}: weight walk is a no-op]"
+            except Exception:  # noqa: BLE001 - preview only; missing file etc.
+                pass
             res.record(
                 "serving autotune",
                 True,
                 "serve will apply: " + "; ".join(changes)
-                + " (explicit flags override; --runtime-autotune false disables)",
+                + " (explicit flags override; --runtime-autotune false disables)"
+                + note,
             )
         else:
             res.record(
