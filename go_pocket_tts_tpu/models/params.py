@@ -103,8 +103,13 @@ def _prequantized_linear_params(
     stored = vb.stored_dtype(name + ".weight")
     scale = np.asarray(vb.raw(name + ".weight_scale"), dtype=np.float32)
     if stored == "U8":
+        import ml_dtypes
+
         vals = unpack_nibbles(vb.raw(name + ".weight"))  # [out, in]
-        w = jnp.asarray(vals.T).astype(jnp.int4)
+        # Convert to s4 on the host (ml_dtypes): ~20x faster than a
+        # device-side astype(int4) per tensor (int4 artifact cold start
+        # 1.4 -> ~0.4 s at real-arch size).
+        w = jnp.asarray(vals.T.astype(ml_dtypes.int4))
     else:
         w = jnp.asarray(vb.raw(name + ".weight").T)  # int8 [in, out]
     out_dim = w.shape[1]
