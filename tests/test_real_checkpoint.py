@@ -62,3 +62,38 @@ def test_real_synthesis_end_to_end():
     assert len(audio) >= 1920 * 5
     assert np.all(np.isfinite(audio))
     assert float(np.abs(audio).max()) > 1e-3  # not silence
+
+
+@requires_checkpoint
+def test_real_quantized_export_roundtrip(tmp_path):
+    """Day-one check when assets land: `model export --quantize int8` on the
+    REAL checkpoint loads leaf-exact vs load-time quantization (the synthetic
+    tests pin the math; this pins it against real weight distributions,
+    including any odd shapes the synthetic arch lacks)."""
+    from go_pocket_tts_tpu.model_assets.quantize_export import (
+        build_quantized_checkpoint,
+    )
+    from go_pocket_tts_tpu.models.model import load_model, load_model_from_store
+    from go_pocket_tts_tpu.models.quantize import quantize_model_params
+    from go_pocket_tts_tpu.utils.safetensors import open_store, write_file
+
+    import jax
+    import jax.numpy as jnp
+
+    tensors, metadata, quantized = build_quantized_checkpoint(
+        open_store(MODEL_PATH), bits=8
+    )
+    assert quantized, "no linears recorded on the real checkpoint"
+    out = tmp_path / "real.int8.safetensors"
+    write_file(out, tensors, metadata=metadata)
+
+    pre = load_model_from_store(open_store(out))
+    ref_q = quantize_model_params(load_model(MODEL_PATH).params, bits=8)
+    la = jax.tree_util.tree_flatten_with_path(pre.params)[0]
+    lb = jax.tree_util.tree_flatten_with_path(ref_q)[0]
+    assert [p for p, _ in la] == [p for p, _ in lb]
+    for (path, x), (_, y) in zip(la, lb):
+        assert x.dtype == y.dtype, path
+        if x.dtype == jnp.int4:
+            x, y = x.astype(jnp.int8), y.astype(jnp.int8)
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=str(path))
