@@ -112,6 +112,27 @@ def run_doctor(
     except Exception as exc:  # noqa: BLE001
         res.record("native helpers", False, str(exc))
 
+    # External-binary probe for the cli backend (`cmd/pockettts/doctor.go:110-118`
+    # runs `pocket-tts --version`).
+    from go_pocket_tts_tpu.config import BACKEND_CLI, normalize_backend
+
+    if normalize_backend(cfg.tts.backend) == BACKEND_CLI:
+        import subprocess
+
+        exe = cfg.tts.cli_path or "pocket-tts"
+        try:
+            proc = subprocess.run(
+                [exe, "--version"], capture_output=True, timeout=10, text=True
+            )
+            version = (proc.stdout or proc.stderr).strip().splitlines()
+            res.record(
+                "pocket-tts binary",
+                proc.returncode == 0,
+                version[0] if version else f"rc={proc.returncode}",
+            )
+        except Exception as exc:  # noqa: BLE001
+            res.record("pocket-tts binary", False, f"{exe}: {exc}")
+
     model_ok = os.path.exists(cfg.paths.model_path)
     res.record("model file", model_ok, cfg.paths.model_path)
     if model_ok:

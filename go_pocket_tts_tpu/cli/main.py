@@ -318,10 +318,14 @@ def cmd_model_download(args) -> int:
         print(f"  {name}: {pct}", file=sys.stderr)
 
     repo = args.repo or mf.GATED_REPO
+    token = getattr(args, "hf_token", "") or os.environ.get("HF_TOKEN", "")
     try:
-        resolved = dl.download_manifest(mf.pinned_manifest(repo), args.dest, progress)
+        resolved = dl.download_manifest(
+            mf.pinned_manifest(repo), args.dest, progress, token=token
+        )
     except dl.AccessDeniedError:
-        # Gated-repo fallback (`cmd/pockettts/model_download.go:38-62`).
+        # Gated-repo fallback (`cmd/pockettts/model_download.go:38-62`); the
+        # token is dropped for the ungated repo (`model_download.go:50`).
         log.warning("access denied for %s; falling back to %s", repo, mf.UNGATED_REPO)
         resolved = dl.download_manifest(
             mf.pinned_manifest(mf.UNGATED_REPO), args.dest, progress
@@ -450,7 +454,8 @@ def cmd_voice_download(args) -> int:
     from go_pocket_tts_tpu.model_assets import download as dl
     from go_pocket_tts_tpu.model_assets import manifest as mf
 
-    resolved = dl.download_manifest(mf.voice_manifest(), args.dest)
+    token = getattr(args, "hf_token", "") or os.environ.get("HF_TOKEN", "")
+    resolved = dl.download_manifest(mf.voice_manifest(), args.dest, token=token)
     print(json.dumps(resolved, indent=2))
     return 0
 
@@ -514,8 +519,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
 
     p = add("export-voice", cmd_export_voice, "Export a voice from a WAV prompt")
-    p.add_argument("--input", required=True, help="Input speaker WAV")
-    p.add_argument("--output", required=True, help="Output .safetensors path")
+    p.add_argument(
+        "--input", "--audio", dest="input", required=True,
+        help="Input speaker WAV (--audio: reference alias)",
+    )
+    p.add_argument(
+        "--output", "--out", dest="output", required=True,
+        help="Output .safetensors path (--out: reference alias)",
+    )
     p.add_argument("--voice-id", default="", help="Suggested manifest id")
     p.add_argument(
         "--format",
@@ -548,6 +559,11 @@ def build_parser() -> argparse.ArgumentParser:
     register_flags(p)
     p.add_argument("--repo", default="", help="HF repo (default gated, auto-fallback)")
     p.add_argument("--dest", default="models", help="Destination directory")
+    p.add_argument(
+        "--hf-token",
+        default="",
+        help="Hugging Face token (falls back to HF_TOKEN env var)",
+    )
     p.set_defaults(fn=cmd_model_download)
     p = msub.add_parser("download-bundle", help="Download + verify a tar.gz/zip asset bundle")
     p.add_argument("--bundle-url", default="", help="Explicit bundle URL (http(s):// or file://)")
@@ -589,6 +605,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = vsub.add_parser("download")
     register_flags(p)
     p.add_argument("--dest", default="voices", help="Destination directory")
+    p.add_argument(
+        "--hf-token",
+        default="",
+        help="Hugging Face token (falls back to HF_TOKEN env var)",
+    )
     p.set_defaults(fn=cmd_voice_download)
 
     return parser

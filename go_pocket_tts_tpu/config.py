@@ -114,6 +114,9 @@ class TTSConfig:
     # Pass --quiet to the wrapped binary (cli backend; default true like the
     # reference, `internal/config/config.go:98,139`).
     quiet: bool = True
+    # Config file forwarded to the wrapped binary as --config
+    # (`internal/config/config.go:137`, `cmd/pockettts/synth.go:224-226`).
+    cli_config_path: str = ""
     temperature: float = 0.7
     eos_threshold: float = -4.0
     max_steps: int = 256
@@ -187,6 +190,8 @@ _FLAG_MAP = [
     ("tts-cli-path", "tts", "cli_path", str, "Path to external pocket-tts executable"),
     ("tts-quiet", "tts", "quiet", _parse_bool,
      "Pass --quiet to the wrapped pocket-tts binary (cli backend)"),
+    ("tts-cli-config-path", "tts", "cli_config_path", str,
+     "Config file passed to the wrapped pocket-tts binary as --config"),
     ("temperature", "tts", "temperature", float, "Noise temperature for flow sampling"),
     ("eos-threshold", "tts", "eos_threshold", float, "Raw logit threshold for EOS detection"),
     ("max-steps", "tts", "max_steps", int, "Maximum autoregressive generation steps"),

@@ -111,9 +111,25 @@ def download_manifest(
     dest_dir: str,
     progress: Optional[Callable[[str, int, int], None]] = None,
     opener=urllib.request.urlopen,
+    token: str = "",
 ) -> Dict[str, str]:
     """Download every manifest file into ``dest_dir``; returns
-    filename→sha256. Writes the lock manifest on success."""
+    filename→sha256. Writes the lock manifest on success. ``token`` adds a
+    Bearer Authorization header for gated repos (`--hf-token` / ``HF_TOKEN``,
+    `cmd/pockettts-tools/model_download.go:74`); callers drop it on the
+    ungated fallback like the reference (`model_download.go:50`)."""
+    if token:
+        base_opener = opener
+
+        def opener(url_or_req):  # noqa: F811 - deliberate authorized wrapper
+            req = (
+                url_or_req
+                if isinstance(url_or_req, urllib.request.Request)
+                else urllib.request.Request(url_or_req)
+            )
+            req.add_header("Authorization", f"Bearer {token}")
+            return base_opener(req)
+
     os.makedirs(dest_dir, exist_ok=True)
     resolved: Dict[str, str] = {}
     for mf in manifest.files:

@@ -49,11 +49,13 @@ class CLIRuntime:
         quiet: bool = True,
         timeout: float = 300.0,
         extra_args: Sequence[str] = (),
+        config_path: str = "",
     ):
         self.cli_path = cli_path
         self.quiet = quiet
         self.timeout = timeout
         self.extra_args = build_passthrough_args(extra_args)
+        self.config_path = config_path
 
     def mimi_timing(self):
         return 12.5, 200.0, 16
@@ -62,6 +64,8 @@ class CLIRuntime:
         cmd: List[str] = [self.cli_path, "generate", "--text", text, "--output-path", "-"]
         if voice_path:
             cmd += ["--voice", voice_path]
+        if self.config_path:
+            cmd += ["--config", self.config_path]
         if self.quiet:
             cmd.append("--quiet")
         cmd += self.extra_args

@@ -254,6 +254,7 @@ class Service:
                 cfg.tts.cli_path or "pocket-tts",
                 quiet=cfg.tts.quiet,
                 extra_args=cfg.tts.cli_args,
+                config_path=cfg.tts.cli_config_path,
             )
         else:  # pragma: no cover
             raise ValueError(f"unsupported backend {backend!r}")

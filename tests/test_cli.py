@@ -180,6 +180,40 @@ def test_doctor_all_green(tmp_path):
     assert "✓ tokenizer backend" in out.getvalue()
 
 
+def test_doctor_probes_cli_binary_version(tmp_path):
+    """With --backend cli, doctor runs `<binary> --version` like the
+    reference (`cmd/pockettts/doctor.go:110-118`)."""
+    fake = tmp_path / "pocket-tts"
+    fake.write_text("#!/bin/sh\necho pocket-tts 9.9.9\n")
+    fake.chmod(0o755)
+    cfg = cfgmod.Config()
+    cfg.tts.backend = "cli"
+    cfg.tts.cli_path = str(fake)
+    cfg.paths.model_path = str(tmp_path / "missing")
+    out = io.StringIO()
+    run_doctor(
+        cfg,
+        out=out,
+        jax_probe=lambda: "jax x.y",
+        native_probe=lambda: "lib ok",
+        tokenizer_probe=lambda p: (True, "backend=hf"),
+    )
+    assert "pocket-tts binary" in out.getvalue()
+    assert "pocket-tts 9.9.9" in out.getvalue()
+
+    cfg.tts.cli_path = str(tmp_path / "nonexistent")
+    out2 = io.StringIO()
+    res = run_doctor(
+        cfg,
+        out=out2,
+        jax_probe=lambda: "jax x.y",
+        native_probe=lambda: "lib ok",
+        tokenizer_probe=lambda p: (True, "backend=hf"),
+    )
+    assert "✗ pocket-tts binary" in out2.getvalue()
+    assert not res.ok
+
+
 def test_doctor_previews_serving_autotune(tmp_path):
     """Batch serving: doctor shows what `serve` will autotune so operators
     see the effective config before traffic (VERDICT r3 #3)."""
@@ -317,6 +351,29 @@ class _FakeResponse(io.BytesIO):
 
     def __exit__(self, *a):
         return False
+
+
+def test_download_manifest_hf_token_header(tmp_path):
+    """--hf-token adds a Bearer Authorization header to every request
+    (`cmd/pockettts-tools/model_download.go:74`)."""
+    import hashlib
+    import urllib.request
+
+    payload = b"gated-bytes"
+    digest = hashlib.sha256(payload).hexdigest()
+    manifest = mf.Manifest(
+        repo="test/gated",
+        files=[mf.ModelFile("g.bin", "rev", sha256=digest)],
+    )
+    seen = []
+
+    def opener(req):
+        assert isinstance(req, urllib.request.Request)
+        seen.append(req.get_header("Authorization"))
+        return _FakeResponse(payload, {"Content-Length": str(len(payload))})
+
+    dl.download_manifest(manifest, str(tmp_path), opener=opener, token="tok123")
+    assert seen and all(h == "Bearer tok123" for h in seen)
 
 
 def test_download_manifest_checksum_and_lock(tmp_path):

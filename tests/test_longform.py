@@ -181,6 +181,10 @@ def test_cli_backend_passthrough_args(tmp_path):
     rt.synthesize_text("hello", "")
     assert "--quiet" not in argdump.read_text()
 
+    rt = CLIRuntime(str(fake), config_path="/etc/ptts.toml")
+    rt.synthesize_text("hello", "")
+    assert "--config /etc/ptts.toml" in argdump.read_text()
+
 
 def test_synth_tts_arg_requires_cli_backend(tmp_path, capsys):
     """Mirror of the reference's guard: --tts-arg with a native backend is
