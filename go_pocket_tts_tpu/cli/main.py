@@ -319,16 +319,21 @@ def cmd_model_download(args) -> int:
 
     repo = args.repo or mf.GATED_REPO
     token = getattr(args, "hf_token", "") or os.environ.get("HF_TOKEN", "")
+    fallback_repo = getattr(args, "fallback_repo", "") or mf.UNGATED_REPO
     try:
         resolved = dl.download_manifest(
             mf.pinned_manifest(repo), args.dest, progress, token=token
         )
     except dl.AccessDeniedError:
         # Gated-repo fallback (`cmd/pockettts/model_download.go:38-62`); the
-        # token is dropped for the ungated repo (`model_download.go:50`).
-        log.warning("access denied for %s; falling back to %s", repo, mf.UNGATED_REPO)
+        # token is dropped for the ungated repo (`model_download.go:50`);
+        # `--fallback-ungated false` disables the retry
+        # (`cmd/pockettts-tools/model_download.go:75-76`).
+        if not getattr(args, "fallback_ungated", True):
+            raise
+        log.warning("access denied for %s; falling back to %s", repo, fallback_repo)
         resolved = dl.download_manifest(
-            mf.pinned_manifest(mf.UNGATED_REPO), args.dest, progress
+            mf.pinned_manifest(fallback_repo), args.dest, progress
         )
     print(json.dumps(resolved, indent=2))
     return 0
@@ -557,12 +562,29 @@ def build_parser() -> argparse.ArgumentParser:
     msub = model.add_subparsers(dest="model_command", required=True)
     p = msub.add_parser("download")
     register_flags(p)
-    p.add_argument("--repo", default="", help="HF repo (default gated, auto-fallback)")
-    p.add_argument("--dest", default="models", help="Destination directory")
+    p.add_argument(
+        "--repo", "--hf-repo", dest="repo", default="",
+        help="HF repo (default gated, auto-fallback; --hf-repo: reference alias)",
+    )
+    p.add_argument(
+        "--dest", "--out-dir", dest="dest", default="models",
+        help="Destination directory (--out-dir: reference alias)",
+    )
     p.add_argument(
         "--hf-token",
         default="",
         help="Hugging Face token (falls back to HF_TOKEN env var)",
+    )
+    p.add_argument(
+        "--fallback-ungated",
+        default=True,
+        type=lambda v: v.lower() not in ("0", "false", "no"),
+        help="On gated access failure, retry with the ungated repo",
+    )
+    p.add_argument(
+        "--fallback-repo",
+        default="",
+        help="Ungated repo used when --fallback-ungated is enabled",
     )
     p.set_defaults(fn=cmd_model_download)
     p = msub.add_parser("download-bundle", help="Download + verify a tar.gz/zip asset bundle")
@@ -604,7 +626,10 @@ def build_parser() -> argparse.ArgumentParser:
     vsub = voice.add_subparsers(dest="voice_command", required=True)
     p = vsub.add_parser("download")
     register_flags(p)
-    p.add_argument("--dest", default="voices", help="Destination directory")
+    p.add_argument(
+        "--dest", "--out-dir", dest="dest", default="voices",
+        help="Destination directory (--out-dir: reference alias)",
+    )
     p.add_argument(
         "--hf-token",
         default="",

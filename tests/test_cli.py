@@ -376,6 +376,37 @@ def test_download_manifest_hf_token_header(tmp_path):
     assert seen and all(h == "Bearer tok123" for h in seen)
 
 
+def test_model_download_fallback_flags(tmp_path, monkeypatch, capsys):
+    """CLI fallback semantics: token dropped on the ungated retry;
+    --fallback-ungated false disables the retry; --hf-repo alias parses
+    (`cmd/pockettts-tools/model_download.go:72-76`)."""
+    calls = []
+
+    def fake_dl(manifest, dest, progress=None, token=""):
+        calls.append((manifest.repo, token))
+        if len(calls) == 1:
+            raise dl.AccessDeniedError("denied")
+        return {"file.bin": "abc"}
+
+    monkeypatch.setattr(dl, "download_manifest", fake_dl)
+    rc = main(
+        ["model", "download", "--hf-repo", mf.GATED_REPO,
+         "--out-dir", str(tmp_path), "--hf-token", "tok"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    assert calls[0] == (mf.GATED_REPO, "tok")
+    assert calls[1][1] == ""  # fallback retries without the token
+
+    calls.clear()
+    with pytest.raises(dl.AccessDeniedError):
+        main(
+            ["model", "download", "--hf-repo", mf.GATED_REPO,
+             "--dest", str(tmp_path), "--fallback-ungated", "false"]
+        )
+    assert len(calls) == 1  # no retry
+
+
 def test_download_manifest_checksum_and_lock(tmp_path):
     import hashlib
 
