@@ -86,12 +86,21 @@ def cmd_synth(args) -> int:
     tts_args = getattr(args, "tts_arg", None) or []
     if tts_args:
         # Pass-through flags reach the wrapped binary only
-        # (`cmd/pockettts/synth.go:173-174` errors identically).
+        # (`cmd/pockettts/synth.go:173-174` errors identically); validate the
+        # key=value format HERE so a malformed item is a clean rc=2 error,
+        # not a traceback out of Service construction.
         if normalize_backend(cfg.tts.backend) != BACKEND_CLI:
             print(
                 "error: --tts-arg is only supported with --backend cli",
                 file=sys.stderr,
             )
+            return 2
+        from go_pocket_tts_tpu.tts.runtime_cli import build_passthrough_args
+
+        try:
+            build_passthrough_args(tts_args)
+        except ValueError as exc:
+            print(f"error: {exc}", file=sys.stderr)
             return 2
         cfg.tts.cli_args = list(tts_args)
 
@@ -400,21 +409,9 @@ def cmd_model_export(args) -> int:
             format=metadata.get(QUANT_METADATA_KEY, "unquantized"),
         )
     else:
-        tensors = {}
-        if float_dtype == "bf16":
-            from go_pocket_tts_tpu.model_assets.quantize_export import to_bf16
+        from go_pocket_tts_tpu.model_assets.quantize_export import reencode_tensor
 
-            float_kinds = ("F32", "F16", "BF16")
-            for name in keep:
-                # Quantization scales must stay f32-exact even on re-encode.
-                if store.dtype(name) in float_kinds and not name.endswith(
-                    ".weight_scale"
-                ):
-                    tensors[name] = to_bf16(store.tensor_f32(name))
-                else:
-                    tensors[name] = store.tensor(name)
-        else:
-            tensors = {name: store.tensor(name) for name in keep}
+        tensors = {name: reencode_tensor(store, name, float_dtype) for name in keep}
         write_file(args.output, tensors, metadata=dict(store.metadata) or None)
         result["tensors"] = len(tensors)
     print(json.dumps(result))
@@ -575,10 +572,12 @@ def build_parser() -> argparse.ArgumentParser:
         default="",
         help="Hugging Face token (falls back to HF_TOKEN env var)",
     )
+    from go_pocket_tts_tpu.config import _parse_bool
+
     p.add_argument(
         "--fallback-ungated",
         default=True,
-        type=lambda v: v.lower() not in ("0", "false", "no"),
+        type=_parse_bool,
         help="On gated access failure, retry with the ungated repo",
     )
     p.add_argument(

@@ -127,7 +127,10 @@ def download_manifest(
                 if isinstance(url_or_req, urllib.request.Request)
                 else urllib.request.Request(url_or_req)
             )
-            req.add_header("Authorization", f"Bearer {token}")
+            # Unredirected: HF gated downloads 302 to a presigned CDN URL;
+            # forwarding the bearer token there both leaks it and makes S3
+            # reject the request (two auth mechanisms).
+            req.add_unredirected_header("Authorization", f"Bearer {token}")
             return base_opener(req)
 
     os.makedirs(dest_dir, exist_ok=True)

@@ -48,6 +48,7 @@ __all__ = [
     "dequantize_weight_np",
     "build_quantized_checkpoint",
     "to_bf16",
+    "reencode_tensor",
 ]
 
 QUANT_METADATA_KEY = "pockettts.quantize"
@@ -139,6 +140,21 @@ def to_bf16(a: np.ndarray) -> np.ndarray:
     return np.asarray(a, dtype=ml_dtypes.bfloat16)
 
 
+def reencode_tensor(store: Store, name: str, float_dtype: str = "f32") -> np.ndarray:
+    """One tensor of a re-encode: bf16-convert float tensors when requested
+    (never ``.weight_scale`` companions — those stay f32-exact), pass
+    everything else through untouched. The single definition of the
+    per-tensor storage-dtype decision, shared by the quantizing and plain
+    export paths."""
+    if (
+        float_dtype == "bf16"
+        and store.dtype(name) in _FLOAT_DTYPES
+        and not name.endswith(".weight_scale")
+    ):
+        return to_bf16(store.tensor_f32(name))
+    return store.tensor(name)
+
+
 def build_quantized_checkpoint(
     store: Store,
     bits: int,
@@ -168,14 +184,8 @@ def build_quantized_checkpoint(
             tensors[name] = q
             tensors[name + "_scale"] = scale
             quantized.append(name)
-        elif (
-            float_dtype == "bf16"
-            and store.dtype(name) in _FLOAT_DTYPES
-            and not name.endswith(".weight_scale")
-        ):
-            tensors[name] = to_bf16(store.tensor_f32(name))
         else:
-            tensors[name] = store.tensor(name)
+            tensors[name] = reencode_tensor(store, name, float_dtype)
     metadata = dict(store.metadata)
     if quantized:
         metadata[QUANT_METADATA_KEY] = (

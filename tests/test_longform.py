@@ -198,6 +198,15 @@ def test_synth_tts_arg_requires_cli_backend(tmp_path, capsys):
     assert rc == 2
     assert "--backend cli" in capsys.readouterr().err
 
+    # Malformed items fail with a clean rc=2 parse error, not a traceback
+    # out of Service construction.
+    rc = main(
+        ["synth", "--backend", "cli", "--text", "hi",
+         "--out", str(tmp_path / "o.wav"), "--tts-arg", "novalue"]
+    )
+    assert rc == 2
+    assert "expected key=value" in capsys.readouterr().err
+
 
 def test_cli_backend_failure(tmp_path):
     from go_pocket_tts_tpu.tts.runtime_cli import CLIRuntime
