@@ -55,6 +55,84 @@ def test_tts_through_real_pipeline(server):
     assert np.all(np.isfinite(samples))
 
 
+@pytest.fixture(scope="module")
+def batch_server():
+    """Continuous batcher behind the HTTP server — the production serving
+    shape (config 4/5), here at 2 slots on the tiny arch."""
+    from go_pocket_tts_tpu.parallel.batching import BatcherRuntime
+
+    model = load_model_from_store(
+        open_store_from_bytes(encode_tensors(synthetic.build_checkpoint(ARCH, seed=77))),
+        num_heads=ARCH.num_heads,
+    )
+    rt = BatcherRuntime(
+        model, slots=2, seed=11, prompt_capacity=64,
+        quantize=True, kv_quantize=True,
+    )
+    svc = Service(rt, _Tok(), TTSConfig(temperature=0.0, eos_threshold=1e9, max_steps=4))
+    srv = Server(svc, listen_addr="127.0.0.1:0", workers=8, request_timeout=180)
+    srv.start()
+    yield srv
+    srv.shutdown()
+    rt.close()
+
+
+def test_mixed_protocol_concurrency_through_batcher(batch_server):
+    """Plain /tts, chunked /tts/stream, SSE progress, and FLAC requests all
+    in flight at once against the 2-slot batcher: every response valid, and
+    identical-input plain/stream/SSE bodies decode to the same audio."""
+    import base64
+    import concurrent.futures
+
+    port = batch_server.port
+
+    def plain():
+        with _post(f"http://127.0.0.1:{port}/tts", {"text": "hello world again"}) as r:
+            assert r.headers["Content-Type"].startswith("audio/wav")
+            return wav.decode_wav(r.read())[0]
+
+    def stream():
+        with _post(
+            f"http://127.0.0.1:{port}/tts/stream", {"text": "hello world again"}
+        ) as r:
+            return wav.decode_wav(r.read())[0]
+
+    def sse():
+        with _post(
+            f"http://127.0.0.1:{port}/tts",
+            {"text": "hello world again", "progress": True},
+        ) as r:
+            assert r.headers["Content-Type"].startswith("text/event-stream")
+            raw = r.read().decode()
+        events = [b for b in raw.strip().split("\n\n") if b]
+        kinds = [e.splitlines()[0].split(": ", 1)[1] for e in events]
+        assert "audio" in kinds and "progress" in kinds, kinds
+        datum = json.loads(events[kinds.index("audio")].splitlines()[1].split(": ", 1)[1])
+        return wav.decode_wav(base64.b64decode(datum["audio_b64"]))[0]
+
+    def flac():
+        with _post(
+            f"http://127.0.0.1:{port}/tts", {"text": "other words", "format": "flac"}
+        ) as r:
+            assert r.headers["Content-Type"].startswith("audio/flac")
+            body = r.read()
+        from go_pocket_tts_tpu.utils.flac import decode_flac
+
+        pcm16, rate = decode_flac(body)
+        assert rate == 24000
+        return pcm16
+
+    jobs = [plain, stream, sse, flac, plain, stream, sse, flac]
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = [f.result(timeout=300) for f in [ex.submit(j) for j in jobs]]
+
+    a_plain, a_stream, a_sse = results[0], results[1], results[2]
+    assert len(a_plain) == 4 * 1920
+    np.testing.assert_allclose(a_stream, a_plain, atol=2e-3)
+    np.testing.assert_allclose(a_sse, a_plain, atol=2e-3)
+    assert np.array_equal(results[0], results[4])  # temp-0 determinism under load
+
+
 def test_tts_stream_frame_level(server):
     """/tts/stream uses frame streaming with the TPU runtime: the de-chunked
     stream must equal the non-streamed synthesis (temp=0, same seed stream —
