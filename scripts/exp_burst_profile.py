@@ -18,6 +18,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
+if os.environ.get("POCKETTTS_EXP_SMOKE"):
+    # CPU crash-smoke (sitecustomize ignores JAX_PLATFORMS — must pin via
+    # config before backend init). Pair with ARCH=tiny SLOTS=2 N_REQ=4 K=8.
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
@@ -36,7 +40,11 @@ K = int(os.environ.get("K", "64"))
 SLOTS = int(os.environ.get("SLOTS", "8"))
 N_REQ = int(os.environ.get("N_REQ", str(2 * SLOTS)))
 
-arch = synthetic.real_arch()
+arch = (
+    synthetic.tiny_arch()
+    if os.environ.get("ARCH") == "tiny"
+    else synthetic.real_arch()
+)
 store = open_store_from_bytes(encode_tensors(synthetic.build_checkpoint(arch, seed=0)))
 model = load_model_from_store(store, num_heads=arch.num_heads)
 

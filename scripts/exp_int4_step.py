@@ -31,6 +31,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
+if os.environ.get("POCKETTTS_EXP_SMOKE"):
+    # CPU crash-smoke (the axon sitecustomize ignores JAX_PLATFORMS; this
+    # config update must land before any backend init). Pair with
+    # ARCH=tiny SLOTS=2 BLOCKS=2 REPS=1 for a fast run.
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
@@ -46,11 +51,17 @@ from go_pocket_tts_tpu.parallel.batching import (
 )
 from go_pocket_tts_tpu.utils.safetensors import encode_tensors, open_store_from_bytes
 
-SLOTS = 8
+SLOTS = int(os.environ.get("SLOTS", "8"))
 CAPACITY = 224
 MAXF = 176
+BLOCKS = int(os.environ.get("BLOCKS", "8"))
+REPS = int(os.environ.get("REPS", "3"))
 
-arch = synthetic.real_arch()
+arch = (
+    synthetic.tiny_arch()
+    if os.environ.get("ARCH") == "tiny"
+    else synthetic.real_arch()
+)
 store = open_store_from_bytes(encode_tensors(synthetic.build_checkpoint(arch, seed=0)))
 model = load_model_from_store(store, num_heads=arch.num_heads).astype(jnp.bfloat16)
 cfg = model.config.flow_lm
@@ -98,8 +109,8 @@ for name, params, variant in (
         # Distinct variants trace to distinct programs; clear jit caches so
         # the switch is honored even though params are pytree-identical.
         jax.clear_caches()
-    t16 = min(run_blocks(params, 16, 8) for _ in range(3)) / 8
-    t64 = min(run_blocks(params, 64, 8) for _ in range(3)) / 8
+    t16 = min(run_blocks(params, 16, BLOCKS) for _ in range(REPS)) / BLOCKS
+    t64 = min(run_blocks(params, 64, BLOCKS) for _ in range(REPS)) / BLOCKS
     per_step = (t64 - t16) / 48
     print(
         f"{name:20s} per-step (batch {SLOTS}): {per_step*1e3:.3f} ms  "

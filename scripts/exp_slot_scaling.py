@@ -17,6 +17,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
+if os.environ.get("POCKETTTS_EXP_SMOKE"):
+    # CPU crash-smoke (sitecustomize ignores JAX_PLATFORMS — must pin via
+    # config before backend init). Pair with ARCH=tiny SLOTS_LIST=2 K=8.
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
@@ -33,7 +37,11 @@ QUANT = os.environ.get("Q", "1") != "0"
 K = int(os.environ.get("K", "64"))
 SLOTS_LIST = [int(x) for x in os.environ.get("SLOTS_LIST", "8,16,32").split(",")]
 
-arch = synthetic.real_arch()
+arch = (
+    synthetic.tiny_arch()
+    if os.environ.get("ARCH") == "tiny"
+    else synthetic.real_arch()
+)
 store = open_store_from_bytes(encode_tensors(synthetic.build_checkpoint(arch, seed=0)))
 model = load_model_from_store(store, num_heads=arch.num_heads)
 
