@@ -606,6 +606,24 @@ def make_handler(
     return Handler
 
 
+class _QuietThreadingHTTPServer(ThreadingHTTPServer):
+    """Client disconnects (broken pipe / reset while we stream or reply)
+    are routine for a streaming server; socketserver's default prints a
+    full traceback to stderr per occurrence. Log one structured line
+    instead, and keep real handler bugs loud."""
+
+    def handle_error(self, request, client_address):  # noqa: N802 (stdlib API)
+        import sys
+
+        exc = sys.exc_info()[1]
+        if isinstance(
+            exc, (BrokenPipeError, ConnectionResetError, ConnectionAbortedError)
+        ):
+            log.debug("client %s disconnected mid-request: %r", client_address, exc)
+            return
+        log.error("unhandled error serving %s", client_address, exc_info=True)
+
+
 class Server:
     """Lifecycle wrapper: listen, serve in background, graceful shutdown
     (`server.go:441-514`)."""
@@ -630,7 +648,7 @@ class Server:
             request_timeout=request_timeout,
             workers=workers,
         )
-        self._httpd = ThreadingHTTPServer(self._addr, handler)
+        self._httpd = _QuietThreadingHTTPServer(self._addr, handler)
         self._httpd.daemon_threads = True
         self._thread: Optional[threading.Thread] = None
 
