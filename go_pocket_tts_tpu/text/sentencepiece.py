@@ -61,15 +61,21 @@ def _iter_fields(data: bytes) -> Iterator[Tuple[int, int, bytes | int]]:
             val, pos = _read_varint(data, pos)
             yield fieldno, wire, val
         elif wire == 1:  # fixed64
+            if len(data) - pos < 8:
+                raise ValueError("sentencepiece: truncated fixed64 field")
             val = data[pos : pos + 8]
             pos += 8
             yield fieldno, wire, val
         elif wire == 2:  # length-delimited
             ln, pos = _read_varint(data, pos)
+            if ln > len(data) - pos:
+                raise ValueError("sentencepiece: truncated length-delimited field")
             val = data[pos : pos + ln]
             pos += ln
             yield fieldno, wire, val
         elif wire == 5:  # fixed32
+            if len(data) - pos < 4:
+                raise ValueError("sentencepiece: truncated fixed32 field")
             val = data[pos : pos + 4]
             pos += 4
             yield fieldno, wire, val
@@ -109,7 +115,12 @@ class SentencePieceModel:
                 piece, score, ptype = "", 0.0, _TYPE_NORMAL
                 for f2, w2, v2 in _iter_fields(val):
                     if f2 == 1 and w2 == 2:
-                        piece = v2.decode("utf-8")
+                        try:
+                            piece = v2.decode("utf-8")
+                        except UnicodeDecodeError as exc:
+                            raise ValueError(
+                                "sentencepiece: piece is not valid UTF-8"
+                            ) from exc
                     elif f2 == 2 and w2 == 5:
                         (score,) = struct.unpack("<f", v2)
                     elif f2 == 3 and w2 == 0:
