@@ -64,7 +64,11 @@ def _load_model_and_tokens():
         from go_pocket_tts_tpu.models import synthetic
         from go_pocket_tts_tpu.utils.safetensors import encode_tensors, open_store_from_bytes
 
-        arch = synthetic.real_arch()
+        arch = (
+            synthetic.tiny_arch()
+            if os.environ.get("POCKETTTS_BENCH_ARCH") == "tiny"
+            else synthetic.real_arch()
+        )
         store = open_store_from_bytes(encode_tensors(synthetic.build_checkpoint(arch, seed=0)))
         model = load_model_from_store(store, num_heads=arch.num_heads)
 
@@ -458,6 +462,13 @@ def _probe_backend_or_die(timeout_s: float = 300.0) -> None:
 
 
 def main() -> int:
+    if os.environ.get("POCKETTTS_BENCH_PLATFORM"):
+        # CPU smoke hook (with ARCH=tiny): the full config suite can be
+        # crash-checked without the TPU tunnel. The axon sitecustomize
+        # ignores JAX_PLATFORMS, so pin via config before backend init.
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["POCKETTTS_BENCH_PLATFORM"])
     _probe_backend_or_die()
     import jax
 
