@@ -802,17 +802,29 @@ class ContinuousBatcher:
                     cfg.max_steps or cfg.estimated_max_steps or estimate_max_frames(len(tokens))
                 )
                 max_steps = min(max_steps, self.max_frames)
-                emb = flm.text_embeddings(flow, jnp.asarray(tokens[None, :])).astype(self.dtype)
-                if cfg.voice_embedding is not None:
-                    emb = jnp.concatenate(
-                        [jnp.asarray(cfg.voice_embedding, self.dtype), emb], axis=1
-                    )
-                prompt_len = emb.shape[1]
+                voice = cfg.voice_embedding
+                voice_len = 0 if voice is None else int(np.asarray(voice).shape[1])
+                prompt_len = voice_len + len(tokens)
                 bucket = bk.pick_bucket(prompt_len, bk.PROMPT_BUCKETS)
                 if bucket + self.max_frames > self.capacity:
                     raise ValueError(
                         f"prompt ({prompt_len} tokens) exceeds batcher capacity "
                         f"{self.capacity - self.max_frames}; raise prompt_capacity"
+                    )
+                # Pad the token ids to the bucket ON HOST: the embed/concat
+                # programs are then keyed on the BUCKET (a handful of
+                # variants prewarm covers) instead of the raw prompt length
+                # (unbounded — each unseen length cold-compiled its own tiny
+                # eager programs mid-traffic, ~2-3 s of wall apiece through a
+                # remote-compile tunnel). K/V past ``prompt_len`` are never
+                # attended (the lane offset masks them — `_prefill_lanes`),
+                # so the pad-id embeddings are invisible.
+                ids = np.zeros((1, bucket - voice_len), np.int32)
+                ids[0, : len(tokens)] = tokens
+                emb = flm.text_embeddings(flow, jnp.asarray(ids)).astype(self.dtype)
+                if voice is not None:
+                    emb = jnp.concatenate(
+                        [jnp.asarray(voice, self.dtype), emb], axis=1
                     )
                 prepped.append((slot, req, emb, prompt_len, bucket, max_steps))
             except Exception as exc:  # noqa: BLE001
@@ -834,10 +846,15 @@ class ContinuousBatcher:
             bucket = max(p[4] for p in prepped)
             n_pad = self._pad_count(len(prepped))
             padded = prepped + [prepped[0]] * (n_pad - len(prepped))
+            # Each lane arrives already padded to ITS bucket; only lanes
+            # below the wave's max bucket pad further (bucket→bucket pairs,
+            # not raw lengths — keeps the eager-pad program set tiny).
             embs = jnp.concatenate(
                 [
-                    jnp.pad(emb, ((0, 0), (0, bucket - plen), (0, 0)))
-                    for _s, _r, emb, plen, _b, _m in padded
+                    emb
+                    if emb.shape[1] == bucket
+                    else jnp.pad(emb, ((0, 0), (0, bucket - emb.shape[1]), (0, 0)))
+                    for _s, _r, emb, _plen, _b, _m in padded
                 ],
                 axis=0,
             )
@@ -870,13 +887,23 @@ class ContinuousBatcher:
         max_steps = cfg.max_steps or cfg.estimated_max_steps or estimate_max_frames(len(tokens))
         max_steps = min(max_steps, self.max_frames)
 
-        emb = flm.text_embeddings(flow, jnp.asarray(tokens[None, :])).astype(self.dtype)
         if cfg.voice_embedding is not None:
-            emb = jnp.concatenate(
-                [jnp.asarray(cfg.voice_embedding, self.dtype), emb], axis=1
+            # Session conts arrive stripped (`_strip_voice_if_carried`);
+            # combining an embedding voice with model-state/session
+            # conditioning is rejected like the reference does
+            # (`runtime_native_safetensors.go:100-136`).
+            raise ValueError(
+                "voice embedding and model-state/session conditioning are "
+                "mutually exclusive"
             )
-        prompt_len = emb.shape[1]
+        prompt_len = len(tokens)
         bucket = bk.pick_bucket(prompt_len, bk.PROMPT_BUCKETS)
+        # Host-pad the ids to the bucket so the embed program is keyed on
+        # the bucket, not the raw length (see `_admit_batch`); `_prefill`
+        # masks positions >= prompt_len.
+        ids = np.zeros((1, bucket), np.int32)
+        ids[0, :prompt_len] = tokens
+        emb = flm.text_embeddings(flow, jnp.asarray(ids)).astype(self.dtype)
         voice_frames = 0
         if cfg.voice_model_state is not None:
             first = next(iter(cfg.voice_model_state.modules.values()))
@@ -912,8 +939,7 @@ class ContinuousBatcher:
                 "v": jnp.array(req.cont.v, dtype=self.dtype, copy=True),
                 "offset": req.cont.offset.reshape(()),  # scalar like init_kv_cache
             }
-        padded = jnp.pad(emb, ((0, 0), (0, bucket - prompt_len), (0, 0)))
-        lane = _prefill(flow, flow_cfg, lane, padded, jnp.int32(prompt_len))
+        lane = _prefill(flow, flow_cfg, lane, emb, jnp.int32(prompt_len))
 
         self._state = _insert_lane(
             self._state,
@@ -1369,6 +1395,31 @@ class ContinuousBatcher:
             for _ in g:
                 pass
         log.info("prewarmed single-admission + streaming decode programs")
+        # Harvest-decode programs are keyed on (frame-count bucket × burst
+        # count), and the frame count is DATA-DEPENDENT — EOS timing decides
+        # where a request stops — so live traffic can land in ANY
+        # DECODE_BUCKET up to the frames window, not just the buckets the
+        # estimate-length waves above happened to hit. A cold decode variant
+        # mid-traffic stalls every lane (the r3 admission-stall class). Pin
+        # the harvested count with max_steps and warm the full matrix: each
+        # reachable bucket at both count variants (full slots + single).
+        width = self.max_frames + (self.steps_per_sync_burst or self.steps_per_sync)
+        targets, n = [], 1
+        while n <= self.max_frames:
+            b = bk.pick_bucket(n, bk.DECODE_BUCKETS)
+            targets.append(min(b, width))
+            n = b + 1
+        for b in targets:
+            cfg = GenerateConfig(
+                temperature=0.0,
+                eos_threshold=1e9,
+                max_steps=min(b, self.max_frames),
+            )
+            futs = [self.submit([0] * token_lengths[0], cfg) for _ in range(self.slots)]
+            for f in futs:
+                f.result(timeout=timeout)
+            self.generate([0] * token_lengths[0], cfg, timeout=timeout)
+            log.info("prewarmed harvest-decode bucket %d (both burst counts)", b)
 
 
 class BatcherRuntime:

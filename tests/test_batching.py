@@ -1337,3 +1337,78 @@ def test_batcher_prewarm_compiles_and_engine_serves(model):
         assert batcher._crashed is None
     finally:
         batcher.stop()
+
+
+def test_prewarm_covers_every_live_program(model):
+    """The prewarm contract, enforced: after prewarm(), mixed live traffic
+    triggers ZERO new XLA compiles.
+
+    Every program variant is keyed on a bucketed shape (prompt bucket,
+    decode bucket, burst count, block size) — a variant that traffic can
+    reach but prewarm does not is a mid-traffic compile that stalls every
+    lane (~2-3 s of wall through a remote-compile tunnel; the r3
+    streaming-TTFA p50≈p95≈1.8 s regression was exactly such a cold
+    variant). The harvest-decode bucket depends on the DATA-DEPENDENT EOS
+    frame count, so the traffic below spans every decode bucket, raw prompt
+    lengths that differ from the prewarmed ones (same buckets), both burst
+    counts, streaming, and an instant-EOS request."""
+    import logging
+
+    batcher = ContinuousBatcher(
+        model,
+        slots=2,
+        prompt_capacity=64,
+        max_frames=64,
+        seed=3,
+        steps_per_sync=2,
+        steps_per_sync_burst=4,
+    )
+    batcher.start()
+    compiles = []
+
+    class _Handler(logging.Handler):
+        def emit(self, record):
+            msg = record.getMessage()
+            if "Finished XLA compilation" in msg:
+                compiles.append(msg)
+
+    handler = _Handler(level=logging.DEBUG)
+    dispatch_log = logging.getLogger("jax._src.dispatch")
+    prev_level = dispatch_log.level
+    prev_flag = jax.config.jax_log_compiles
+    try:
+        batcher.prewarm(token_lengths=(3, 17), timeout=600)
+
+        dispatch_log.addHandler(handler)
+        dispatch_log.setLevel(logging.DEBUG)
+        jax.config.update("jax_log_compiles", True)
+
+        # Plain singles at raw lengths != the prewarmed (3, 17), spanning
+        # every reachable decode bucket (16/32/64) via max_steps.
+        for toks, steps in (
+            ([5, 9, 2], 2),
+            ([7, 1, 4, 8, 11], 20),
+            ([1] * 9, 40),
+            ([2] * 13, 64),
+        ):
+            batcher.generate(toks, _cfg(max_steps=steps), timeout=120)
+        # Full-slot burst (count variant 2-of-2) at a mid decode bucket.
+        futs = [batcher.submit([3 + i, 4, 5], _cfg(max_steps=33)) for i in range(2)]
+        for f in futs:
+            f.result(timeout=120)
+        # Streaming (drops block size to steps_per_sync mid-engine).
+        for _ in batcher.submit_stream([6, 2], _cfg(max_steps=5), timeout=120):
+            pass
+        # Instant EOS: the countdown path decides the harvested count.
+        batcher.generate(
+            [4, 4, 4],
+            GenerateConfig(temperature=0.0, eos_threshold=-1e9, max_steps=40),
+            timeout=120,
+        )
+        assert batcher._crashed is None
+    finally:
+        jax.config.update("jax_log_compiles", prev_flag)
+        dispatch_log.removeHandler(handler)
+        dispatch_log.setLevel(prev_level)
+        batcher.stop()
+    assert compiles == [], f"cold program variants hit mid-traffic: {compiles}"
