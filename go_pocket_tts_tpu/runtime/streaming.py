@@ -149,27 +149,33 @@ def stream_generate(
 
     with jax.default_matmul_precision(runtime.matmul_precision):
         tok_np = np.asarray(tokens, np.int32)
-        emb = flm.text_embeddings(flow, jnp.asarray(tok_np[None, :])).astype(dtype)
-        if cfg.voice_embedding is not None:
-            emb = jnp.concatenate(
-                [jnp.asarray(cfg.voice_embedding, dtype), emb], axis=1
-            )
-        prompt_len = emb.shape[1]
+        voice = cfg.voice_embedding
+        voice_len = 0 if voice is None else int(np.asarray(voice).shape[1])
+        prompt_len = voice_len + len(tok_np)
+        prompt_bucket = bk.pick_bucket(prompt_len, bk.PROMPT_BUCKETS)
+        # Host-pad the ids to the bucket: the embed/concat programs key on
+        # the BUCKET, not the raw length — on the TTFA-critical path an
+        # unseen raw length would otherwise cold-compile tiny eager programs
+        # before the first audio block (positions >= prompt_len are masked
+        # by `_prefill`, so pad-id embeddings are invisible).
+        ids = np.zeros((1, prompt_bucket - voice_len), np.int32)
+        ids[0, : len(tok_np)] = tok_np
+        emb = flm.text_embeddings(flow, jnp.asarray(ids)).astype(dtype)
+        if voice is not None:
+            emb = jnp.concatenate([jnp.asarray(voice, dtype), emb], axis=1)
         voice_frames = 0
         if cfg.voice_model_state is not None:
             first = next(iter(cfg.voice_model_state.modules.values()))
             voice_frames = int(np.asarray(first["offset"]).reshape(-1)[0])
 
         frame_budget = bk.pick_bucket(max_steps + 1, (runtime.frame_bucket, 512, 1024))
-        prompt_bucket = bk.pick_bucket(prompt_len, bk.PROMPT_BUCKETS)
         capacity = bk.round_up(voice_frames + prompt_bucket, 64) + frame_budget
 
         if cfg.voice_model_state is not None:
             cache = runtime._hydrate_voice_cache(cfg.voice_model_state, capacity)
         else:
             cache = ftr.init_kv_cache(flow_cfg.transformer, 1, capacity, dtype=dtype)
-        emb_padded = jnp.pad(emb, ((0, 0), (0, prompt_bucket - prompt_len), (0, 0)))
-        cache = _prefill(flow, flow_cfg, cache, emb_padded, jnp.int32(prompt_len))
+        cache = _prefill(flow, flow_cfg, cache, emb, jnp.int32(prompt_len))
 
         yield from _segment_loop(
             runtime,
