@@ -92,6 +92,10 @@ class RuntimeConfig:
     # serve-time autotune: apply the measured-best batch-serving settings
     # (PERF.md) for any knob the user did not set explicitly.
     autotune: bool = True
+    # Persistent XLA compilation cache: compiled executables survive process
+    # restarts, so repeat synth invocations and server restarts skip the
+    # multi-second first-compile of every program variant. "" disables.
+    compile_cache_dir: str = "/tmp/pockettts-xla-cache"
 
 
 @dataclass
@@ -180,6 +184,9 @@ _FLAG_MAP = [
     ("runtime-autotune", "runtime", "autotune", _parse_bool,
      "Apply measured-best batch-serving defaults at serve time for knobs "
      "not set explicitly (int8 weights+KV, adaptive burst blocks)"),
+    ("runtime-compile-cache-dir", "runtime", "compile_cache_dir", str,
+     "Persistent XLA compilation cache directory; compiled programs "
+     "survive restarts (empty string disables)"),
     ("server-listen-addr", "server", "listen_addr", str, "HTTP listen address"),
     ("workers", "server", "workers", int, "Max concurrent synthesis requests"),
     ("shutdown-timeout", "server", "shutdown_timeout_secs", int, "Graceful shutdown drain timeout (s)"),

@@ -507,6 +507,42 @@ def test_service_runtime_tp_config_builds_mesh(model, tmp_path, monkeypatch):
         svc.runtime.close()
 
 
+def test_service_compile_cache_persisted(tmp_path):
+    """from_config enables the persistent XLA compilation cache, so repeat
+    CLI invocations / server restarts reuse executables from disk."""
+    from go_pocket_tts_tpu.config import Config
+    from go_pocket_tts_tpu.tts.service import Service
+    from go_pocket_tts_tpu.utils.safetensors import write_file
+    from test_kernel import _tokenizer_bytes
+
+    model_path = tmp_path / "model.safetensors"
+    write_file(model_path, synthetic.build_checkpoint(ARCH, seed=55))
+    tok_path = tmp_path / "tokenizer.model"
+    tok_path.write_bytes(_tokenizer_bytes())
+    cache_dir = tmp_path / "xla-cache"
+
+    cfg = Config()
+    cfg.paths.model_path = str(model_path)
+    cfg.paths.tokenizer_model = str(tok_path)
+    cfg.runtime.compile_cache_dir = str(cache_dir)
+    cfg.runtime.seed = 3
+    cfg.tts.eos_threshold = 1e9
+    cfg.tts.max_steps = 2
+
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        svc = Service.from_config(cfg)
+        pcm = svc.synthesize("hello world")
+        assert len(pcm) > 0
+        assert cache_dir.exists() and any(cache_dir.iterdir()), (
+            "no executables persisted to the configured cache dir"
+        )
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
+
+
 def test_service_rejects_tp_without_batch_slots(model, tmp_path):
     """`--runtime-tp N` without `--runtime-batch-slots > 1` must refuse, not
     silently fall back to a single-chip runtime (a user would read unsharded
