@@ -4,7 +4,8 @@ API parity with `internal/server/server.go`:
 
 - ``GET /health`` → ``{"status": "ok", "version": ...}`` (`server.go:145-158`)
 - ``GET /voices`` → ``{"voices": [{id,path,license}]}`` (`server.go:160-167`)
-- ``POST /tts`` — JSON ``{"text", "voice", "chunk"}`` → ``audio/wav`` bytes
+- ``POST /tts`` — JSON ``{"text", "voice", "chunk", "format", "continuity"}``
+  → ``audio/wav`` bytes
   (`server.go:175-258`); with ``"progress": true`` the response is a
   Server-Sent-Events stream: block-granular ``progress`` events while the
   device generates (the reference's per-step progress contract,
@@ -48,7 +49,7 @@ log = logging.getLogger("pockettts.server")
 __all__ = ["Server", "make_handler", "probe_http"]
 
 
-def _accepts_deadline(service) -> bool:
+def _accepts_param(service, name: str) -> bool:
     """Test stubs may expose a narrower synthesize_stream signature."""
     import inspect
 
@@ -56,7 +57,7 @@ def _accepts_deadline(service) -> bool:
         sig = inspect.signature(service.synthesize_stream)
     except (TypeError, ValueError):
         return False
-    return "deadline" in sig.parameters
+    return name in sig.parameters
 
 
 class _WorkerPool:
@@ -182,7 +183,8 @@ def make_handler(
     """
     pool = _WorkerPool(workers)
     stats = _Stats()
-    accepts_deadline = _accepts_deadline(service)
+    accepts_deadline = _accepts_param(service, "deadline")
+    accepts_continuity = _accepts_param(service, "continuity")
     try:
         samples_per_frame = int(service.runtime.model.config.mimi.samples_per_latent)
     except (AttributeError, TypeError, ValueError):
@@ -249,12 +251,17 @@ def make_handler(
             if fmt not in ("wav", "flac"):
                 self._error(400, f"unsupported format {fmt!r} (wav or flac)")
                 return None
+            cont = req.get("continuity")
+            if cont is not None and not isinstance(cont, bool):
+                self._error(400, "continuity must be a boolean")
+                return None
             return (
                 text,
                 req.get("voice", ""),
                 bool(req.get("chunk", False)),
                 fmt,
                 bool(req.get("progress", False)),
+                cont,  # None = server default; bool = per-request override
             )
 
         def _resolve_voice(self, voice: str) -> Optional[str]:
@@ -318,7 +325,13 @@ def make_handler(
                 self._error(404, "not found")
 
         def _collect_pcm(
-            self, text, voice_path, deadline, frame_streaming=False, on_block=None
+            self,
+            text,
+            voice_path,
+            deadline,
+            frame_streaming=False,
+            on_block=None,
+            continuity=None,
         ) -> np.ndarray:
             """Run the synthesis stream to completion → one PCM array.
 
@@ -335,6 +348,8 @@ def make_handler(
                 stream_kwargs["frame_streaming"] = True
             if accepts_deadline:
                 stream_kwargs["deadline"] = deadline
+            if continuity is not None and accepts_continuity:
+                stream_kwargs["continuity"] = continuity
             for chunk in service.synthesize_stream(
                 text,
                 voice_path,
@@ -361,12 +376,14 @@ def make_handler(
             parsed = self._read_tts_request()
             if parsed is None:
                 return
-            text, voice, _chunk, fmt, progress = parsed
+            text, voice, _chunk, fmt, progress, continuity = parsed
             voice_path = self._resolve_voice(voice)
             if voice_path is None:
                 return
             if progress:
-                return self._handle_tts_progress(text, voice, voice_path, fmt)
+                return self._handle_tts_progress(
+                    text, voice, voice_path, fmt, continuity
+                )
             if not pool.acquire(queue_timeout):
                 stats.count("busy_503_total")
                 self._error(503, "server is busy")
@@ -374,7 +391,9 @@ def make_handler(
             stats.enter()
             start = time.monotonic()
             try:
-                pcm = self._collect_pcm(text, voice_path, start + request_timeout)
+                pcm = self._collect_pcm(
+                    text, voice_path, start + request_timeout, continuity=continuity
+                )
                 body = self._encode_body(pcm, fmt)
             except Exception as exc:  # noqa: BLE001 - surface as 500 like the reference
                 if _is_timeout(exc):
@@ -407,7 +426,7 @@ def make_handler(
             self.end_headers()
             self.wfile.write(body)
 
-        def _handle_tts_progress(self, text, voice, voice_path, fmt):
+        def _handle_tts_progress(self, text, voice, voice_path, fmt, continuity=None):
             """POST /tts with ``progress: true`` → SSE events.
 
             ``event: progress`` fires per PCM block (frame streaming when the
@@ -468,6 +487,7 @@ def make_handler(
                     deadline,
                     frame_streaming=True,
                     on_block=emit_progress,
+                    continuity=continuity,
                 )
                 body = self._encode_body(pcm, fmt)
                 self._write_chunk(
@@ -514,7 +534,7 @@ def make_handler(
             parsed = self._read_tts_request()
             if parsed is None:
                 return
-            text, voice, _chunk, fmt, _progress = parsed
+            text, voice, _chunk, fmt, _progress, continuity = parsed
             voice_path = self._resolve_voice(voice)
             if voice_path is None:
                 return
@@ -549,6 +569,8 @@ def make_handler(
                     stream_kwargs["frame_streaming"] = True
                 if accepts_deadline:
                     stream_kwargs["deadline"] = deadline
+                if continuity is not None and accepts_continuity:
+                    stream_kwargs["continuity"] = continuity
                 for chunk in service.synthesize_stream(
                     text,
                     voice_path,

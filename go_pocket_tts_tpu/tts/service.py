@@ -341,13 +341,18 @@ class Service:
         voice_path: str = "",
         cancel: Optional[Callable[[], bool]] = None,
         deadline: Optional[float] = None,
+        continuity: Optional[bool] = None,
     ) -> np.ndarray:
         """Full-text synthesis → float32 PCM (`service.go:115-156`)."""
         return np.concatenate(
             [
                 c.samples
                 for c in self.synthesize_stream(
-                    input_text, voice_path, cancel, deadline=deadline
+                    input_text,
+                    voice_path,
+                    cancel,
+                    deadline=deadline,
+                    continuity=continuity,
                 )
             ]
             or [np.zeros(0, np.float32)]
@@ -385,6 +390,7 @@ class Service:
         cancel: Optional[Callable[[], bool]] = None,
         frame_streaming: bool = False,
         deadline: Optional[float] = None,
+        continuity: Optional[bool] = None,
     ) -> Iterator[PCMChunk]:
         """Streaming generator.
 
@@ -392,6 +398,8 @@ class Service:
         (`service.go:161-200`). ``frame_streaming=True`` (TPU runtime only):
         PCM emitted every few latent frames via the stateful block decoder —
         the frame-level streaming the reference lists as TODO (`PLAN.md:9-17`).
+        ``continuity`` overrides the service-level ``--continuity`` default
+        for this request (None = use the configured default).
         """
         if self.runtime is None:
             raise RuntimeError("tts runtime unavailable")
@@ -409,9 +417,14 @@ class Service:
         # chunk loop so prosody carries across chunk boundaries (the
         # reference resets per chunk, `service.go:137-152`). Sequential by
         # nature, so it takes precedence over the parallel chunk paths.
+        use_continuity = (
+            getattr(self.tts_cfg, "continuity", False)
+            if continuity is None
+            else bool(continuity)
+        )
         if (
             not use_frames
-            and getattr(self.tts_cfg, "continuity", False)
+            and use_continuity
             and hasattr(self.runtime, "generate_audio_session")
         ):
             with self._lock:
@@ -488,7 +501,7 @@ class Service:
         # loop threading the lane KV snapshot, blocks yielded as they arrive.
         if (
             use_frames
-            and getattr(self.tts_cfg, "continuity", False)
+            and use_continuity
             and hasattr(self.runtime, "stream_generate_session")
         ):
             # The lock matters for the single-request TPURuntime (r4: it
@@ -557,15 +570,15 @@ class Service:
             own(token_lengths)
             # Continuity adds its own variants (lane snapshot, hydrated
             # per-slot prefill): a cold compile mid-traffic stalls every
-            # lane ~2-3 s through a remote-compile tunnel, so warm them when
-            # the session path is reachable.
-            if getattr(self.tts_cfg, "continuity", False) and hasattr(
-                self.runtime, "generate_audio_session"
-            ):
+            # lane ~2-3 s through a remote-compile tunnel. Warm whenever the
+            # runtime supports sessions — clients can opt in per request
+            # ({"continuity": true}) even when the server default is off.
+            if hasattr(self.runtime, "generate_audio_session"):
                 cfg = self._generate_config(
                     ChunkMetadata(text="", token_ids=[0, 0, 0], num_tokens=3, num_words=3)
                 )
                 cfg.max_steps = 2
+                cfg.eos_threshold = 1e9  # pin the step count during warmup
                 _pcm, cont = self.runtime.generate_audio_session([0, 0, 0], cfg, None)
                 if cont is not None:
                     self.runtime.generate_audio_session([0, 0, 0], cfg, cont)
@@ -583,10 +596,10 @@ class Service:
                 gen([0] * n, cfg)
             log.info("prewarmed bucket for %d tokens", n)
         # Continuity programs (plain + streamed sessions): a cold compile
-        # mid-traffic stalls ~2-3 s through a remote-compile tunnel.
-        if getattr(self.tts_cfg, "continuity", False) and hasattr(
-            self.runtime, "generate_audio_session"
-        ):
+        # mid-traffic stalls ~2-3 s through a remote-compile tunnel. Warm
+        # whenever the runtime supports sessions — clients can opt in per
+        # request ({"continuity": true}) even when the server default is off.
+        if hasattr(self.runtime, "generate_audio_session"):
             cfg = self._generate_config(
                 ChunkMetadata(text="", token_ids=[0, 0, 0], num_tokens=3, num_words=3)
             )

@@ -55,6 +55,40 @@ def test_tts_through_real_pipeline(server):
     assert np.all(np.isfinite(samples))
 
 
+def test_per_request_continuity(server):
+    """{"continuity": true} carries prosody state across the text chunks of
+    THIS request even though the server default is off: at temp 0 the second
+    chunk is conditioned on the first, so the audio differs from the
+    independent-chunks default; omitting the field equals continuity:false."""
+    base = f"http://127.0.0.1:{server.port}/tts"
+    # Two sentences of ~30 words each: the greedy chunker merges sentences
+    # while under the 50-token budget, so each sentence must be large enough
+    # that together they exceed it → exactly two chunks.
+    sentence = " ".join(f"word{i}" for i in range(30))
+    two_chunks = f"{sentence}. {sentence}."
+
+    def synth(body):
+        with _post(base, body) as r:
+            return wav.decode_wav(r.read())[0]
+
+    plain = synth({"text": two_chunks})
+    off = synth({"text": two_chunks, "continuity": False})
+    on = synth({"text": two_chunks, "continuity": True})
+    np.testing.assert_array_equal(plain, off)
+    assert len(on) == len(plain)
+    assert not np.array_equal(on, plain), (
+        "continuity:true produced identical audio — the override never "
+        "reached the session path"
+    )
+    # First chunk unaffected (no history yet): both runs start identically.
+    head = 6 * 1920
+    np.testing.assert_allclose(on[:head], plain[:head], atol=1e-5)
+
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        synth({"text": "hi", "continuity": "yes"})
+    assert exc_info.value.code == 400
+
+
 @pytest.fixture(scope="module")
 def batch_server():
     """Continuous batcher behind the HTTP server — the production serving
