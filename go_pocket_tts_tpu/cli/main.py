@@ -180,7 +180,16 @@ def cmd_serve(args) -> int:
     svc = _build_service(cfg)
     if args.prewarm:
         log.info("prewarming shape buckets (first compile is slow)...")
-        svc.prewarm()
+        voice_paths = []
+        if voices is not None:
+            # Voice conditioning keys its own program shapes — warm every
+            # manifest voice so the first voiced request pays no compile.
+            for v in voices.list_voices():
+                try:
+                    voice_paths.append(voices.resolve_path(v.id))
+                except (KeyError, FileNotFoundError) as exc:
+                    log.warning("prewarm: voice %r unavailable (%s)", v.id, exc)
+        svc.prewarm(voice_paths=voice_paths)
     # With continuous batching, request concurrency should cover the slots —
     # the semaphore otherwise starves the batch.
     workers = max(cfg.server.workers, cfg.runtime.batch_slots)

@@ -95,7 +95,14 @@ class RuntimeConfig:
     # Persistent XLA compilation cache: compiled executables survive process
     # restarts, so repeat synth invocations and server restarts skip the
     # multi-second first-compile of every program variant. "" disables.
-    compile_cache_dir: str = "/tmp/pockettts-xla-cache"
+    # Per-user default (a fixed world-shared /tmp path would collide across
+    # users and is squattable). Note jax config is process-global: the last
+    # Service built in a process wins.
+    compile_cache_dir: str = field(
+        default_factory=lambda: os.path.join(
+            os.path.expanduser("~"), ".cache", "pockettts", "xla"
+        )
+    )
 
 
 @dataclass

@@ -1407,14 +1407,13 @@ class ContinuousBatcher:
         targets, n = [], 1
         while n <= self.max_frames:
             b = bk.pick_bucket(n, bk.DECODE_BUCKETS)
-            targets.append(min(b, width))
+            # n (= previous bucket + 1) is the CHEAPEST frame count landing
+            # in bucket b — running to b itself would ~double the AR work of
+            # this phase for the same compile coverage.
+            targets.append((min(b, width), n))
             n = b + 1
-        for b in targets:
-            cfg = GenerateConfig(
-                temperature=0.0,
-                eos_threshold=1e9,
-                max_steps=min(b, self.max_frames),
-            )
+        for b, steps in targets:
+            cfg = GenerateConfig(temperature=0.0, eos_threshold=1e9, max_steps=steps)
             futs = [self.submit([0] * token_lengths[0], cfg) for _ in range(self.slots)]
             for f in futs:
                 f.result(timeout=timeout)

@@ -136,8 +136,9 @@ class SentencePieceModel:
                     if f2 == 35 and w2 == 0:  # byte_fallback
                         model.byte_fallback = bool(v2)
                     elif f2 == 40 and w2 == 0:  # unk_id
-                        if v2 < len(model.pieces) or True:
-                            model.unk_id = v2
+                        # Range-checked AFTER the loop: TrainerSpec may
+                        # precede the pieces in the wire stream.
+                        model.unk_id = v2
             elif fieldno == 3 and wire == 2:  # NormalizerSpec
                 for f2, w2, v2 in _iter_fields(val):
                     if f2 == 2 and w2 == 2:
@@ -150,6 +151,14 @@ class SentencePieceModel:
                         model.escape_whitespaces = bool(v2)
         if not model.pieces:
             raise ValueError("sentencepiece: model contains no pieces")
+        if not 0 <= model.unk_id < len(model.pieces):
+            # Untrusted input contract (tests/test_fuzz.py): an out-of-range
+            # unk_id would otherwise escape later as a non-ValueError from
+            # the HF backend, or silently gather a wrong embedding row.
+            raise ValueError(
+                f"sentencepiece: unk_id {model.unk_id} out of range "
+                f"(0..{len(model.pieces) - 1})"
+            )
         return model
 
     # -- serialization (for building synthetic test/tooling models) --------

@@ -554,13 +554,19 @@ class Service:
                     pcm = self.runtime.generate_audio(chunk.token_ids, cfg)
                 yield PCMChunk(samples=pcm, chunk_index=i, final=last_chunk)
 
-    def prewarm(self, token_lengths=(10, 30, 50)) -> None:
+    def prewarm(self, token_lengths=(10, 30, 50), voice_paths=()) -> None:
         """Compile the common shape buckets before serving traffic.
 
         First-request latency is otherwise dominated by XLA compilation (tens
         of seconds per shape bucket). Shapes depend only on bucketed token
         count / step budget, so dummy token IDs compile the same executables
         real requests will hit.
+
+        Voice conditioning adds its own shape keys — embedding voices change
+        the prompt width (programs key on ``(voice_len, bucket)``), and
+        model-state voices hydrate through a different prefill — so pass the
+        serving voices' file paths via ``voice_paths`` to warm those too
+        (``serve --prewarm`` passes every voice in the manifest).
         """
         own = getattr(self.runtime, "prewarm", None)
         if own is not None:
@@ -583,6 +589,7 @@ class Service:
                 if cont is not None:
                     self.runtime.generate_audio_session([0, 0, 0], cfg, cont)
                 log.info("prewarmed continuity session path")
+            self._prewarm_voices(voice_paths, token_lengths)
             return
         gen = getattr(self.runtime, "generate_audio", None)
         if gen is None:
@@ -626,6 +633,66 @@ class Service:
                     for _ in blocks:
                         pass
             log.info("prewarmed continuity session path")
+        self._prewarm_voices(voice_paths, token_lengths)
+
+    def _prewarm_voices(self, voice_paths, token_lengths) -> None:
+        """Warm voice-conditioned program variants (see ``prewarm``).
+
+        Best-effort: a voice that fails to load or exceeds capacity is
+        skipped with a warning — prewarm must never block serving."""
+        gen = getattr(self.runtime, "generate_audio", None)
+        if gen is None:
+            return
+        from go_pocket_tts_tpu.utils import buckets as bk
+
+        for vp in voice_paths:
+            try:
+                conditioning = load_voice_conditioning(vp)
+            except Exception as exc:  # noqa: BLE001 - warm-up only
+                log.warning("prewarm: voice %r skipped (%s)", vp, exc)
+                continue
+            # Embedding voices shift the prompt width by their length, so
+            # the warm token counts must land in each PROMPT bucket at that
+            # offset — the caller's token_lengths would miss buckets (e.g.
+            # voice_len 5 with lengths (10,30,50) never hits bucket 32).
+            voice_len = (
+                0
+                if conditioning.embedding is None
+                else int(np.asarray(conditioning.embedding).shape[-2])
+            )
+            # Smallest chunk token count landing in each prompt bucket at
+            # this voice's offset (admission pads ids to bucket - voice_len,
+            # so one warm per bucket covers every count in it). Token counts
+            # cap at MAX_TOKENS_PER_CHUNK, so unreachable buckets skip.
+            warm_lengths, prev = [], 0
+            for b in bk.PROMPT_BUCKETS:
+                n = max(prev + 1 - voice_len, 1)
+                prev = b
+                if (
+                    n <= MAX_TOKENS_PER_CHUNK
+                    and bk.pick_bucket(n + voice_len, bk.PROMPT_BUCKETS) == b
+                ):
+                    warm_lengths.append(n)
+            if not warm_lengths:
+                warm_lengths = [1]
+            for n in warm_lengths:
+                cfg = self._generate_config(
+                    ChunkMetadata(
+                        text="", token_ids=[0] * n, num_tokens=n, num_words=n
+                    )
+                )
+                cfg.max_steps = 2
+                cfg.eos_threshold = 1e9
+                conditioning.apply_to(cfg)
+                try:
+                    with self._lock:
+                        gen([0] * n, cfg)
+                except Exception as exc:  # noqa: BLE001 - warm-up only
+                    log.warning(
+                        "prewarm: voice %r at %d tokens skipped (%s)", vp, n, exc
+                    )
+                    break
+            log.info("prewarmed voice conditioning: %s", vp)
 
     def close(self) -> None:
         close = getattr(self.runtime, "close", None)

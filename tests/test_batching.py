@@ -533,6 +533,14 @@ def test_service_compile_cache_persisted(tmp_path):
     prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
     try:
         svc = Service.from_config(cfg)
+        # Earlier tests in the same process may have compiled identical
+        # programs into the in-memory jit cache — nothing would recompile,
+        # so nothing would persist. Clear both layers so this test observes
+        # the disk write the way a fresh process (the real user) does.
+        jax.clear_caches()
+        from jax.experimental.compilation_cache import compilation_cache as cc
+
+        cc.reset_cache()
         pcm = svc.synthesize("hello world")
         assert len(pcm) > 0
         assert cache_dir.exists() and any(cache_dir.iterdir()), (

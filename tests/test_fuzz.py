@@ -172,6 +172,24 @@ def _tiny_tokenizer_bytes() -> bytes:
     return m.serialize()
 
 
+def test_sentencepiece_out_of_range_unk_id_rejected():
+    """A forged TrainerSpec unk_id beyond the piece table must be a
+    ValueError at parse time, not a downstream backend crash or a silent
+    wrong-row gather."""
+    m = SentencePieceModel()
+    for piece, score, typ in [("<unk>", 0.0, 2), ("▁a", -1.0, 1)]:
+        m.pieces.append(piece)
+        m.scores.append(score)
+        m.types.append(typ)
+    blob = bytearray(m.serialize())
+    # TrainerSpec (field 2, wire 2) containing unk_id (field 40, wire 0).
+    # Tag 40<<3|0 = 320 needs two varint bytes: 0xC0 0x02.
+    trainer = bytes([0xC0, 0x02, 99])  # unk_id = 99
+    blob += bytes([2 << 3 | 2, len(trainer)]) + trainer
+    with pytest.raises(ValueError, match="unk_id"):
+        SentencePieceModel.parse(bytes(blob))
+
+
 def test_fuzz_sentencepiece_parse():
     valid = _tiny_tokenizer_bytes()
 

@@ -206,6 +206,52 @@ def test_service_prewarm(jax_model):
     svc.prewarm(token_lengths=(3,))  # compiles without error; no output needed
 
 
+def test_service_prewarm_voices_covers_voiced_traffic(jax_model, tmp_path):
+    """Voice conditioning keys its own program shapes; prewarm(voice_paths=…)
+    must leave a voiced request with ZERO cold XLA compiles (the batcher is
+    the serving shape where a mid-traffic compile stalls every lane)."""
+    import logging
+
+    import jax
+
+    from go_pocket_tts_tpu.parallel.batching import BatcherRuntime
+
+    voice_file = str(tmp_path / "v.safetensors")
+    write_file(
+        voice_file, {"audio_prompt": np.zeros((5, ARCH.d_model), np.float32)}
+    )
+    rt = BatcherRuntime(jax_model, slots=2, seed=5, prompt_capacity=64)
+    svc = Service(rt, _WordTokenizer(), _tts_cfg())
+    compiles = []
+
+    class _Handler(logging.Handler):
+        def emit(self, record):
+            if "Finished XLA compilation" in record.getMessage():
+                compiles.append(record.getMessage())
+
+    handler = _Handler(level=logging.DEBUG)
+    dispatch_log = logging.getLogger("jax._src.dispatch")
+    prev_level = dispatch_log.level
+    prev_flag = jax.config.jax_log_compiles
+    try:
+        svc.prewarm(token_lengths=(3,), voice_paths=[voice_file])
+        dispatch_log.addHandler(handler)
+        dispatch_log.setLevel(logging.DEBUG)
+        jax.config.update("jax_log_compiles", True)
+        audio = svc.synthesize("one two", voice_path=voice_file)
+        assert len(audio) > 0
+        # 15 tokens + voice 5 = prompt 20 → bucket 32: a bucket the naive
+        # "warm at the caller's token_lengths" scheme missed.
+        audio = svc.synthesize(" ".join(["word"] * 15), voice_path=voice_file)
+        assert len(audio) > 0
+    finally:
+        jax.config.update("jax_log_compiles", prev_flag)
+        dispatch_log.removeHandler(handler)
+        dispatch_log.setLevel(prev_level)
+        rt.close()
+    assert compiles == [], f"voiced traffic hit cold variants: {compiles}"
+
+
 def test_jax_vs_torch_session_parity(jax_model, ckpt_bytes):
     """Long-form continuity cross-check: a two-chunk session at temperature=0
     must produce the same audio per chunk in the JAX session path and the
