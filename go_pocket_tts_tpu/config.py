@@ -72,6 +72,11 @@ class PathsConfig:
     voices_manifest: str = "voices/manifest.json"
 
 
+from go_pocket_tts_tpu.utils.compile_cache import (
+    default_cache_dir as _default_compile_cache_dir,
+)
+
+
 @dataclass
 class RuntimeConfig:
     dtype: str = "float32"  # float32 | bfloat16
@@ -95,14 +100,9 @@ class RuntimeConfig:
     # Persistent XLA compilation cache: compiled executables survive process
     # restarts, so repeat synth invocations and server restarts skip the
     # multi-second first-compile of every program variant. "" disables.
-    # Per-user default (a fixed world-shared /tmp path would collide across
-    # users and is squattable). Note jax config is process-global: the last
-    # Service built in a process wins.
-    compile_cache_dir: str = field(
-        default_factory=lambda: os.path.join(
-            os.path.expanduser("~"), ".cache", "pockettts", "xla"
-        )
-    )
+    # Per-user default (utils/compile_cache.py); jax config is
+    # process-global, so the last Service built in a process wins.
+    compile_cache_dir: str = field(default_factory=_default_compile_cache_dir)
 
 
 @dataclass

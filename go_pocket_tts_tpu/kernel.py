@@ -36,9 +36,21 @@ class PocketTTSKernel:
     version = __version__
     sample_rate = 24_000
 
-    def __init__(self, dtype="float32", seed: Optional[int] = None) -> None:
+    def __init__(
+        self,
+        dtype="float32",
+        seed: Optional[int] = None,
+        compile_cache_dir: Optional[str] = None,
+    ) -> None:
         self._dtype = dtype
         self._seed = seed
+        # Persistent XLA compile cache (None = per-user default, "" = off):
+        # embedding hosts restart processes too.
+        if compile_cache_dir is None:
+            from go_pocket_tts_tpu.utils.compile_cache import default_cache_dir
+
+            compile_cache_dir = default_cache_dir()
+        self._compile_cache_dir = compile_cache_dir
         self._runtime: Optional[TPURuntime] = None
         self._tokenizer = None
 
@@ -50,7 +62,9 @@ class PocketTTSKernel:
         import jax.numpy as jnp
 
         from go_pocket_tts_tpu.models.model import load_model_from_store
+        from go_pocket_tts_tpu.utils.compile_cache import enable_compile_cache
 
+        enable_compile_cache(self._compile_cache_dir)
         store = st.open_store_from_bytes(model_bytes)
         model = load_model_from_store(store)
         dtype = jnp.bfloat16 if self._dtype == "bfloat16" else jnp.float32

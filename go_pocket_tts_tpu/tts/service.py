@@ -148,29 +148,16 @@ class Service:
             tokenizer = load_tokenizer(cfg.paths.tokenizer_model)
 
         if backend == BACKEND_TPU:
-            import jax
             import jax.numpy as jnp
 
             from go_pocket_tts_tpu.models.model import load_model
 
-            if cfg.runtime.compile_cache_dir:
-                # Persistent compilation cache BEFORE any compile: repeat
-                # synth invocations and server restarts reuse executables
-                # (measured 8 min -> 3m45s for a cold bench pass). Threshold
-                # 0 because sub-second device compiles are NOT persisted at
-                # the default threshold and re-fire per process, ~2-3 s of
-                # wall each through a remote-compile tunnel (CLAUDE.md r3
-                # pitfall a). Best-effort: cache failure must never block
-                # serving.
-                try:
-                    jax.config.update(
-                        "jax_compilation_cache_dir", cfg.runtime.compile_cache_dir
-                    )
-                    jax.config.update(
-                        "jax_persistent_cache_min_compile_time_secs", 0.0
-                    )
-                except Exception as exc:  # noqa: BLE001
-                    log.warning("compile cache unavailable: %s", exc)
+            # Persistent compilation cache BEFORE any compile: repeat synth
+            # invocations and server restarts reuse executables (measured
+            # second synth invocation 9.0 -> 3.3 s).
+            from go_pocket_tts_tpu.utils.compile_cache import enable_compile_cache
+
+            enable_compile_cache(cfg.runtime.compile_cache_dir)
 
             model = load_model(cfg.paths.model_path)
             from go_pocket_tts_tpu.models.quantize import model_quantized_bits
