@@ -112,6 +112,22 @@ def run_doctor(
     except Exception as exc:  # noqa: BLE001
         res.record("native helpers", False, str(exc))
 
+    # Persistent compile cache: a wrong dir silently degrades to cold
+    # compiles on every process start — surface writability up front.
+    cache_dir = getattr(cfg.runtime, "compile_cache_dir", "")
+    if not cache_dir:
+        res.record("compile cache", True, "disabled (--runtime-compile-cache-dir)")
+    else:
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            probe_path = os.path.join(cache_dir, ".doctor-probe")
+            with open(probe_path, "w") as f:
+                f.write("ok")
+            os.unlink(probe_path)
+            res.record("compile cache", True, f"{cache_dir} (writable)")
+        except OSError as exc:
+            res.record("compile cache", False, f"{cache_dir}: {exc}")
+
     # External-binary probe for the cli backend (`cmd/pockettts/doctor.go:110-118`
     # runs `pocket-tts --version`).
     from go_pocket_tts_tpu.config import BACKEND_CLI, normalize_backend

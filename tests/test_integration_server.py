@@ -164,7 +164,13 @@ def test_mixed_protocol_concurrency_through_batcher(batch_server):
     assert len(a_plain) == 4 * 1920
     np.testing.assert_allclose(a_stream, a_plain, atol=2e-3)
     np.testing.assert_allclose(a_sse, a_plain, atol=2e-3)
-    assert np.array_equal(results[0], results[4])  # temp-0 determinism under load
+    # Temp-0 determinism under load, to the int16 quantization bound:
+    # identical requests may harvest in different decode-bucket / lane-count
+    # program variants depending on what else shares the wave, and XLA's
+    # per-shape codegen rounds the final float PCM up to 1 int16 LSB apart
+    # (~3e-5, measured; latents are bitwise identical). Exact equality here
+    # flaked roughly once per few full-suite runs.
+    np.testing.assert_allclose(results[0], results[4], atol=2.5 / 32767.0)
 
 
 def test_tts_stream_frame_level(server):
