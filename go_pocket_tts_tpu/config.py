@@ -26,6 +26,10 @@ import os
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Mapping, Optional
 
+from go_pocket_tts_tpu.utils.compile_cache import (
+    default_cache_dir as _default_compile_cache_dir,
+)
+
 __all__ = ["Config", "PathsConfig", "RuntimeConfig", "ServerConfig", "TTSConfig",
            "apply_serving_autotune", "load_config", "normalize_backend",
            "register_flags", "ENV_PREFIX"]
@@ -70,11 +74,6 @@ class PathsConfig:
     voice_path: str = ""
     tokenizer_model: str = "models/tokenizer.model"
     voices_manifest: str = "voices/manifest.json"
-
-
-from go_pocket_tts_tpu.utils.compile_cache import (
-    default_cache_dir as _default_compile_cache_dir,
-)
 
 
 @dataclass

@@ -647,21 +647,33 @@ class Service:
                 if conditioning.embedding is None
                 else int(np.asarray(conditioning.embedding).shape[-2])
             )
-            # Smallest chunk token count landing in each prompt bucket at
-            # this voice's offset (admission pads ids to bucket - voice_len,
-            # so one warm per bucket covers every count in it). Token counts
-            # cap at MAX_TOKENS_PER_CHUNK, so unreachable buckets skip.
-            warm_lengths, prev = [], 0
+            # Two bucketing schemes exist and the warm must cover BOTH
+            # (extra warms just hit the cache):
+            # - the batcher folds voice_len into the prompt bucket
+            #   (admission pads ids to bucket - voice_len) → smallest token
+            #   count landing in each bucket at this voice's offset;
+            # - the single-request TPURuntime buckets the TOKEN count alone
+            #   and keys capacity on voice_len + token_bucket → smallest
+            #   count per plain token bucket (1, 17, 33 for ≤50 tokens).
+            # Token counts cap at MAX_TOKENS_PER_CHUNK; unreachable skip.
+            warm_lengths, prev = set(), 0
             for b in bk.PROMPT_BUCKETS:
                 n = max(prev + 1 - voice_len, 1)
-                prev = b
                 if (
                     n <= MAX_TOKENS_PER_CHUNK
                     and bk.pick_bucket(n + voice_len, bk.PROMPT_BUCKETS) == b
                 ):
-                    warm_lengths.append(n)
-            if not warm_lengths:
-                warm_lengths = [1]
+                    warm_lengths.add(n)
+                if prev + 1 <= MAX_TOKENS_PER_CHUNK:
+                    warm_lengths.add(prev + 1)
+                prev = b
+            warm_lengths = sorted(warm_lengths) or [1]
+            # Full-slot bursts are their own program variants (count padded
+            # to 1 or slots): with a batcher, warm every length at BOTH
+            # counts by submitting a whole wave; waiting between lengths
+            # keeps each wave admitted together.
+            batcher = getattr(self.runtime, "batcher", None)
+            fully_warmed = True
             for n in warm_lengths:
                 cfg = self._generate_config(
                     ChunkMetadata(
@@ -672,14 +684,25 @@ class Service:
                 cfg.eos_threshold = 1e9
                 conditioning.apply_to(cfg)
                 try:
+                    if batcher is not None and batcher.slots > 1:
+                        futs = [
+                            batcher.submit([0] * n, cfg)
+                            for _ in range(batcher.slots)
+                        ]
+                        for f in futs:
+                            f.result(timeout=600)
                     with self._lock:
                         gen([0] * n, cfg)
                 except Exception as exc:  # noqa: BLE001 - warm-up only
                     log.warning(
                         "prewarm: voice %r at %d tokens skipped (%s)", vp, n, exc
                     )
+                    fully_warmed = False
                     break
-            log.info("prewarmed voice conditioning: %s", vp)
+            if fully_warmed:
+                log.info("prewarmed voice conditioning: %s", vp)
+            else:
+                log.warning("prewarm: voice %r only partially warmed", vp)
 
     def close(self) -> None:
         close = getattr(self.runtime, "close", None)

@@ -244,11 +244,65 @@ def test_service_prewarm_voices_covers_voiced_traffic(jax_model, tmp_path):
         # "warm at the caller's token_lengths" scheme missed.
         audio = svc.synthesize(" ".join(["word"] * 15), voice_path=voice_file)
         assert len(audio) > 0
+        # Full-slot burst of voiced 45-token requests (prompt 50 → bucket
+        # 64): the count=slots admission variant at a voice-extended bucket
+        # (a verified pre-fix cold-compile repro).
+        import concurrent.futures
+
+        text45 = " ".join(["word"] * 45)
+        with concurrent.futures.ThreadPoolExecutor(max_workers=2) as ex:
+            futs = [
+                ex.submit(svc.synthesize, text45, voice_file) for _ in range(2)
+            ]
+            for f in futs:
+                assert len(f.result(timeout=300)) > 0
     finally:
         jax.config.update("jax_log_compiles", prev_flag)
         dispatch_log.removeHandler(handler)
         dispatch_log.setLevel(prev_level)
         rt.close()
+    assert compiles == [], f"voiced traffic hit cold variants: {compiles}"
+
+
+def test_service_prewarm_voices_single_runtime(jax_model, tmp_path):
+    """The single-request TPURuntime buckets tokens WITHOUT the voice offset
+    and keys capacity on voice_len + token_bucket — a voiced 40-token
+    request after prewarm must also hit only warm programs (a verified
+    pre-fix cold-compile repro)."""
+    import logging
+
+    import jax
+
+    voice_file = str(tmp_path / "v.safetensors")
+    write_file(
+        voice_file, {"audio_prompt": np.zeros((5, ARCH.d_model), np.float32)}
+    )
+    rt = TPURuntime(jax_model, seed=5, frame_bucket=64)
+    svc = Service(rt, _WordTokenizer(), _tts_cfg())
+    compiles = []
+
+    class _Handler(logging.Handler):
+        def emit(self, record):
+            if "Finished XLA compilation" in record.getMessage():
+                compiles.append(record.getMessage())
+
+    handler = _Handler(level=logging.DEBUG)
+    dispatch_log = logging.getLogger("jax._src.dispatch")
+    prev_level = dispatch_log.level
+    prev_flag = jax.config.jax_log_compiles
+    try:
+        svc.prewarm(token_lengths=(10, 30, 50), voice_paths=[voice_file])
+        dispatch_log.addHandler(handler)
+        dispatch_log.setLevel(logging.DEBUG)
+        jax.config.update("jax_log_compiles", True)
+        audio = svc.synthesize(
+            " ".join(["word"] * 40), voice_path=voice_file
+        )
+        assert len(audio) > 0
+    finally:
+        jax.config.update("jax_log_compiles", prev_flag)
+        dispatch_log.removeHandler(handler)
+        dispatch_log.setLevel(prev_level)
     assert compiles == [], f"voiced traffic hit cold variants: {compiles}"
 
 
