@@ -34,6 +34,29 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", _platform)
 
+# NOTE: a suite-wide persistent compile cache was measured and REJECTED
+# (16:01 warm vs 16:19 cold — the in-process jit cache already dedupes
+# within one pytest run, and the CLI subprocess tests get the product's own
+# default cache via Service.from_config). Do not redo.
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def fresh_compile_cache(tmp_path):
+    """Point the persistent compile cache at an EMPTY dir for this test.
+
+    Tests asserting the zero-cold-compile prewarm contract observe
+    "Finished XLA compilation" log events. Earlier tests in the suite may
+    have enabled the product's default persistent cache (Service.from_config
+    does), in which case an uncovered program variant would load from disk
+    WITHOUT logging a compile and the assertion would pass vacuously."""
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", str(tmp_path / "xla-cc"))
+    yield
+    jax.config.update("jax_compilation_cache_dir", prev)
+
+
 if _platform != "cpu":
     # On TPU, f32 matmuls default to bf16 passes; the suite's f32 parity
     # tolerances (e.g. batched-vs-single at 1e-4) assume true f32 — pin

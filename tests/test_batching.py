@@ -1383,7 +1383,7 @@ def test_batcher_prewarm_compiles_and_engine_serves(model):
         batcher.stop()
 
 
-def test_prewarm_covers_every_live_program(model):
+def test_prewarm_covers_every_live_program(model, fresh_compile_cache):
     """The prewarm contract, enforced: after prewarm(), mixed live traffic
     triggers ZERO new XLA compiles.
 

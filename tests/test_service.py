@@ -206,7 +206,9 @@ def test_service_prewarm(jax_model):
     svc.prewarm(token_lengths=(3,))  # compiles without error; no output needed
 
 
-def test_service_prewarm_voices_covers_voiced_traffic(jax_model, tmp_path):
+def test_service_prewarm_voices_covers_voiced_traffic(
+    jax_model, tmp_path, fresh_compile_cache
+):
     """Voice conditioning keys its own program shapes; prewarm(voice_paths=…)
     must leave a voiced request with ZERO cold XLA compiles (the batcher is
     the serving shape where a mid-traffic compile stalls every lane)."""
@@ -264,7 +266,9 @@ def test_service_prewarm_voices_covers_voiced_traffic(jax_model, tmp_path):
     assert compiles == [], f"voiced traffic hit cold variants: {compiles}"
 
 
-def test_service_prewarm_voices_single_runtime(jax_model, tmp_path):
+def test_service_prewarm_voices_single_runtime(
+    jax_model, tmp_path, fresh_compile_cache
+):
     """The single-request TPURuntime buckets tokens WITHOUT the voice offset
     and keys capacity on voice_len + token_bucket — a voiced 40-token
     request after prewarm must also hit only warm programs (a verified
