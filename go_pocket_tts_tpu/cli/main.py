@@ -658,7 +658,14 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         jax.config.update("jax_platforms", platform)
     args = build_parser().parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except ValueError as exc:
+        # Config/input validation errors print one clean line, not a
+        # traceback (the reference's Cobra surfaces Viper errors the same
+        # way). Unexpected exception types still traceback — those are bugs.
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

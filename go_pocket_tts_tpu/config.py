@@ -223,17 +223,31 @@ def register_flags(parser) -> None:
 
 
 def _read_config_file(path: str) -> Dict[str, Any]:
+    """Parse a config file into a mapping; ANY malformed content raises
+    ValueError (the reference surfaces a clean Viper error, not a panic —
+    `config.go:147-202`). Tests: tests/test_fuzz.py."""
     with open(path, "rb") as f:
         raw = f.read()
-    if path.endswith((".yaml", ".yml")):
-        import yaml
+    try:
+        if path.endswith((".yaml", ".yml")):
+            import yaml
 
-        return yaml.safe_load(raw) or {}
-    if path.endswith(".toml"):
-        import tomllib
+            data = yaml.safe_load(raw) or {}
+        elif path.endswith(".toml"):
+            import tomllib
 
-        return tomllib.loads(raw.decode("utf-8"))
-    return json.loads(raw.decode("utf-8") or "{}")
+            data = tomllib.loads(raw.decode("utf-8"))
+        else:
+            data = json.loads(raw.decode("utf-8") or "{}")
+    except ValueError:
+        raise  # JSONDecodeError / TOMLDecodeError are already ValueError
+    except Exception as exc:  # yaml.YAMLError, UnicodeDecodeError, ...
+        raise ValueError(f"config file {path!r}: {exc}") from exc
+    if not isinstance(data, Mapping):
+        raise ValueError(
+            f"config file {path!r} must contain a mapping, got {type(data).__name__}"
+        )
+    return data
 
 
 def _apply_mapping(cfg: Config, data: Mapping[str, Any]) -> None:

@@ -27,14 +27,24 @@ class VoiceManager:
             raise ValueError("manifest path is required")
         with open(manifest_path, "r", encoding="utf-8") as f:
             manifest = json.load(f)
+        # Malformed manifests must raise ValueError, never AttributeError
+        # (tests/test_fuzz.py; the reference validates the same way,
+        # `internal/tts/voice.go:11-95`).
+        if not isinstance(manifest, dict):
+            raise ValueError("voice manifest must be a JSON object")
+        entries = manifest.get("voices", [])
+        if not isinstance(entries, list):
+            raise ValueError('voice manifest "voices" must be a list')
         self._base_dir = os.path.dirname(os.path.abspath(manifest_path))
         self._voices: List[Voice] = []
         self._by_id: Dict[str, Voice] = {}
-        for entry in manifest.get("voices", []):
+        for entry in entries:
+            if not isinstance(entry, dict):
+                raise ValueError("voice manifest entries must be objects")
             v = Voice(
-                id=entry.get("id", ""),
-                path=entry.get("path", ""),
-                license=entry.get("license", ""),
+                id=str(entry.get("id", "") or ""),
+                path=str(entry.get("path", "") or ""),
+                license=str(entry.get("license", "") or ""),
             )
             if not v.id:
                 raise ValueError("voice manifest contains empty id")

@@ -34,6 +34,17 @@ def test_config_defaults():
     assert cfg.paths.model_path.endswith("tts_b6369a24.safetensors")
 
 
+def test_malformed_config_file_clean_cli_error(tmp_path, capsys):
+    """A corrupt config file exits rc=2 with one clean error line — no
+    traceback (the reference's Cobra/Viper behavior)."""
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("tts:\n  temperature: [unclosed")
+    rc = main(["doctor", "--config", str(bad)])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "error:" in err and "Traceback" not in err
+
+
 def test_config_env_overrides(monkeypatch):
     monkeypatch.setenv("POCKETTTS_TEMPERATURE", "0.5")
     monkeypatch.setenv("POCKETTTS_WORKERS", "7")

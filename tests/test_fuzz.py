@@ -202,6 +202,62 @@ def test_fuzz_sentencepiece_parse():
     _assert_controlled(parse, valid, seed=505)
 
 
+# -------------------------------------------------- voices manifest + config
+
+
+def test_fuzz_voices_manifest(tmp_path):
+    """Corrupt/adversarial manifest JSON → ValueError family, never
+    AttributeError/TypeError (json.JSONDecodeError is a ValueError)."""
+    from go_pocket_tts_tpu.tts.voices import VoiceManager
+
+    valid = (
+        b'{"voices": [{"id": "a", "path": "a.safetensors"},'
+        b' {"id": "b", "path": "b.safetensors", "license": "x"}]}'
+    )
+    path = tmp_path / "manifest.json"
+
+    def parse(data: bytes):
+        path.write_bytes(data)
+        VoiceManager(str(path))
+
+    _assert_controlled(parse, valid, seed=707, allowed=(ValueError, UnicodeDecodeError))
+    # Structurally-valid JSON with wrong shapes (mutation rarely forges these).
+    for bad in (b"[1,2]", b'{"voices": 5}', b'{"voices": ["x"]}', b'{"voices": [{}]}', b"null"):
+        path.write_bytes(bad)
+        with pytest.raises(ValueError):
+            VoiceManager(str(path))
+
+
+def test_fuzz_config_files(tmp_path):
+    """Corrupt config files in all three formats → ValueError family (the
+    CLI shows the message instead of a traceback)."""
+    from go_pocket_tts_tpu.config import _read_config_file
+
+    cases = [
+        ("pockettts.json", b'{"tts": {"temperature": 0.5}, "server": {"workers": 3}}', 801),
+        ("pockettts.yaml", b"tts:\n  temperature: 0.5\nserver:\n  workers: 3\n", 802),
+        ("pockettts.toml", b"[tts]\ntemperature = 0.5\n[server]\nworkers = 3\n", 803),
+    ]
+    for name, valid, seed in cases:
+        path = tmp_path / name
+
+        def parse(data: bytes, path=path):
+            path.write_bytes(data)
+            _read_config_file(str(path))
+
+        _assert_controlled(parse, valid, seed=seed)
+    # Valid syntax, wrong top-level shape.
+    for name, bad in (
+        ("pockettts.json", b"[1, 2]"),
+        ("pockettts.yaml", b"- just\n- a\n- list\n"),
+        ("pockettts.json", b'"a string"'),
+    ):
+        path = tmp_path / name
+        path.write_bytes(bad)
+        with pytest.raises(ValueError):
+            _read_config_file(str(path))
+
+
 # -------------------------------------------------------------------- charsmap
 
 
