@@ -190,6 +190,26 @@ def cmd_serve(args) -> int:
                 except (KeyError, FileNotFoundError) as exc:
                     log.warning("prewarm: voice %r unavailable (%s)", v.id, exc)
         svc.prewarm(voice_paths=voice_paths)
+    uploader = None
+    if cfg.server.voice_upload_dir:
+        # Runtime voice cloning (POST /voices): uploads encode through the
+        # native Mimi encoder, land in this directory, register with the
+        # live voice list, and prewarm when the server itself prewarmed.
+        if voices is None:
+            from go_pocket_tts_tpu.tts.voices import VoiceManager
+
+            voices = VoiceManager.in_memory(cfg.server.voice_upload_dir)
+        from go_pocket_tts_tpu.tts.voice_upload import VoiceUploader
+
+        uploader = VoiceUploader(
+            model_path=cfg.paths.model_path,
+            upload_dir=cfg.server.voice_upload_dir,
+            voices=voices,
+            service=svc,
+            max_audio_bytes=cfg.server.max_voice_audio_bytes,
+            prewarm=bool(args.prewarm),
+        )
+        log.info("voice upload enabled: dir=%s", cfg.server.voice_upload_dir)
     # With continuous batching, request concurrency should cover the slots —
     # the semaphore otherwise starves the batch.
     workers = max(cfg.server.workers, cfg.runtime.batch_slots)
@@ -201,6 +221,7 @@ def cmd_serve(args) -> int:
         max_text_bytes=cfg.server.max_text_bytes,
         request_timeout=cfg.server.request_timeout_secs,
         shutdown_timeout=cfg.server.shutdown_timeout_secs,
+        voice_uploader=uploader,
     )
     log.info("serving on %s (backend=%s)", cfg.server.listen_addr, cfg.tts.backend)
     # Graceful SIGTERM drain (`cmd/pockettts/serve.go:38-44`).

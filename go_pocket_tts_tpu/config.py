@@ -111,6 +111,10 @@ class ServerConfig:
     shutdown_timeout_secs: int = 30
     max_text_bytes: int = 4096
     request_timeout_secs: int = 60
+    # POST /voices upload (runtime voice cloning). Off unless a directory is
+    # configured — an open server must not accept file writes by default.
+    voice_upload_dir: str = ""
+    max_voice_audio_bytes: int = 16 << 20
 
 
 @dataclass
@@ -197,6 +201,11 @@ _FLAG_MAP = [
     ("workers", "server", "workers", int, "Max concurrent synthesis requests"),
     ("shutdown-timeout", "server", "shutdown_timeout_secs", int, "Graceful shutdown drain timeout (s)"),
     ("max-text-bytes", "server", "max_text_bytes", int, "Maximum POST /tts text size in bytes"),
+    ("voice-upload-dir", "server", "voice_upload_dir", str,
+     "Enable POST /voices (runtime voice cloning): uploaded voices are "
+     "encoded, stored here, and prewarmed (empty string disables)"),
+    ("max-voice-audio-bytes", "server", "max_voice_audio_bytes", int,
+     "Maximum decoded WAV size accepted by POST /voices"),
     ("request-timeout", "server", "request_timeout_secs", int, "Per-request synthesis timeout (s)"),
     ("backend", "tts", "backend", str, "Synthesis backend (tpu|native|torch|cli)"),
     ("tts-voice", "tts", "voice", str, "Voice name or .safetensors file path"),

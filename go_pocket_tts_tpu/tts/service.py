@@ -622,14 +622,25 @@ class Service:
             log.info("prewarmed continuity session path")
         self._prewarm_voices(voice_paths, token_lengths)
 
-    def _prewarm_voices(self, voice_paths, token_lengths) -> None:
-        """Warm voice-conditioned program variants (see ``prewarm``).
+    def prewarm_voice(self, voice_path: str, token_lengths=(10, 30, 50)) -> bool:
+        """Warm one voice's conditioning programs; True if fully warmed.
+
+        The runtime voice-upload path (``POST /voices``) calls this right
+        after registering a new voice so its first request pays no XLA
+        compile — the same contract ``serve --prewarm`` establishes for
+        manifest voices."""
+        return self._prewarm_voices([voice_path], token_lengths) == 1
+
+    def _prewarm_voices(self, voice_paths, token_lengths) -> int:
+        """Warm voice-conditioned program variants (see ``prewarm``);
+        returns how many voices warmed fully.
 
         Best-effort: a voice that fails to load or exceeds capacity is
         skipped with a warning — prewarm must never block serving."""
+        warmed = 0
         gen = getattr(self.runtime, "generate_audio", None)
         if gen is None:
-            return
+            return warmed
         from go_pocket_tts_tpu.utils import buckets as bk
 
         for vp in voice_paths:
@@ -700,9 +711,11 @@ class Service:
                     fully_warmed = False
                     break
             if fully_warmed:
+                warmed += 1
                 log.info("prewarmed voice conditioning: %s", vp)
             else:
                 log.warning("prewarm: voice %r only partially warmed", vp)
+        return warmed
 
     def close(self) -> None:
         close = getattr(self.runtime, "close", None)

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from dataclasses import dataclass
 from typing import Dict, List
 
@@ -35,6 +36,7 @@ class VoiceManager:
         entries = manifest.get("voices", [])
         if not isinstance(entries, list):
             raise ValueError('voice manifest "voices" must be a list')
+        self._lock = threading.Lock()
         self._base_dir = os.path.dirname(os.path.abspath(manifest_path))
         self._voices: List[Voice] = []
         self._by_id: Dict[str, Voice] = {}
@@ -55,11 +57,42 @@ class VoiceManager:
             self._voices.append(v)
             self._by_id[v.id] = v
 
+    @classmethod
+    def in_memory(cls, base_dir: str = "") -> "VoiceManager":
+        """A manager with no manifest file — used by ``serve`` when voice
+        upload is enabled without a voices manifest on disk."""
+        mgr = cls.__new__(cls)
+        mgr._lock = threading.Lock()
+        mgr._base_dir = os.path.abspath(base_dir or os.getcwd())
+        mgr._voices = []
+        mgr._by_id = {}
+        return mgr
+
+    def register(self, voice_id: str, path: str, license: str = "") -> Voice:
+        """Register a voice at runtime (``POST /voices`` upload path).
+
+        Thread-safe; rejects empty ids/paths and duplicates the same way
+        manifest loading does. Beyond reference parity — the Go manifest is
+        immutable after load (`internal/tts/voice.go:11-95`)."""
+        v = Voice(id=str(voice_id or ""), path=str(path or ""), license=license)
+        if not v.id:
+            raise ValueError("voice id is required")
+        if not v.path:
+            raise ValueError(f"voice {v.id!r} has empty path")
+        with self._lock:
+            if v.id in self._by_id:
+                raise ValueError(f"duplicate voice id {v.id!r}")
+            self._voices.append(v)
+            self._by_id[v.id] = v
+        return v
+
     def list_voices(self) -> List[Voice]:
-        return list(self._voices)
+        with self._lock:
+            return list(self._voices)
 
     def resolve_path(self, voice_id: str) -> str:
-        v = self._by_id.get(voice_id)
+        with self._lock:
+            v = self._by_id.get(voice_id)
         if v is None:
             raise KeyError(f"unknown voice id {voice_id!r}")
         path = v.path
