@@ -70,3 +70,35 @@ size_t f32_from_pcm16(const int16_t* src, float* dst, size_t n) {
 }
 
 }  // extern "C"
+
+// CRC-16, polynomial 0x8005, MSB-first, init 0 — the FLAC frame footer CRC
+// (`utils/flac.py`). The per-byte Python table loop was 53% of the whole
+// FLAC encode; this is the same algorithm in C. Thread-safe table init via
+// a C++ magic static.
+namespace {
+struct Crc16Table {
+    uint16_t t[256];
+    Crc16Table() {
+        for (int i = 0; i < 256; ++i) {
+            uint16_t c = (uint16_t)(i << 8);
+            for (int b = 0; b < 8; ++b)
+                c = (c & 0x8000) ? (uint16_t)((c << 1) ^ 0x8005)
+                                 : (uint16_t)(c << 1);
+            t[i] = c;
+        }
+    }
+};
+}  // namespace
+
+extern "C" {
+
+uint16_t crc16_8005(const uint8_t* data, size_t n) {
+    static const Crc16Table table;
+    uint16_t crc = 0;
+    for (size_t i = 0; i < n; ++i)
+        crc = (uint16_t)(table.t[((crc >> 8) ^ data[i]) & 0xFF]
+                         ^ (uint16_t)(crc << 8));
+    return crc;
+}
+
+}  // extern "C"

@@ -41,6 +41,8 @@ class _AudioIO:
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_size_t,
         ] + [ctypes.c_double] * 5
+        lib.crc16_8005.restype = ctypes.c_uint16
+        lib.crc16_8005.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
 
     def pcm16_from_f32(self, samples: np.ndarray) -> bytes:
         src = np.ascontiguousarray(samples, dtype=np.float32)
@@ -67,6 +69,9 @@ class _AudioIO:
             src.size,
         )
         return out
+
+    def crc16_8005(self, data: bytes) -> int:
+        return int(self._lib.crc16_8005(data, len(data)))
 
     def biquad_df1(
         self, samples: np.ndarray, b0: float, b1: float, b2: float, a1: float, a2: float

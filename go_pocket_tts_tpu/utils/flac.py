@@ -66,10 +66,29 @@ def _crc8(data: bytes) -> int:
 
 
 def _crc16(data: bytes) -> int:
+    # The frame CRC runs over every compressed byte — 53% of the whole
+    # encode as a Python loop. The native helper is the same table
+    # algorithm in C (`native/audioio.cpp: crc16_8005`); byte-identical
+    # output, Python loop as the fallback.
+    native = _native_audioio()
+    if native is not None:
+        return native.crc16_8005(data)
     crc = 0
     for b in data:
         crc = int(_CRC16_TABLE[((crc >> 8) ^ b) & 0xFF]) ^ ((crc << 8) & 0xFFFF)
     return crc
+
+
+_AUDIOIO_CACHE: list = []
+
+
+def _native_audioio():
+    if not _AUDIOIO_CACHE:
+        from go_pocket_tts_tpu.native import audioio
+
+        _AUDIOIO_CACHE.append(audioio.load())
+    lib = _AUDIOIO_CACHE[0]
+    return lib if lib is not None and hasattr(lib, "crc16_8005") else None
 
 
 # -- bit assembly -------------------------------------------------------------
@@ -156,17 +175,18 @@ def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
 
 
 def _rice_param(residuals: np.ndarray) -> Tuple[int, int]:
-    """Best Rice parameter k (0..14) and the residual bit cost at that k."""
+    """Best Rice parameter k (0..14) and the residual bit cost at that k.
+
+    One vectorized [n, 15] shift+sum instead of a per-k Python loop (the
+    loop was ~27% of the encode)."""
     r = residuals.astype(np.int64)
     u = np.where(r >= 0, r << 1, (-r << 1) - 1).astype(np.uint64)
-    best_k, best_cost = 0, None
-    for k in range(15):
-        cost = int((u >> np.uint64(k)).sum()) + len(u) * (k + 1)
-        if best_cost is None or cost < best_cost:
-            best_k, best_cost = k, cost
-        elif cost > best_cost * 2:
-            break  # cost is convex in k; far past the minimum
-    return best_k, int(best_cost)
+    ks = np.arange(15, dtype=np.uint64)
+    costs = (u[:, None] >> ks[None, :]).sum(axis=0) + np.uint64(len(u)) * (
+        ks + np.uint64(1)
+    )
+    k = int(np.argmin(costs))
+    return k, int(costs[k])
 
 
 # -- encoder -------------------------------------------------------------------

@@ -222,3 +222,18 @@ def test_http_bad_format_rejected(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         _post(f"http://127.0.0.1:{server.port}/tts", {"text": "hi", "format": "mp3"})
     assert exc.value.code == 400
+
+
+def test_native_crc_path_byte_identical(monkeypatch):
+    """The native C CRC-16 (`native/audioio.cpp: crc16_8005`) must produce
+    exactly the bytes the pure-Python table loop does — the fallback is the
+    correctness oracle, the native path is only a speedup (33.6→62× realtime
+    measured, PERF.md)."""
+    from go_pocket_tts_tpu.utils import flac as flacmod
+
+    rs = np.random.RandomState(5)
+    x = (rs.randn(24_000) * 0.1).astype(np.float32)
+    with_native = encode_flac(x, sample_rate=24_000)
+    monkeypatch.setattr(flacmod, "_AUDIOIO_CACHE", [None])
+    forced_python = encode_flac(x, sample_rate=24_000)
+    assert with_native == forced_python
