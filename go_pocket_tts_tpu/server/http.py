@@ -22,6 +22,9 @@ API parity with `internal/server/server.go`:
 - both accept ``"format": "flac"`` for losslessly compressed responses
   (typically 2-3× smaller; ``audio/flac``) — beyond the reference, which
   serves WAV only; WAV stays the default and the parity format
+- ``GET /`` serves the bundled web demo (`web/index.html`) same-origin, and
+  every response carries ``Access-Control-Allow-Origin: *`` (the API holds
+  no secrets/credentials) so the page also works hosted elsewhere
 - limits/timeouts: ``max_text_bytes`` → 413; queue-full → 503; per-request
   timeout → 504 (`server.go:58-73,195-233,398-421`)
 - structured request logging with voice/text_len/duration_ms/wav_bytes
@@ -297,8 +300,47 @@ def make_handler(
 
         # -- routes --------------------------------------------------------
 
+        def end_headers(self):
+            # Permissive CORS on every response: the API serves no secrets
+            # and carries no credentials, and this lets the bundled web page
+            # run from any origin (it also ships same-origin at GET /).
+            self.send_header("Access-Control-Allow-Origin", "*")
+            super().end_headers()
+
+        def do_OPTIONS(self):
+            self.send_response(204)
+            self.send_header("Access-Control-Allow-Methods", "GET, POST, OPTIONS")
+            self.send_header("Access-Control-Allow-Headers", "Content-Type")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def _serve_index(self):
+            """GET / — the bundled web demo, same-origin with the API."""
+            import os as _os
+
+            pkg_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+            candidates = [
+                _os.path.join(_os.path.dirname(pkg_root), "web", "index.html"),
+                _os.path.join(_os.getcwd(), "web", "index.html"),
+            ]
+            for cand in candidates:
+                try:
+                    with open(cand, "rb") as f:
+                        body = f.read()
+                except OSError:
+                    continue
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            self._error(404, "web demo not found (web/index.html)")
+
         def do_GET(self):
-            if self.path in ("/tts", "/tts/stream"):
+            if self.path in ("/", "/index.html"):
+                self._serve_index()
+            elif self.path in ("/tts", "/tts/stream"):
                 self._error(405, "method not allowed")
             elif self.path == "/health":
                 self._json(200, {"status": "ok", "version": __version__})

@@ -412,3 +412,27 @@ def test_non_object_json_body_400(server):
             raise AssertionError(f"expected 400 for {body!r}")
         except urllib.error.HTTPError as e:
             assert e.code == 400, (body, e.code)
+
+
+def test_web_demo_served_at_root(server):
+    """GET / serves web/index.html same-origin — without this (and CORS) the
+    bundled page cannot call the API from a browser at all."""
+    srv, _ = server
+    with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/", timeout=10) as r:
+        assert r.headers["Content-Type"].startswith("text/html")
+        body = r.read()
+    assert b"/tts" in body and b"voice" in body
+
+
+def test_cors_headers_on_api_responses(server):
+    srv, _ = server
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{srv.port}/voices", timeout=10
+    ) as r:
+        assert r.headers["Access-Control-Allow-Origin"] == "*"
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/tts", method="OPTIONS"
+    )
+    with urllib.request.urlopen(req, timeout=10) as r:
+        assert r.status == 204
+        assert "POST" in r.headers["Access-Control-Allow-Methods"]
