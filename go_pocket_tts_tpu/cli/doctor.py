@@ -128,6 +128,35 @@ def run_doctor(
         except OSError as exc:
             res.record("compile cache", False, f"{cache_dir}: {exc}")
 
+    # Voice upload (POST /voices): a bad dir or a no-voice-cloning
+    # checkpoint would otherwise only surface as a 500 on the first upload.
+    upload_dir = getattr(cfg.server, "voice_upload_dir", "")
+    if upload_dir:
+        try:
+            os.makedirs(upload_dir, exist_ok=True)
+            probe_path = os.path.join(upload_dir, ".doctor-probe")
+            with open(probe_path, "w") as f:
+                f.write("ok")
+            os.unlink(probe_path)
+            detail = f"{upload_dir} (writable)"
+            ok = True
+        except OSError as exc:
+            detail, ok = f"{upload_dir}: {exc}", False
+        if ok and os.path.exists(cfg.paths.model_path):
+            try:
+                from go_pocket_tts_tpu.utils.safetensors import _read_header
+
+                header = _read_header(cfg.paths.model_path)
+                if not any(k.startswith("mimi.encoder.") for k in header):
+                    ok = False
+                    detail = (
+                        "checkpoint has no Mimi encoder weights (voice "
+                        "cloning needs the full checkpoint)"
+                    )
+            except Exception as exc:  # noqa: BLE001
+                ok, detail = False, str(exc)
+        res.record("voice upload", ok, detail)
+
     # External-binary probe for the cli backend (`cmd/pockettts/doctor.go:110-118`
     # runs `pocket-tts --version`).
     from go_pocket_tts_tpu.config import BACKEND_CLI, normalize_backend

@@ -191,6 +191,45 @@ def test_doctor_all_green(tmp_path):
     assert "✓ tokenizer backend" in out.getvalue()
 
 
+def test_doctor_probes_voice_upload(tmp_path):
+    """With --voice-upload-dir set, doctor checks writability and that the
+    checkpoint carries Mimi encoder weights (a no-voice-cloning checkpoint
+    would otherwise 500 on the first upload)."""
+    model_path = tmp_path / "model.safetensors"
+    write_file(model_path, synthetic.build_checkpoint(synthetic.tiny_arch(), 1))
+    cfg = cfgmod.Config()
+    cfg.paths.model_path = str(model_path)
+    cfg.paths.tokenizer_model = ""
+    cfg.paths.voices_manifest = ""
+    cfg.server.voice_upload_dir = str(tmp_path / "uploads")
+    kw = dict(
+        jax_probe=lambda: "jax", native_probe=lambda: "lib",
+        tokenizer_probe=lambda p: (True, ""),
+    )
+    out = io.StringIO()
+    run_doctor(cfg, out=out, **kw)
+    assert "✓ voice upload" in out.getvalue()
+
+    # No-voice-cloning checkpoint → ✗ with a pointed message.
+    stripped = {
+        k: v
+        for k, v in synthetic.build_checkpoint(synthetic.tiny_arch(), 1).items()
+        if not k.startswith("mimi.encoder")
+    }
+    write_file(model_path, stripped)
+    out = io.StringIO()
+    res = run_doctor(cfg, out=out, **kw)
+    assert not res.ok
+    assert "✗ voice upload" in out.getvalue()
+    assert "no Mimi encoder" in out.getvalue()
+
+    # Unset → probe absent entirely.
+    cfg.server.voice_upload_dir = ""
+    out = io.StringIO()
+    run_doctor(cfg, out=out, **kw)
+    assert "voice upload" not in out.getvalue()
+
+
 def test_doctor_probes_cli_binary_version(tmp_path):
     """With --backend cli, doctor runs `<binary> --version` like the
     reference (`cmd/pockettts/doctor.go:110-118`)."""
