@@ -130,7 +130,12 @@ def precompute_fused_adaln(params: Params) -> Params:
     concat is hoisted out of the AR loop alongside the timestep embeddings).
     """
     sources = [rb["adaln"] for rb in params["res_blocks"]] + [params["final_adaln"]]
-    quantized = all("scale" in src for src in sources)
+    # A quantized concat requires every source in the same form (dtype and
+    # scale rank) — they share an input dim so quantize_linear's fallback
+    # rules keep them uniform, but guard anyway and dequantize otherwise.
+    quantized = all("scale" in src for src in sources) and (
+        len({(src["w"].dtype, src["scale"].ndim) for src in sources}) == 1
+    )
     ws, bs, scales = [], [], []
     for src in sources:
         ws.append(src["w"])
@@ -142,11 +147,10 @@ def precompute_fused_adaln(params: Params) -> Params:
             scales.append(src["scale"])
         elif "scale" in src:
             # Mixed quantization: dequantize this source so the concat is
-            # uniform float.
-            sc = src["scale"]
-            if sc.ndim == 2:  # group-wise int4: [G, out] over 128-row slabs
-                sc = jnp.repeat(sc, src["w"].shape[0] // sc.shape[0], axis=0)
-            ws[-1] = src["w"].astype(jnp.float32) * sc
+            # uniform float (handles int8 and packed-int4 forms).
+            from go_pocket_tts_tpu.models.quantize import dequantize_weight
+
+            ws[-1] = dequantize_weight(src)
     fused = {"w": jnp.concatenate(ws, axis=1), "b": jnp.concatenate(bs)}
     if quantized:
         # Scales concatenate along the fused out dim — the LAST axis both

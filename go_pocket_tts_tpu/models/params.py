@@ -15,7 +15,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from go_pocket_tts_tpu.utils.safetensors import Store, unpack_nibbles
+from go_pocket_tts_tpu.utils.safetensors import Store
 
 __all__ = [
     "VarBuilder",
@@ -103,13 +103,11 @@ def _prequantized_linear_params(
     stored = vb.stored_dtype(name + ".weight")
     scale = np.asarray(vb.raw(name + ".weight_scale"), dtype=np.float32)
     if stored == "U8":
-        import ml_dtypes
-
-        vals = unpack_nibbles(vb.raw(name + ".weight"))  # [out, in]
-        # Convert to s4 on the host (ml_dtypes): ~20x faster than a
-        # device-side astype(int4) per tensor (int4 artifact cold start
-        # 1.4 -> ~0.4 s at real-arch size).
-        w = jnp.asarray(vals.T.astype(ml_dtypes.int4))
+        # Disk packs nibbles along `in` ([out, in/2], little nibble = even
+        # input index); the runtime form is the same bytes transposed
+        # ([in/2, out], models/quantize.py::pack_int4_rows pairing) — a
+        # plain u8 transpose, no nibble surgery, no s4 host conversion.
+        w = jnp.asarray(np.ascontiguousarray(vb.raw(name + ".weight").T))
     else:
         w = jnp.asarray(vb.raw(name + ".weight").T)  # int8 [in, out]
     out_dim = w.shape[1]
@@ -178,10 +176,10 @@ _QUANT_BACKEND = "xla"
 # INT4 grouped-matmul formulation (hardware A/B, scripts/exp_int4_step.py):
 #   "split"   — G separate 128-row contractions, scale folded into f32
 #               partials post-matmul (most precise; G-way split reduction)
-#   "dequant" — dequantize the packed s4 weight in-flight to one x.dtype
+#   "dequant" — dequantize the packed weight in-flight to one x.dtype
 #               operand and run a single dot (XLA can fuse convert+scale
 #               into the dot's operand stream; one full-K MXU contraction)
-# Both read the same packed s4 buffer from HBM; which one the TPU compiler
+# Both read the same packed u8 buffer from HBM; which one the TPU compiler
 # actually keeps un-materialized is an empirical question — settle it on
 # hardware before defaulting. Env override: POCKETTTS_INT4_VARIANT.
 import os as _os
@@ -211,7 +209,7 @@ def apply_linear(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
     HBM traffic of bf16) and the scale folds into the output.
     """
     w = params["w"]
-    if "scale" in params and w.dtype in (jnp.int8, jnp.int4):
+    if "scale" in params and w.dtype in (jnp.int8, jnp.uint8):
         lead = x.shape[:-1]
         k = x.shape[-1]
         n = w.shape[1]
@@ -219,13 +217,18 @@ def apply_linear(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
         for d in lead:
             m *= d
 
-        if w.dtype == jnp.int4:
-            # s4 isn't a dot_general operand dtype; widen in-flight (the HBM
-            # read is the packed s4 buffer — the convert runs post-load and
-            # fuses into the matmul's operand stream).
+        if w.dtype == jnp.uint8:
+            # Packed int4 (uint8 [k/2, n], models/quantize.py pairing). The
+            # HBM read is the packed buffer (half the int8 footprint); the
+            # nibble depack (two int8 shifts) runs in-flight. s4 itself is
+            # unusable as a jit argument on this backend (device_put
+            # relayout recursion — see quantize.py module docstring).
+            from go_pocket_tts_tpu.models.quantize import depack_int4_pairs
+
             scale = params["scale"]
+            pairs = depack_int4_pairs(w)  # i8 [k/2, 2, n]; [i, p] = row 2i+p
             if _INT4_VARIANT == "dequant":
-                wf = w.astype(jnp.float32)
+                wf = pairs.astype(jnp.float32).reshape(k, n)
                 if scale.ndim == 2:
                     g = scale.shape[0]
                     wf = (
@@ -244,21 +247,26 @@ def apply_linear(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
             if scale.ndim == 2:
                 # Group-wise scales [G, out] (models/quantize.py): contract
                 # each 128-row input slab separately, fold its scale into the
-                # partial, and sum — the weight read is still one pass over
-                # the packed s4 buffer; only the reduction is G-way split.
+                # partial, and sum. The nibble pair ordering rides the x side
+                # (a free reshape of the small activation) so the weight
+                # needs no interleave — only the depack shifts.
                 g = scale.shape[0]
-                xg = x.reshape(*lead, g, k // g)
-                wg = w.reshape(g, k // g, n).astype(x.dtype)
+                xg = x.reshape(*lead, g, k // (2 * g), 2)
+                wg = pairs.reshape(g, k // (2 * g), 2, n).astype(x.dtype)
                 partial = jnp.einsum(
-                    "...gk,gkn->...gn",
+                    "...gjp,gjpn->...gn",
                     xg,
                     wg,
                     preferred_element_type=jnp.float32,
                 )
                 y = jnp.sum(partial * scale.astype(jnp.float32), axis=-2)
             else:
-                y = jnp.matmul(
-                    x, w.astype(x.dtype), preferred_element_type=jnp.float32
+                xp = x.reshape(*lead, k // 2, 2)
+                y = jnp.einsum(
+                    "...jp,jpn->...n",
+                    xp,
+                    pairs.astype(x.dtype),
+                    preferred_element_type=jnp.float32,
                 )
                 y = y * scale.astype(jnp.float32)
             y = y.astype(x.dtype)

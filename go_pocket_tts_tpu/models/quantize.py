@@ -11,12 +11,22 @@ AR step is weight-bandwidth-bound), the scale folds into the output
 elementwise, and activations stay bf16/f32. Gathers (the token embedding)
 and the small conv kernels stay in floating point.
 
-``bits=4`` stores weights as XLA ``s4`` (jnp.int4, levels −7…7, packed two
-per byte in HBM) — beyond the reference. The weight stream is the batched
-AR step's dominant HBM traffic even after INT8 (measured 0.238 ms/step at
-batch 8 with int8 weights+KV), so halving it again targets the next chunk;
-per-channel INT4 costs more quantization error than INT8 (RMS weight error
-~9x), so it stays opt-in until validated against real checkpoints.
+``bits=4`` stores weights packed two two's-complement nibbles per byte in a
+``uint8 [k/2, out]`` carrier (byte ``i`` holds input rows ``2i`` — low
+nibble — and ``2i+1``), levels −7…7 — beyond the reference. The weight
+stream is the batched AR step's dominant HBM traffic even after INT8
+(measured 0.238 ms/step at batch 8 with int8 weights+KV), so halving it
+again targets the next chunk; per-channel INT4 costs more quantization
+error than INT8 (RMS weight error ~9x), so it stays opt-in until validated
+against real checkpoints.
+
+Why uint8 and not XLA's native ``s4`` dtype: on the axon TPU backend,
+passing an ``int4`` array as a jit *argument* dies in an infinite
+``device_put`` relayout recursion (r4 hardware session, S4 layout
+``T(64,128)(8,1)``) — s4 works as a jit-internal value but not across
+dispatch boundaries. The packed-u8 carrier has identical HBM bytes; the
+nibble depack (two shifts) runs inside the consuming jit and fuses into
+the matmul's operand stream (see ``params.apply_linear``).
 """
 
 from __future__ import annotations
@@ -30,8 +40,12 @@ __all__ = [
     "quantize_linear",
     "quantize_model_params",
     "is_quantized",
+    "is_int4_packed",
     "model_quantized_bits",
     "quantize_kv_rows",
+    "pack_int4_rows",
+    "depack_int4_pairs",
+    "dequantize_weight",
 ]
 
 
@@ -46,7 +60,7 @@ def model_quantized_bits(params: Dict) -> int | None:
     def walk(node):
         if isinstance(node, dict):
             if is_quantized(node):
-                found.add(4 if node["w"].dtype == jnp.int4 else 8)
+                found.add(4 if node["w"].dtype == jnp.uint8 else 8)
                 return
             for v in node.values():
                 walk(v)
@@ -77,6 +91,55 @@ def quantize_kv_rows(x: jax.Array):
 GROUP_SIZE = 128  # int4 scale granularity along the input dim
 
 
+def pack_int4_rows(q: jax.Array) -> jax.Array:
+    """``int8 [k, n]`` values in [-8, 7] → packed ``uint8 [k/2, n]``.
+
+    Byte ``[i, j]`` holds input row ``2i`` in the low nibble and ``2i+1``
+    in the high nibble (two's complement) — the same pairing the on-disk
+    pre-quantized format uses along its last axis
+    (``utils/safetensors.pack_nibbles`` on ``[out, in]``), so a loaded
+    artifact's ``[out, in/2]`` buffer transposes straight into this form.
+    Pure int8/uint8 bit ops: safe to run eagerly (no s4 dispatch).
+    """
+    k, n = q.shape
+    qp = q.reshape(k // 2, 2, n)
+    byte = (qp[:, 0, :] & 0x0F) | (qp[:, 1, :] << 4)
+    return jax.lax.bitcast_convert_type(byte, jnp.uint8)
+
+
+def depack_int4_pairs(packed: jax.Array) -> jax.Array:
+    """Packed ``uint8 [k/2, n]`` → sign-extended ``int8 [k/2, 2, n]``.
+
+    ``out[i, p, j]`` is original input row ``2i + p``. Traceable; inside a
+    jit the two shifts fuse into whatever consumes the weight, so the HBM
+    read stays the packed buffer (half the int8 footprint).
+    """
+    ui = jax.lax.bitcast_convert_type(packed, jnp.int8)
+    lo = (ui << 4) >> 4  # arithmetic shifts sign-extend the low nibble
+    hi = ui >> 4
+    return jnp.stack([lo, hi], axis=1)
+
+
+def dequantize_weight(p: Dict) -> jax.Array:
+    """Quantized linear params → float32 ``w [k, n]`` (scales folded in).
+
+    Handles int8 per-channel and packed-int4 group-wise forms; used where a
+    float view of a quantized weight is required (e.g. the fused adaLN
+    concat when sources mix quantization forms).
+    """
+    w = p["w"]
+    if w.dtype == jnp.uint8:
+        wq = depack_int4_pairs(w).reshape(w.shape[0] * 2, w.shape[1])
+    else:
+        wq = w
+    wf = wq.astype(jnp.float32)
+    sc = p["scale"].astype(jnp.float32)
+    if sc.ndim == 2:
+        g = sc.shape[0]
+        return (wf.reshape(g, -1, wf.shape[1]) * sc[:, None, :]).reshape(wf.shape)
+    return wf * sc
+
+
 def quantize_linear(p: Dict, bits: int = 8) -> Dict:
     """Quantize one linear param dict {w[in,out], b?} → {w int8/int4, scale, b?}.
 
@@ -97,18 +160,19 @@ def quantize_linear(p: Dict, bits: int = 8) -> Dict:
         # artifact (model_assets/quantize_export.py applies the same rule).
         bits = 8
     qmax = 127.0 if bits == 8 else 7.0
-    qtype = jnp.int8 if bits == 8 else jnp.int4
     if bits == 4 and k % GROUP_SIZE == 0 and k > GROUP_SIZE:
         g = k // GROUP_SIZE
         wg = w.reshape(g, GROUP_SIZE, w.shape[1])
         scale = jnp.max(jnp.abs(wg), axis=1) / qmax  # [G, out]
         scale = jnp.where(scale > 0, scale, 1.0)
         q = jnp.clip(jnp.round(wg / scale[:, None, :]), -qmax, qmax)
-        q = q.astype(qtype).reshape(k, w.shape[1])
+        q = q.astype(jnp.int8).reshape(k, w.shape[1])
     else:
         scale = jnp.max(jnp.abs(w), axis=0) / qmax  # [out]
         scale = jnp.where(scale > 0, scale, 1.0)
-        q = jnp.clip(jnp.round(w / scale), -qmax, qmax).astype(qtype)
+        q = jnp.clip(jnp.round(w / scale), -qmax, qmax).astype(jnp.int8)
+    if bits == 4:
+        q = pack_int4_rows(q)
     out = {"w": q, "scale": scale.astype(jnp.float32)}
     if "b" in p:
         out["b"] = p["b"]
@@ -116,7 +180,11 @@ def quantize_linear(p: Dict, bits: int = 8) -> Dict:
 
 
 def is_quantized(p: Dict) -> bool:
-    return "scale" in p and p["w"].dtype in (jnp.int8, jnp.int4)
+    return "scale" in p and p["w"].dtype in (jnp.int8, jnp.uint8)
+
+
+def is_int4_packed(p: Dict) -> bool:
+    return "scale" in p and p["w"].dtype == jnp.uint8
 
 
 def _is_linear(node) -> bool:

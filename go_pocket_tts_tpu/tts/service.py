@@ -183,6 +183,15 @@ class Service:
                         pre_bits,
                         pre_bits,
                     )
+                if pre_bits == 4:
+                    # Hardware-measured (PERF.md r5): the int4 batched step
+                    # is ~1.6x slower than int8 on TPU v5e — int4 artifacts
+                    # optimize size/cold-load, not serving throughput.
+                    log.warning(
+                        "serving from an int4 artifact: measured ~1.6x "
+                        "slower per AR step than int8 on TPU; prefer "
+                        "`model export --quantize int8` for serving"
+                    )
             dtype = jnp.bfloat16 if cfg.runtime.dtype == "bfloat16" else jnp.float32
             seed = None if cfg.runtime.seed < 0 else cfg.runtime.seed
             if cfg.runtime.batch_slots > 1:

@@ -98,7 +98,7 @@ def test_quantize_linear_int4_roundtrip_accuracy():
     w = jnp.asarray(rng.randn(64, 32).astype(np.float32) / 8)
     p = {"w": w, "b": jnp.asarray(rng.randn(32).astype(np.float32))}
     q = quantize_linear(p, bits=4)
-    assert q["w"].dtype == jnp.int4
+    assert q["w"].dtype == jnp.uint8  # packed int4
     assert is_quantized(q)
 
     x = jnp.asarray(rng.randn(4, 64).astype(np.float32))
@@ -153,9 +153,10 @@ def test_int4_grouped_matches_independent_numpy():
     scale = np.where(scale > 0, scale, 1.0)
     wq = np.clip(np.round(wg / scale[:, None, :]), -7, 7)
     np.testing.assert_array_equal(np.asarray(q["scale"]), scale.astype(np.float32))
-    np.testing.assert_array_equal(
-        np.asarray(q["w"].astype(jnp.int8)).reshape(g, gs, n), wq.astype(np.int8)
-    )
+    from go_pocket_tts_tpu.models.quantize import depack_int4_pairs
+
+    qvals = np.asarray(depack_int4_pairs(q["w"])).reshape(k, n)
+    np.testing.assert_array_equal(qvals.reshape(g, gs, n), wq.astype(np.int8))
 
     x = rng.randn(5, k).astype(np.float32)
     y_np = (
@@ -177,7 +178,7 @@ def test_int4_grouped_generation_end_to_end():
     model = load_model_from_store(open_store_from_bytes(data), num_heads=arch.num_heads)
     qparams = quantize_model_params(model.params, bits=4)
     lin = qparams["flow_lm"]["transformer"]["layers"][0]["in_proj"]
-    assert lin["w"].dtype == jnp.int4 and lin["scale"].ndim == 2
+    assert lin["w"].dtype == jnp.uint8 and lin["scale"].ndim == 2
 
     cfg = GenerateConfig(temperature=0.0, eos_threshold=1e9, max_steps=3)
     out = TPURuntime(model, seed=1, frame_bucket=64, quantize=4).generate_audio(
@@ -207,7 +208,7 @@ def test_int4_generation_runs_and_tracks_f32():
     assert len(q4) == len(ref)
     assert np.all(np.isfinite(q4))
     qparams = quantize_model_params(model.params, bits=4)
-    assert qparams["flow_lm"]["transformer"]["layers"][0]["in_proj"]["w"].dtype == jnp.int4
+    assert qparams["flow_lm"]["transformer"]["layers"][0]["in_proj"]["w"].dtype == jnp.uint8
 
 
 def test_quantized_bf16_runtime_runs():

@@ -67,21 +67,17 @@ def test_quantize_weight_np_matches_runtime(bits, k):
     stored, scale = quantize_weight_np(w, bits)
 
     ref = quantize_linear({"w": jnp.asarray(w.T)}, bits=bits)  # runtime layout
-    ref_q = np.asarray(ref["w"].astype(jnp.int8))  # [in, out]
     ref_scale = np.asarray(ref["scale"])
 
     if bits == 8:
         assert stored.dtype == np.int8
-        np.testing.assert_array_equal(stored.T, ref_q)
+        np.testing.assert_array_equal(stored.T, np.asarray(ref["w"]))
         np.testing.assert_array_equal(scale, ref_scale)
     else:
         assert stored.dtype == np.uint8 and stored.shape == (24, k // 2)
-        low = ((stored & 0x0F).astype(np.int8) ^ 0x8) - 0x8
-        high = ((stored >> 4).astype(np.int8) ^ 0x8) - 0x8
-        vals = np.empty((24, k), dtype=np.int8)
-        vals[:, 0::2] = low
-        vals[:, 1::2] = high
-        np.testing.assert_array_equal(vals.T, ref_q)
+        # The disk buffer [out, in/2] transposes byte-for-byte into the
+        # runtime packed form [in/2, out] (same nibble pairing).
+        np.testing.assert_array_equal(stored.T, np.asarray(ref["w"]))
         np.testing.assert_array_equal(scale, ref_scale)
 
 
@@ -91,9 +87,6 @@ def _assert_trees_equal(a, b):
     assert [p for p, _ in la[0]] == [p for p, _ in lb[0]]
     for (path, x), (_, y) in zip(la[0], lb[0]):
         assert x.dtype == y.dtype, (path, x.dtype, y.dtype)
-        if x.dtype == jnp.int4:
-            x = x.astype(jnp.int8)
-            y = y.astype(jnp.int8)
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=str(path))
 
 

@@ -94,6 +94,4 @@ def test_real_quantized_export_roundtrip(tmp_path):
     assert [p for p, _ in la] == [p for p, _ in lb]
     for (path, x), (_, y) in zip(la, lb):
         assert x.dtype == y.dtype, path
-        if x.dtype == jnp.int4:
-            x, y = x.astype(jnp.int8), y.astype(jnp.int8)
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=str(path))
