@@ -218,7 +218,50 @@ def make_handler(
             self.end_headers()
             self.wfile.write(body)
 
+        _DRAIN_LIMIT = 1 << 26  # 64 MiB: bound on discarded request bytes
+
+        def _drain_request_body(self) -> None:
+            """Read and discard the unread request body (bounded) before an
+            early error response.
+
+            Responding while the client is still mid-send races its write:
+            once the response is out and the connection tears down, the
+            client sees EPIPE/ECONNRESET instead of the 4xx (observed as a
+            flaky Broken pipe in the POST /voices validation test under
+            full-suite load). The reference writes clean 413/400s the same
+            way (`internal/server/server.go:186-233`). Bodies beyond the
+            drain limit aren't worth absorbing — drop the connection after
+            responding instead.
+            """
+            try:
+                length = int(self.headers.get("Content-Length") or 0)
+            except (TypeError, ValueError):
+                length = 0
+            remaining = length - getattr(self, "_body_read", 0)
+            if remaining <= 0:
+                return
+            to_read = min(remaining, self._DRAIN_LIMIT)
+            try:
+                old_timeout = self.connection.gettimeout()
+                # A client that lied about Content-Length must not pin the
+                # handler thread: bound the drain with a socket timeout.
+                self.connection.settimeout(10.0)
+                try:
+                    while to_read > 0:
+                        chunk = self.rfile.read(min(to_read, 65536))
+                        if not chunk:
+                            break
+                        to_read -= len(chunk)
+                finally:
+                    self.connection.settimeout(old_timeout)
+            except (OSError, ValueError):
+                pass
+            self._body_read = length - max(remaining - self._DRAIN_LIMIT, 0)
+            if remaining > self._DRAIN_LIMIT:
+                self.close_connection = True
+
         def _error(self, status: int, msg: str) -> None:
+            self._drain_request_body()
             self._json(status, {"error": msg})
 
         def log_message(self, fmt, *args):  # route to slog-style logger
@@ -241,6 +284,7 @@ def make_handler(
                 self._error(413, f"request exceeds maximum size ({max_text_bytes} text bytes)")
                 return None
             raw = self.rfile.read(length)
+            self._body_read = len(raw)
             try:
                 req = json.loads(raw.decode("utf-8"))
             except (UnicodeDecodeError, json.JSONDecodeError) as exc:
@@ -338,6 +382,7 @@ def make_handler(
             self._error(404, "web demo not found (web/index.html)")
 
         def do_GET(self):
+            self._body_read = 0
             if self.path in ("/", "/index.html"):
                 self._serve_index()
             elif self.path in ("/tts", "/tts/stream"):
@@ -368,6 +413,7 @@ def make_handler(
                 self._error(404, "not found")
 
         def do_POST(self):
+            self._body_read = 0
             if self.path == "/tts":
                 self._handle_tts()
             elif self.path == "/tts/stream":
@@ -410,6 +456,7 @@ def make_handler(
                 )
                 return
             raw = self.rfile.read(length)
+            self._body_read = len(raw)
             try:
                 req = json.loads(raw.decode("utf-8"))
             except (UnicodeDecodeError, json.JSONDecodeError) as exc:
