@@ -448,6 +448,59 @@ def cmd_model_export(args) -> int:
     return 0
 
 
+def cmd_model_dump_header(args) -> int:
+    """``model dump-header``: the checkpoint's tensor inventory as JSON —
+    names, shapes, dtypes, metadata — read from the header only (no tensor
+    data is decoded, so it is instant on multi-GB files).
+
+    Purpose (real-asset readiness): the Mimi *encoder* tensor naming
+    (``mimi.encoder.*``) is this repo's own convention — the reference never
+    loads encoder weights (`internal/onnx/voice_encode.go:23-117`) — so the
+    day a real checkpoint lands, diff this dump against
+    ``REQUIRED_MODEL_KEYS`` / the VarBuilder paths and bridge any renames
+    with the store's ``key_mapper`` (see README "Real-checkpoint
+    reconciliation").
+    """
+    cfg = load_config(args)
+    _setup_logging(cfg.log_level)
+    import os as _os
+
+    from go_pocket_tts_tpu.utils.safetensors import (
+        REQUIRED_MODEL_KEYS,
+        SafetensorsError,
+        read_header,
+    )
+
+    path = args.path or cfg.paths.model_path
+    if not _os.path.exists(path):
+        print(json.dumps({"error": f"no such file: {path}"}))
+        return 1
+    try:
+        header = read_header(path)
+    except SafetensorsError as exc:
+        print(json.dumps({"error": str(exc)}))
+        return 1
+    metadata = header.pop("__metadata__", {})
+    tensors = {
+        name: {"dtype": info.get("dtype"), "shape": info.get("shape")}
+        for name, info in sorted(header.items())
+    }
+    missing = [k for k in REQUIRED_MODEL_KEYS if k not in tensors]
+    print(
+        json.dumps(
+            {
+                "path": path,
+                "tensor_count": len(tensors),
+                "metadata": metadata,
+                "required_keys_missing": missing,
+                "tensors": tensors,
+            },
+            indent=2 if args.pretty else None,
+        )
+    )
+    return 0
+
+
 def cmd_model_verify(args) -> int:
     cfg = load_config(args)
     _setup_logging(cfg.log_level)
@@ -627,6 +680,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = msub.add_parser("verify")
     register_flags(p)
     p.set_defaults(fn=cmd_model_verify)
+    p = msub.add_parser(
+        "dump-header",
+        help="Tensor names/shapes/dtypes + metadata as JSON (header-only read)",
+    )
+    register_flags(p)
+    p.add_argument("--path", default="", help="Checkpoint (default: configured model path)")
+    p.add_argument("--pretty", action="store_true", help="Indented JSON")
+    p.set_defaults(fn=cmd_model_dump_header)
     p = msub.add_parser("export")
     register_flags(p)
     p.add_argument("--output", required=True, help="Output .safetensors path")

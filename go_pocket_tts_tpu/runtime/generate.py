@@ -525,10 +525,37 @@ class TPURuntime:
         )
         return audio
 
-    # Cache size for continuity sessions. The model is trained at ~1k
-    # positions (SURVEY §2: RoPE tables cover 8192 but the reference caps
-    # context near 1k); a filled session resets rather than degrade.
+    # Cache size ceiling for continuity sessions. The model is trained at
+    # ~1k positions (SURVEY §2: RoPE tables cover 8192 but the reference
+    # caps context near 1k); a filled session resets rather than degrade.
     SESSION_CAPACITY = 1024
+
+    def _session_ladder(self, max_capacity: int) -> tuple:
+        """Ascending KV-capacity buckets for continuity sessions.
+
+        Sessions start in the smallest bucket that fits the first chunk and
+        the carried cache zero-pads up the ladder at chunk boundaries,
+        instead of paying max-capacity attention reads from chunk 1
+        (hardware r4/r5: a fixed 1024 capacity cost ~40% of longform
+        throughput vs the plain per-chunk path whose caches are ~320 deep).
+        Three rungs bound the compiled program variants per (token, frame)
+        bucket pair; padded positions sit beyond the write offset so they
+        are masked out — outputs are capacity-invariant.
+        """
+        return tuple(b for b in (384, 640) if b < max_capacity) + (max_capacity,)
+
+    @staticmethod
+    def _grow_cache(cache: Dict, capacity: int) -> Dict:
+        """Zero-pad a carried KV cache ``{k,v: [L,B,H,C,Dh]}`` to a larger
+        capacity (one device-side pad per growth, ~10s of MB — negligible
+        against the per-step attention savings of starting small)."""
+        pad = capacity - cache["k"].shape[3]
+        widths = [(0, 0)] * 3 + [(0, pad)] + [(0, 0)]
+        return {
+            **cache,
+            "k": jnp.pad(cache["k"], widths),
+            "v": jnp.pad(cache["v"], widths),
+        }
 
     def _session_setup(
         self,
@@ -568,16 +595,34 @@ class TPURuntime:
         frame_bucket = bk.pick_bucket(max_steps + 1, (self.frame_bucket, 512, 1024))
 
         # Peak write index this chunk: prefill pads to token_bucket; the AR
-        # loop writes at offset+len(tokens)+step. Reset when it won't fit.
+        # loop writes at offset+len(tokens)+step. Grow the carried cache up
+        # the session ladder when the chunk won't fit; reset only once the
+        # ceiling is reached.
         chunk_extent = max(token_bucket, len(tok_np) + max_steps)
+        max_capacity = session_capacity or self.SESSION_CAPACITY
+        ladder = self._session_ladder(max_capacity)
         if cont is not None and cont.used_ub + chunk_extent > cont.capacity:
-            log.info(
-                "continuity session full (%d + %d > %d): resetting",
-                cont.used_ub,
-                chunk_extent,
-                cont.capacity,
+            needed = cont.used_ub + chunk_extent
+            grow_to = next(
+                (b for b in ladder if b >= needed and b > cont.capacity), None
             )
-            cont = None
+            if grow_to is None:
+                log.info(
+                    "continuity session full (%d + %d > %d): resetting",
+                    cont.used_ub,
+                    chunk_extent,
+                    cont.capacity,
+                )
+                cont = None
+            else:
+                log.debug(
+                    "continuity session growing %d -> %d", cont.capacity, grow_to
+                )
+                cont = ContinuationState(
+                    cache=self._grow_cache(cont.cache, grow_to),
+                    capacity=grow_to,
+                    used_ub=cont.used_ub,
+                )
 
         with jax.default_matmul_precision(self.matmul_precision):
             if cont is not None:
@@ -595,10 +640,13 @@ class TPURuntime:
                 if cfg.voice_model_state is not None:
                     first = next(iter(cfg.voice_model_state.modules.values()))
                     voice_frames = int(np.asarray(first["offset"]).reshape(-1)[0])
-                capacity = max(
-                    session_capacity or self.SESSION_CAPACITY,
+                min_needed = (
                     bk.round_up(voice_frames + voice_len + token_bucket, 64)
-                    + frame_bucket,
+                    + frame_bucket
+                )
+                capacity = next(
+                    (b for b in ladder if b >= min_needed),
+                    bk.round_up(min_needed, 64),
                 )
                 voice_cache = None
                 if cfg.voice_model_state is not None:

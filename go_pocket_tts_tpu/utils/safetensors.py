@@ -51,6 +51,7 @@ __all__ = [
     "load_voice_model_state_from_bytes",
     "validate_model_keys",
     "read_header_metadata",
+    "read_header",
     "REQUIRED_MODEL_KEYS",
 ]
 
@@ -339,6 +340,13 @@ REQUIRED_MODEL_KEYS = (
     "mimi.quantizer.output_proj.weight",
     "mimi.decoder.model.0.conv.weight",
 )
+
+
+def read_header(path: str | os.PathLike) -> dict:
+    """Parse and return the raw safetensors header dict (tensor name →
+    {dtype, shape, data_offsets}, plus ``__metadata__``) without touching
+    tensor data — instant on multi-GB files. Used by ``model dump-header``."""
+    return _read_header(path)
 
 
 def _read_header(path: str | os.PathLike) -> dict:

@@ -83,10 +83,19 @@ batching._harvest_decode_pcm16 = wrap("harvest_decode", batching._harvest_decode
 
 b.start()
 try:
-    # warm wave
+    # Warm wave. This is where the r4 session timed out (600 s, cold
+    # persistent cache → compile storm through the remote-compile tunnel):
+    # log per-future progress so a recurrence is diagnosable from the
+    # output alone instead of a bare TimeoutError.
+    t_warm = time.perf_counter()
     futs = [b.submit(tokens, cfg) for _ in range(N_REQ)]
-    for f in futs:
-        f.result(timeout=600)
+    for i, f in enumerate(futs):
+        f.result(timeout=900)
+        print(
+            f"warm {i + 1}/{N_REQ} at {time.perf_counter() - t_warm:.1f}s",
+            flush=True,
+        )
+    print(f"warm wave wall: {time.perf_counter() - t_warm:.1f}s", flush=True)
     phase_times.clear()
     events.clear()
 

@@ -115,3 +115,13 @@ def test_metric_direction_classifier():
     assert bench.metric_lower_is_better("ttfa_under_load_ms_p95")
     assert not bench.metric_lower_is_better("x_realtime")
     assert not bench.metric_lower_is_better("aggregate_x_realtime_slots16")
+
+
+def test_tunnel_health_note_flags_degraded_rtt():
+    prior = [{"tunnel_rtt_ms": v} for v in (25.0, 26.0, 27.0, 25.5, 26.5)]
+    assert bench.tunnel_health_note(26.0, prior) == ""
+    note = bench.tunnel_health_note(33.0, prior)
+    assert "environment degraded" in note and "33.0" in note
+    # no recorded history / no probe -> silent
+    assert bench.tunnel_health_note(None, prior) == ""
+    assert bench.tunnel_health_note(33.0, [{}]) == ""
