@@ -38,4 +38,8 @@ echo "== burst profile (confirm the bandwidth-cap model at today's bw) =="
 timeout 1800 python scripts/exp_burst_profile.py > /tmp/r5_hw/burst.txt 2>&1
 echo "rc=$?"
 
+echo "== fp32 precision A/B (config1 headroom: highest vs high vs default) =="
+timeout 1800 python scripts/exp_fp32_precision.py > /tmp/r5_hw/fp32_precision.txt 2>&1
+echo "rc=$?"; grep -E "wall p50|decision" /tmp/r5_hw/fp32_precision.txt || true
+
 echo "done — fold results into PERF.md"
