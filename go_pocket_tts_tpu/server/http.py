@@ -230,8 +230,8 @@ def make_handler(
             flaky Broken pipe in the POST /voices validation test under
             full-suite load). The reference writes clean 413/400s the same
             way (`internal/server/server.go:186-233`). Bodies beyond the
-            drain limit aren't worth absorbing — drop the connection after
-            responding instead.
+            drain limit aren't worth absorbing (and may never arrive) —
+            skip the read and drop the connection after responding.
             """
             try:
                 length = int(self.headers.get("Content-Length") or 0)
@@ -240,11 +240,18 @@ def make_handler(
             remaining = length - getattr(self, "_body_read", 0)
             if remaining <= 0:
                 return
-            to_read = min(remaining, self._DRAIN_LIMIT)
+            if remaining > self._DRAIN_LIMIT:
+                # An attacker-scale Content-Length claim (e.g. 2 GB on the
+                # 413 path) must not pin the handler waiting for bytes that
+                # will never come: respond immediately and drop the
+                # connection instead of absorbing anything.
+                self.close_connection = True
+                return
+            to_read = remaining
             try:
                 old_timeout = self.connection.gettimeout()
-                # A client that lied about Content-Length must not pin the
-                # handler thread: bound the drain with a socket timeout.
+                # A client that stalls mid-body must not pin the handler
+                # thread: bound the drain with a socket timeout.
                 self.connection.settimeout(10.0)
                 try:
                     while to_read > 0:
@@ -256,8 +263,10 @@ def make_handler(
                     self.connection.settimeout(old_timeout)
             except (OSError, ValueError):
                 pass
-            self._body_read = length - max(remaining - self._DRAIN_LIMIT, 0)
-            if remaining > self._DRAIN_LIMIT:
+            self._body_read = length - to_read
+            if to_read > 0:
+                # Unread body bytes may still arrive; the connection is
+                # desynced for keep-alive reuse.
                 self.close_connection = True
 
         def _error(self, status: int, msg: str) -> None:
