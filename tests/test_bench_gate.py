@@ -125,3 +125,57 @@ def test_tunnel_health_note_flags_degraded_rtt():
     # no recorded history / no probe -> silent
     assert bench.tunnel_health_note(None, prior) == ""
     assert bench.tunnel_health_note(33.0, [{}]) == ""
+
+
+def test_tunnel_collapse_threshold():
+    """Alive-but-collapsed tunnel (r5 11:20Z: 54 s per 16-byte fetch) must
+    trip the bail; healthy and merely-elevated RTTs must not."""
+    assert not bench.tunnel_collapsed(None)
+    assert not bench.tunnel_collapsed(27.0)
+    assert not bench.tunnel_collapsed(200.0)
+    assert bench.tunnel_collapsed(54_000.0)
+    assert bench.tunnel_collapsed(1500.0, max_rtt_ms=1000.0)
+    assert not bench.tunnel_collapsed(1500.0, max_rtt_ms=2000.0)
+
+
+def test_rtt_probe_hang_returns_lower_bound(monkeypatch):
+    """A probe thread stuck in native tunnel code must not stall bench:
+    the measurement returns hang_s as an honest RTT lower bound, which
+    trips tunnel_collapsed."""
+    import threading
+
+    hang = threading.Event()
+    monkeypatch.setitem(
+        sys.modules, "jax", type(sys)("jax_stub")
+    )  # ensure the probe body never touches the real backend
+
+    # Patch the probe internals: simulate a device_get that never returns by
+    # making the thread body block on an Event via a fake jax module.
+    class _FakeJnp:
+        @staticmethod
+        def zeros(shape, dtype=None):
+            return 0
+
+        int32 = None
+
+    fake_jax = sys.modules["jax"]
+    fake_jax.numpy = _FakeJnp
+    fake_jax.jit = lambda f: f
+    fake_jax.block_until_ready = lambda x: hang.wait()  # hangs forever
+    fake_jax.device_get = lambda x: x
+    monkeypatch.setitem(sys.modules, "jax.numpy", _FakeJnp)
+
+    try:
+        rtt = bench._measure_tunnel_rtt_ms(n=3, budget_s=0.5, hang_s=0.3)
+        assert rtt == 300.0
+        assert bench.tunnel_collapsed(rtt, max_rtt_ms=250.0)
+    finally:
+        hang.set()
+
+
+def test_host_contention_note():
+    """A saturated 1-core host at bench start must annotate regressions."""
+    assert bench.host_contention_note(0.05) == ""
+    assert bench.host_contention_note(None) == ""
+    note = bench.host_contention_note(1.9)
+    assert "1.90" in note and "competing" in note
