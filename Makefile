@@ -3,13 +3,16 @@
 
 PY ?= python
 
-.PHONY: test test-fast test-hw bench bench-batch serve lint ci verify-assets
+.PHONY: test test-all test-fast test-hw bench bench-batch serve lint ci verify-assets
 
-test:            ## full suite on CPU (~8 min)
+test:            ## fast tier on CPU (~4-5 min; deselects tests/slow_tests.txt)
+	$(PY) -m pytest tests/ -q -m "not slow"
+
+test-all:        ## full suite on CPU (~22 min measured on this 1-core host)
 	$(PY) -m pytest tests/ -q
 
-test-fast:       ## everything except the slow batcher tier
-	$(PY) -m pytest tests/ -q --ignore=tests/test_batching.py
+test-fast:       ## alias of `test` (kept for muscle memory)
+	$(PY) -m pytest tests/ -q -m "not slow"
 
 test-hw:         ## full suite on the real TPU chip (slow compiles)
 	JAX_COMPILATION_CACHE_DIR=/tmp/jax_comp_cache POCKETTTS_TEST_PLATFORM=axon \
