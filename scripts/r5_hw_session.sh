@@ -13,7 +13,11 @@ import time, jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
 for mb in (1, 5):
     n = mb * 512 * 1024
-    x = jnp.zeros((n,), jnp.int16); jax.block_until_ready(x)
+    # Device-COMPUTED payload: host-built arrays (jnp.zeros) keep a
+    # client-side copy in the axon runtime, so device_get returns without
+    # crossing the tunnel and reads ~77 GB/s. iota forces a real transfer.
+    x = jax.jit(lambda: jax.lax.iota(jnp.int16, n))()
+    jax.block_until_ready(x)
     ts = sorted(
         (lambda t0: (jax.device_get(x), time.perf_counter() - t0)[1])(time.perf_counter())
         for _ in range(5)
