@@ -179,9 +179,16 @@ _QUANT_BACKEND = "xla"
 #   "dequant" — dequantize the packed weight in-flight to one x.dtype
 #               operand and run a single dot (XLA can fuse convert+scale
 #               into the dot's operand stream; one full-K MXU contraction)
-# Both read the same packed u8 buffer from HBM; which one the TPU compiler
-# actually keeps un-materialized is an empirical question — settle it on
-# hardware before defaulting. Env override: POCKETTTS_INT4_VARIANT.
+#   "pallas"  — ops/pallas/int4_matmul: the depack runs on VPU registers
+#               between the packed-tile DMA and the MXU dot, so HBM traffic
+#               stays the packed bytes (XLA materializes the widened weight
+#               for both variants above — the r5 rejection's root cause);
+#               ":interpret" suffix for CPU testing, XLA-split fallback for
+#               unsupported shapes.
+# All read the same packed u8 buffer from HBM; which formulation keeps it
+# un-materialized is an empirical question — settled on hardware
+# (PERF.md r5: split 0.369 ms vs int8's 0.228 at batch 8; pallas pending).
+# Env override: POCKETTTS_INT4_VARIANT.
 import os as _os
 
 _INT4_VARIANT = _os.environ.get("POCKETTTS_INT4_VARIANT", "split")
@@ -189,7 +196,7 @@ _INT4_VARIANT = _os.environ.get("POCKETTTS_INT4_VARIANT", "split")
 
 def set_int4_matmul_variant(variant: str) -> None:
     global _INT4_VARIANT
-    if variant not in ("split", "dequant"):
+    if variant.split(":")[0] not in ("split", "dequant", "pallas"):
         raise ValueError(f"unknown int4 matmul variant {variant!r}")
     _INT4_VARIANT = variant
 
@@ -226,6 +233,25 @@ def apply_linear(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
             from go_pocket_tts_tpu.models.quantize import depack_int4_pairs
 
             scale = params["scale"]
+            if _INT4_VARIANT.startswith("pallas") and scale.ndim == 2:
+                from go_pocket_tts_tpu.ops.pallas import int4_matmul as i4mm
+
+                if i4mm.supports(m, k, n, scale.shape):
+                    # [2, M, K/2]: plane p holds activation rows 2i+p, the
+                    # pack_int4_rows nibble pairing — the interleave rides
+                    # the small operand so the kernel depacks with shifts
+                    # only (no sublane interleave).
+                    x2 = jnp.moveaxis(x.reshape(m, k // 2, 2), -1, 0)
+                    y = i4mm.int4_matmul(
+                        x2,
+                        w,
+                        scale,
+                        interpret=_INT4_VARIANT.endswith(":interpret"),
+                    ).reshape(*lead, n)
+                    y = y.astype(x.dtype)
+                    if "b" in params:
+                        y = y + params["b"].astype(x.dtype)
+                    return y
             pairs = depack_int4_pairs(w)  # i8 [k/2, 2, n]; [i, p] = row 2i+p
             if _INT4_VARIANT == "dequant":
                 wf = pairs.astype(jnp.float32).reshape(k, n)

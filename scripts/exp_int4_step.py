@@ -103,6 +103,11 @@ for name, params, variant in (
     ("int8+kv (baseline)", params_int8, None),
     ("int4-split+kv", params_int4, "split"),
     ("int4-dequant+kv", params_int4, "dequant"),
+    # r5: fused depack-matmul Pallas kernel — the depack runs on VPU
+    # registers between the packed-tile DMA and the dot, so HBM traffic is
+    # the packed bytes (the split/dequant rejections' root cause was XLA
+    # materializing the widened weight; ops/pallas/int4_matmul.py).
+    ("int4-pallas+kv", params_int4, "pallas"),
 ):
     if variant is not None:
         set_int4_matmul_variant(variant)

@@ -122,6 +122,69 @@ def test_quantized_pallas_runtime_end_to_end():
     np.testing.assert_allclose(pal, ref, atol=1e-3, rtol=1e-3)
 
 
+# -- int4 fused depack-matmul kernel ------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "m,k,n", [(8, 256, 512), (8, 1024, 512), (4, 512, 256), (16, 384, 768), (1, 256, 256)]
+)
+def test_int4_matmul_matches_dequant_reference(m, k, n):
+    """Kernel (interpret) == matmul against the dequantized float weight."""
+    from go_pocket_tts_tpu.models.quantize import dequantize_weight, quantize_linear
+    from go_pocket_tts_tpu.ops.pallas.int4_matmul import int4_matmul, supports
+
+    rng = np.random.RandomState(k + n)
+    w = jnp.asarray(rng.randn(k, n).astype(np.float32) / np.sqrt(k))
+    q = quantize_linear({"w": w}, bits=4)
+    assert q["w"].dtype == jnp.uint8 and q["scale"].ndim == 2, "needs group-wise int4"
+    assert supports(m, k, n, q["scale"].shape)
+
+    x = jnp.asarray(rng.randn(m, k).astype(np.float32))
+    want = x @ dequantize_weight(q)
+    x2 = jnp.moveaxis(x.reshape(m, k // 2, 2), -1, 0)
+    got = int4_matmul(x2, q["w"], q["scale"], interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
+
+
+def test_int4_matmul_supports_gate():
+    from go_pocket_tts_tpu.ops.pallas.int4_matmul import supports
+
+    g = lambda k: (k // 128, 1)  # noqa: E731 - shape stub
+    assert not supports(128, 256, 512, g(256))  # prefill M stays on XLA
+    assert not supports(8, 100, 512, g(256))  # K not 128-multiple
+    assert not supports(8, 256, 100, g(256))  # N not lane-aligned
+    assert not supports(8, 256, 512, (256,))  # per-channel scale: XLA path
+    assert not supports(8, 512, 512, (2, 1))  # scale rows != K/128
+
+
+def test_int4_apply_linear_pallas_variant_matches_split():
+    """apply_linear under POCKETTTS_INT4_VARIANT=pallas:interpret == the XLA
+    split variant (same packed buffer, same group scales, f32 accumulation
+    both sides — only the partial-sum order differs)."""
+    from go_pocket_tts_tpu.models import params as P
+    from go_pocket_tts_tpu.models.quantize import quantize_linear
+
+    rng = np.random.RandomState(7)
+    k, n, m = 512, 768, 8
+    lin = quantize_linear(
+        {
+            "w": jnp.asarray(rng.randn(k, n).astype(np.float32) / np.sqrt(k)),
+            "b": jnp.asarray(rng.randn(n).astype(np.float32) * 0.02),
+        },
+        bits=4,
+    )
+    x = jnp.asarray(rng.randn(2, m // 2, k).astype(np.float32))  # lead dims
+    try:
+        P.set_int4_matmul_variant("split")
+        want = P.apply_linear(lin, x)
+        P.set_int4_matmul_variant("pallas:interpret")
+        got = P.apply_linear(lin, x)
+    finally:
+        P.set_int4_matmul_variant("split")
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
 # -- fused SEANet tail kernel -------------------------------------------------
 
 
