@@ -41,6 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from go_pocket_tts_tpu.ops.pallas import pin_default_matmul_precision
+
 __all__ = ["decode_attention_step"]
 
 
@@ -108,6 +110,7 @@ def _kernel(
 @functools.partial(
     jax.jit, static_argnames=("layer", "interpret"), donate_argnums=(2, 3)
 )
+@pin_default_matmul_precision
 def decode_attention_step(
     q: jax.Array,  # [B, H, 1, D] (pre-RoPE)
     k_new: jax.Array,  # [B, H, 1, D] (pre-RoPE)

@@ -44,6 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from go_pocket_tts_tpu.ops.pallas import pin_default_matmul_precision
+
 __all__ = ["int4_matmul", "supports"]
 
 GROUP_ROWS_PACKED = 64  # GROUP_SIZE=128 logical input rows = 64 packed rows
@@ -93,6 +95,7 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, *, groups: int):
 @functools.partial(
     jax.jit, static_argnames=("block_n", "groups_per_tile", "interpret")
 )
+@pin_default_matmul_precision
 def int4_matmul(
     x2: jax.Array,  # [2, M, K/2]: x2[p, :, i] = activation row 2i+p
     w_packed: jax.Array,  # [K/2, N] uint8, pack_int4_rows pairing

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from go_pocket_tts_tpu.ops.pallas import pin_default_matmul_precision
+
 __all__ = ["quantized_matmul", "supports"]
 
 
@@ -44,6 +46,7 @@ def _kernel(x_ref, w_ref, s_ref, o_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+@pin_default_matmul_precision
 def quantized_matmul(
     x: jax.Array,  # [M, K] activations
     w_q: jax.Array,  # [K, N] int8

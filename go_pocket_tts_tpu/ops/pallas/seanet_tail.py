@@ -27,7 +27,9 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu  # noqa: F401  (memory spaces)
+from jax.experimental.pallas import tpu as pltpu
+
+from go_pocket_tts_tpu.ops.pallas import pin_default_matmul_precision  # noqa: F401  (memory spaces)
 
 __all__ = [
     "fused_seanet_tail",
@@ -102,6 +104,7 @@ def _kernel(x_ref, prev_ref, w1_ref, b1_ref, w2_ref, b2_ref, wf_ref, bf_ref, o_r
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
+@pin_default_matmul_precision
 def fused_seanet_tail(
     x: jax.Array,  # [B, 64, T] post-up3 activations
     w1: jax.Array,  # [32, 64, 3] res3.conv1 (torch layout)
@@ -244,6 +247,7 @@ def _phase_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
+@pin_default_matmul_precision
 def fused_seanet_up_tail(
     x: jax.Array,  # [B, 128, T/4] pre-up3 activations
     wu: jax.Array,  # [64, 128, 8] repacked up3 kernel
@@ -373,6 +377,7 @@ def _up2_kernel(x_ref, prev_ref, wu_ref, bu_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
+@pin_default_matmul_precision
 def fused_up2_res(
     x: jax.Array,  # [B, 256, T/20] pre-up2 activations (already ELU'd)
     wu: jax.Array,  # [128, 256, 10] repacked up2 kernel
@@ -560,6 +565,7 @@ def _cascade_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
+@pin_default_matmul_precision
 def fused_up2_up3_tail(
     x: jax.Array,  # [B, 256, T/20] pre-up2 activations (already ELU'd)
     wu2: jax.Array,  # [128, 256, 10] repacked up2 kernel

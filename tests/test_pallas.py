@@ -185,6 +185,44 @@ def test_int4_apply_linear_pallas_variant_matches_split():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
 
 
+def test_kernel_dots_ignore_caller_matmul_precision():
+    """Mosaic only lowers DEFAULT/HIGHEST dot precisions; the fp32 runtime's
+    ``jax.default_matmul_precision("high")`` context must not leak into
+    kernel jaxprs (observed crash: 'Unsupported dot precision: HIGH' in the
+    seanet up-tail). Every kernel entry point pins "default" at trace time —
+    verified here by walking the traced pallas_call's inner jaxpr."""
+    from go_pocket_tts_tpu.models.quantize import quantize_linear
+    from go_pocket_tts_tpu.ops.pallas.int4_matmul import int4_matmul
+
+    m, k, n = 8, 256, 512
+    rng = np.random.RandomState(0)
+    q = quantize_linear(
+        {"w": jnp.asarray(rng.randn(k, n).astype(np.float32) / 16.0)}, bits=4
+    )
+    x2 = jnp.asarray(rng.randn(2, m, k // 2).astype(np.float32))
+
+    def dot_precisions(jaxpr, found):
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "dot_general":
+                found.append(eqn.params.get("precision"))
+            for v in eqn.params.values():
+                inner = getattr(v, "jaxpr", v)
+                if hasattr(inner, "eqns"):
+                    dot_precisions(inner, found)
+        return found
+
+    with jax.default_matmul_precision("high"):
+        traced = jax.make_jaxpr(
+            lambda a, w, s: int4_matmul(a, w, s, interpret=True)
+        )(x2, q["w"], q["scale"])
+    precisions = dot_precisions(traced.jaxpr, [])
+    assert precisions, "expected dot_general eqns inside the kernel"
+    for p in precisions:
+        assert p is None or jax.lax.Precision.HIGH not in tuple(
+            p if isinstance(p, (tuple, list)) else (p, p)
+        ), precisions
+
+
 # -- fused SEANet tail kernel -------------------------------------------------
 
 
