@@ -69,6 +69,17 @@ cfg = model.config.flow_lm
 params_int8 = quantize_model_params(model.params, bits=8)["flow_lm"]
 params_int4 = quantize_model_params(model.params, bits=4)["flow_lm"]
 
+# Mixed trees for gap decomposition (r5: the int4 step is 0.35 ms vs int8's
+# 0.228 while the transformer's four weight matmuls TIE int8 in isolation —
+# scripts/exp_int4_kernel_variants.py — so the cost hides in a subtree).
+params_int4_tfm = {**params_int8, "transformer": params_int4["transformer"]}
+params_int4_fnet = {**params_int8, "flow_net": params_int4["flow_net"]}
+params_int4_misc = {
+    **params_int4,
+    "transformer": params_int8["transformer"],
+    "flow_net": params_int8["flow_net"],
+}
+
 
 def fresh_state():
     st = make_batched_state(
@@ -108,6 +119,10 @@ for name, params, variant in (
     # the packed bytes (the split/dequant rejections' root cause was XLA
     # materializing the widened weight; ops/pallas/int4_matmul.py).
     ("int4-pallas+kv", params_int4, "pallas"),
+    # Gap decomposition: which subtree pays the int4 premium?
+    ("int4-tfm-only", params_int4_tfm, "pallas"),
+    ("int4-fnet-only", params_int4_fnet, "pallas"),
+    ("int4-misc-only", params_int4_misc, "pallas"),
 ):
     if variant is not None:
         set_int4_matmul_variant(variant)
