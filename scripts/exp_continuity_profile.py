@@ -98,22 +98,34 @@ def fmt(walls):
     return " ".join(f"{w*1e3:6.1f}" for w in walls)
 
 
-# Compile everything first (all ladder rungs + plain, both backends).
+# Compile everything first (all ladder rungs + plain, both backends). The
+# pallas arms are best-effort: if the kernel fails to compile on this
+# backend the XLA arms must still report.
 run_plain()
 run_session()
 run_session(1024)
-run_plain(rt_pallas)
-run_session(runtime=rt_pallas)
-run_session(1024, runtime=rt_pallas)
+pallas_ok = True
+try:
+    run_plain(rt_pallas)
+    run_session(runtime=rt_pallas)
+    run_session(1024, runtime=rt_pallas)
+except Exception as exc:  # noqa: BLE001 - report and continue
+    pallas_ok = False
+    print(f"pallas arms unavailable: {type(exc).__name__}: {exc}", flush=True)
 
-for name, fn in (
+arms = [
     ("plain", run_plain),
     ("session-ladder", run_session),
     ("session-1024", lambda: run_session(1024)),
-    ("plain-pallas", lambda: run_plain(rt_pallas)),
-    ("ladder-pallas", lambda: run_session(runtime=rt_pallas)),
-    ("1024-pallas", lambda: run_session(1024, runtime=rt_pallas)),
-):
+]
+if pallas_ok:
+    arms += [
+        ("plain-pallas", lambda: run_plain(rt_pallas)),
+        ("ladder-pallas", lambda: run_session(runtime=rt_pallas)),
+        ("1024-pallas", lambda: run_session(1024, runtime=rt_pallas)),
+    ]
+
+for name, fn in arms:
     best = None
     caps = None
     for _ in range(REPS):
