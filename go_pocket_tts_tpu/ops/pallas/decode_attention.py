@@ -18,10 +18,12 @@ is a multiple of 8" — the r2-era in-kernel append stopped compiling on
 current Mosaic, observed r5 on the real chip).
 
 Equivalent to the XLA path in `models/flow_transformer.py` (tested in
-interpret mode on CPU and compiled on hardware; opt-in on TPU via
-``TPURuntime(pallas=True)`` or env ``POCKETTTS_PALLAS=1`` — at the default
-decode capacity (224) the XLA path is already at the HBM roofline, see
-PERF.md; the kernel targets the large-capacity continuity sessions).
+interpret mode on CPU and compiled on hardware; DEFAULT-ON for TPU backends
+at non-f32 dtypes since r5 — interleaved hardware A/B: bf16 single −10%,
+TTFA −11%, capacity-1024 session −26%; f32 measured SLOWER (+11%, double
+the VMEM-read bytes per cache tile) so the f32 parity path keeps XLA. See
+PERF.md's continuity section. ``POCKETTTS_PALLAS=0`` or
+``TPURuntime(pallas=False)`` forces the XLA path).
 
 Mosaic lowering notes (pallas_guide.md): every in-kernel value stays ≥2-D
 and masks come from ``broadcasted_iota``. RoPE (in XLA, duplicated-trig +

@@ -335,8 +335,25 @@ class TPURuntime:
                 quantize_model_params(model.params, bits=bits), model.config
             )
         if pallas is None:
-            pallas = os.environ.get("POCKETTTS_PALLAS", "") == "1"
-        if pallas:
+            # Tri-state: env "1" forces the full opt-in set, "0" forces off,
+            # unset -> auto (the fused decode-attention kernel alone, on TPU
+            # backends and non-f32 dtypes only). The interleaved hardware A/B
+            # (scripts/exp_pallas_default.py, PERF.md r5): bf16 single -10%,
+            # TTFA -11%, capacity-1024 session -26% with the kernel; f32
+            # +11% SLOWER (f32 cache tiles double the VMEM-read bytes), so
+            # the f32 parity path keeps XLA. CPU interpret mode would be
+            # slower than XLA so auto stays off there too.
+            env = os.environ.get("POCKETTTS_PALLAS", "")
+            if env == "1":
+                pallas = True
+            elif env == "0":
+                pallas = False
+        auto_decode_attention = (
+            pallas is None
+            and self.dtype != jnp.float32
+            and jax.default_backend() not in ("cpu",)
+        )
+        if pallas or auto_decode_attention:
             import dataclasses
 
             from go_pocket_tts_tpu.models.model import ModelConfig
@@ -345,11 +362,16 @@ class TPURuntime:
                 model.config.flow_lm.transformer, use_pallas=True
             )
             flow_cfg = dataclasses.replace(model.config.flow_lm, transformer=tcfg)
-            mimi_cfg = dataclasses.replace(model.config.mimi, use_pallas=True)
+            mimi_cfg = model.config.mimi
+            if pallas:
+                mimi_cfg = dataclasses.replace(mimi_cfg, use_pallas=True)
             model = PocketTTSModel(
                 model.params, ModelConfig(flow_lm=flow_cfg, mimi=mimi_cfg)
             )
-            if quantize:
+            # The per-linear quantized Pallas matmul stays explicit opt-in:
+            # it was measured SLOWER inside the step (breaks XLA's cross-op
+            # weight prefetch, PERF.md int4/int8 kernel decompositions).
+            if pallas and quantize:
                 from go_pocket_tts_tpu.models.params import set_quantized_matmul_backend
 
                 backend = "pallas"

@@ -64,6 +64,43 @@ def test_pallas_runtime_end_to_end_matches_xla():
     np.testing.assert_allclose(pal, ref, atol=1e-4, rtol=1e-3)
 
 
+def test_pallas_default_resolution(monkeypatch):
+    """Tri-state ``pallas``: unset -> auto (decode-attention kernel on TPU
+    backends and non-f32 dtypes only, never the quantized per-linear
+    kernel); env "1" -> full opt-in; env "0" -> off even on TPU."""
+    import jax.numpy as jnp
+
+    from go_pocket_tts_tpu.models import synthetic
+    from go_pocket_tts_tpu.models.model import load_model_from_store
+    from go_pocket_tts_tpu.runtime import TPURuntime
+    from go_pocket_tts_tpu.runtime import generate as gen_mod
+    from go_pocket_tts_tpu.utils.safetensors import encode_tensors, open_store_from_bytes
+
+    arch = synthetic.tiny_arch()
+    model = load_model_from_store(
+        open_store_from_bytes(encode_tensors(synthetic.build_checkpoint(arch, seed=1))),
+        num_heads=arch.num_heads,
+    )
+
+    def tcfg(rt):
+        return rt.model.config.flow_lm.transformer.use_pallas
+
+    monkeypatch.delenv("POCKETTTS_PALLAS", raising=False)
+    # Auto on a CPU backend: off (interpret mode would be slower than XLA).
+    assert tcfg(TPURuntime(model, dtype=jnp.bfloat16)) is False
+    # Auto on a non-CPU backend: kernel on for bf16, off for the f32 parity
+    # path (hardware-measured slower there, PERF.md r5).
+    monkeypatch.setattr(gen_mod.jax, "default_backend", lambda: "tpu")
+    assert tcfg(TPURuntime(model, dtype=jnp.bfloat16)) is True
+    assert tcfg(TPURuntime(model)) is False
+    # Env "0" forces off even on TPU; "1" forces on even on CPU/f32.
+    monkeypatch.setenv("POCKETTTS_PALLAS", "0")
+    assert tcfg(TPURuntime(model, dtype=jnp.bfloat16)) is False
+    monkeypatch.setattr(gen_mod.jax, "default_backend", lambda: "cpu")
+    monkeypatch.setenv("POCKETTTS_PALLAS", "1")
+    assert tcfg(TPURuntime(model)) is True
+
+
 # -- int8 quantized matmul kernel ---------------------------------------------
 
 
