@@ -512,7 +512,7 @@ def main() -> int:
     )
 
     host_load1 = _host_load1()
-    tunnel_rtt_ms = _measure_tunnel_rtt_ms()
+    tunnel_rtt_ms, tunnel_rtt_p95_ms = _measure_tunnel_rtt_ms()
     if not smoke and tunnel_collapsed(tunnel_rtt_ms):
         _emit_infra_failure(
             f"tunnel degraded beyond measurability (RTT {tunnel_rtt_ms:.0f} ms "
@@ -613,7 +613,9 @@ def main() -> int:
 
     metrics = _collect_gated_metrics(x_rt, ttfa_ms, configs)
     history_note = (
-        "" if smoke else _record_history(metrics, tunnel_rtt_ms, host_load1)
+        ""
+        if smoke
+        else _record_history(metrics, tunnel_rtt_ms, host_load1, tunnel_rtt_p95_ms)
     )
     payload = {
         "metric": "x_realtime_20w_single_chip",
@@ -632,6 +634,7 @@ def main() -> int:
             "max_steps": max_steps,
             "device": str(jax.devices()[0]),
             "tunnel_rtt_ms": tunnel_rtt_ms,
+            "tunnel_rtt_p95_ms": tunnel_rtt_p95_ms,
             "host_load1_at_start": host_load1,
             "ttfa_ms_p50": round(ttfa_ms, 1) if ttfa_ms is not None else None,
             "configs": configs,
@@ -694,8 +697,12 @@ def metric_lower_is_better(name: str) -> bool:
 
 def _measure_tunnel_rtt_ms(
     n: int = 20, budget_s: float = 10.0, hang_s: float = 300.0
-) -> float | None:
-    """Median host↔device round-trip of a trivial dispatch+fetch, in ms.
+) -> tuple[float | None, float | None]:
+    """(p50, p95) host↔device round-trip of a trivial dispatch+fetch, in ms.
+
+    The p95 captures the tail-jitter regime (r5 evenings: p50 stays ~25 ms
+    while individual fetches spike) that inflates TTFA — a metric composed
+    of a handful of fetches — without moving the p50 health signal.
 
     Every wall-clock-paced serving metric in this environment rides the
     remote-dispatch tunnel (documented ~25-30 ms/sync); when the tunnel
@@ -738,16 +745,23 @@ def _measure_tunnel_rtt_ms(
                 rtts.append((time.perf_counter() - t0) * 1e3)
                 if time.perf_counter() - t_start > budget_s:
                     break
-            result.append(round(sorted(rtts)[len(rtts) // 2], 1))
+            rtts.sort()
+            result.append(
+                (
+                    round(rtts[len(rtts) // 2], 1),
+                    round(rtts[min(len(rtts) - 1, (len(rtts) * 19) // 20)], 1),
+                )
+            )
         except Exception:  # noqa: BLE001 - health probe is best-effort
-            result.append(None)
+            result.append((None, None))
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout=hang_s)
     if not t.is_alive():
-        return result[0] if result else None
-    return float(round(hang_s * 1000))
+        return result[0] if result else (None, None)
+    bound = float(round(hang_s * 1000))
+    return bound, bound
 
 
 def _host_load1() -> float | None:
@@ -780,7 +794,9 @@ def host_contention_note(load1: float | None, busy: float = 0.8) -> str:
     )
 
 
-def tunnel_health_note(current_rtt: float | None, prior: list) -> str:
+def tunnel_health_note(
+    current_rtt: float | None, prior: list, current_p95: float | None = None
+) -> str:
     """'' when the tunnel looks like it did for the history median; else a
     qualifier explaining that flagged regressions are environment-suspect."""
     if current_rtt is None:
@@ -790,14 +806,26 @@ def tunnel_health_note(current_rtt: float | None, prior: list) -> str:
         for e in prior
         if isinstance(e.get("tunnel_rtt_ms"), (int, float))
     ][-5:]
-    if not hist:
-        return ""
-    ref = sorted(hist)[len(hist) // 2]
-    if ref > 0 and current_rtt > 1.2 * ref:
+    if hist:
+        ref = sorted(hist)[len(hist) // 2]
+        if ref > 0 and current_rtt > 1.2 * ref:
+            return (
+                f" [tunnel RTT {current_rtt:.1f} ms vs recent median {ref:.1f} — "
+                f"environment degraded; wall-clock regressions above are suspect, "
+                f"re-measure when RTT recovers]"
+            )
+    # Tail-jitter regime: p50 healthy but individual fetches spike (steady
+    # tunnel shows p95/p50 ≈ 1.3; evenings reach several×). TTFA-class
+    # metrics are a handful of fetches, so the tail lands on them directly.
+    if (
+        current_p95 is not None
+        and current_rtt > 0
+        and current_p95 > 2.5 * current_rtt
+    ):
         return (
-            f" [tunnel RTT {current_rtt:.1f} ms vs recent median {ref:.1f} — "
-            f"environment degraded; wall-clock regressions above are suspect, "
-            f"re-measure when RTT recovers]"
+            f" [tunnel RTT p95 {current_p95:.1f} ms vs p50 {current_rtt:.1f} — "
+            f"fetch-tail jitter; TTFA-class regressions above are suspect, "
+            f"re-measure when the tail settles]"
         )
     return ""
 
@@ -845,6 +873,7 @@ def _record_history(
     metrics: dict,
     tunnel_rtt_ms: float | None = None,
     host_load1: float | None = None,
+    tunnel_rtt_p95_ms: float | None = None,
 ) -> str:
     """Append this run to the perf history and flag regressions (>10% worse
     than the median of the last 5 recordings, per metric) — the per-commit
@@ -866,7 +895,7 @@ def _record_history(
         if notes:
             note = (
                 "; ".join(notes)
-                + tunnel_health_note(tunnel_rtt_ms, prior)
+                + tunnel_health_note(tunnel_rtt_ms, prior, tunnel_rtt_p95_ms)
                 + host_contention_note(host_load1)
             )
             for n in notes:
@@ -890,6 +919,7 @@ def _record_history(
                         "commit": commit,
                         "x_realtime": metrics.get("x_realtime"),
                         "tunnel_rtt_ms": tunnel_rtt_ms,
+                        "tunnel_rtt_p95_ms": tunnel_rtt_p95_ms,
                         "host_load1": host_load1,
                         "metrics": metrics,
                         "dtype": DTYPE,

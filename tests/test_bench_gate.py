@@ -127,6 +127,21 @@ def test_tunnel_health_note_flags_degraded_rtt():
     assert bench.tunnel_health_note(33.0, [{}]) == ""
 
 
+def test_tunnel_health_note_flags_fetch_tail_jitter():
+    """p50 healthy but p95 several× above it (the r5 evening regime) must
+    annotate TTFA-class regressions; a steady tail (p95/p50 ≈ 1.3) must not."""
+    prior = [{"tunnel_rtt_ms": v} for v in (25.0, 26.0, 27.0, 25.5, 26.5)]
+    assert bench.tunnel_health_note(26.0, prior, current_p95=33.0) == ""
+    note = bench.tunnel_health_note(26.0, prior, current_p95=90.0)
+    assert "fetch-tail jitter" in note
+    # with no history at all, the jitter clause still fires on its own
+    note2 = bench.tunnel_health_note(26.0, [{}], current_p95=90.0)
+    assert "fetch-tail jitter" in note2
+    # a degraded p50 takes precedence over the jitter wording
+    note3 = bench.tunnel_health_note(40.0, prior, current_p95=120.0)
+    assert "environment degraded" in note3
+
+
 def test_tunnel_collapse_threshold():
     """Alive-but-collapsed tunnel (r5 11:20Z: 54 s per 16-byte fetch) must
     trip the bail; healthy and merely-elevated RTTs must not."""
@@ -166,8 +181,8 @@ def test_rtt_probe_hang_returns_lower_bound(monkeypatch):
     monkeypatch.setitem(sys.modules, "jax.numpy", _FakeJnp)
 
     try:
-        rtt = bench._measure_tunnel_rtt_ms(n=3, budget_s=0.5, hang_s=0.3)
-        assert rtt == 300.0
+        rtt, rtt_p95 = bench._measure_tunnel_rtt_ms(n=3, budget_s=0.5, hang_s=0.3)
+        assert rtt == 300.0 and rtt_p95 == 300.0
         assert bench.tunnel_collapsed(rtt, max_rtt_ms=250.0)
     finally:
         hang.set()
