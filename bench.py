@@ -512,7 +512,7 @@ def main() -> int:
     )
 
     host_load1 = _host_load1()
-    tunnel_rtt_ms, tunnel_rtt_p95_ms = _measure_tunnel_rtt_ms()
+    tunnel_rtt_ms, tunnel_rtt_p95_ms, tunnel_bw_mbps = _measure_tunnel_rtt_ms()
     if not smoke and tunnel_collapsed(tunnel_rtt_ms):
         _emit_infra_failure(
             f"tunnel degraded beyond measurability (RTT {tunnel_rtt_ms:.0f} ms "
@@ -615,7 +615,9 @@ def main() -> int:
     history_note = (
         ""
         if smoke
-        else _record_history(metrics, tunnel_rtt_ms, host_load1, tunnel_rtt_p95_ms)
+        else _record_history(
+            metrics, tunnel_rtt_ms, host_load1, tunnel_rtt_p95_ms, tunnel_bw_mbps
+        )
     )
     payload = {
         "metric": "x_realtime_20w_single_chip",
@@ -635,6 +637,7 @@ def main() -> int:
             "device": str(jax.devices()[0]),
             "tunnel_rtt_ms": tunnel_rtt_ms,
             "tunnel_rtt_p95_ms": tunnel_rtt_p95_ms,
+            "tunnel_bw_mbps": tunnel_bw_mbps,
             "host_load1_at_start": host_load1,
             "ttfa_ms_p50": round(ttfa_ms, 1) if ttfa_ms is not None else None,
             "configs": configs,
@@ -697,12 +700,17 @@ def metric_lower_is_better(name: str) -> bool:
 
 def _measure_tunnel_rtt_ms(
     n: int = 20, budget_s: float = 10.0, hang_s: float = 300.0
-) -> tuple[float | None, float | None]:
-    """(p50, p95) host↔device round-trip of a trivial dispatch+fetch, in ms.
+) -> tuple[float | None, float | None, float | None]:
+    """(p50 ms, p95 ms, bandwidth MB/s) of the host↔device fetch path.
 
     The p95 captures the tail-jitter regime (r5 evenings: p50 stays ~25 ms
     while individual fetches spike) that inflates TTFA — a metric composed
-    of a handful of fetches — without moving the p50 health signal.
+    of a handful of fetches — without moving the p50 health signal. The
+    bandwidth (one ~1 MB device-COMPUTED fetch; host-built arrays read from
+    a client-side cache and measure nothing) bounds every batch-aggregate
+    metric: aggregate_x ≤ bw / 48 KB per audio-second (PERF.md, the solved
+    ~220× ceiling) — recording it lets the gate attribute aggregate drops
+    to the environment.
 
     Every wall-clock-paced serving metric in this environment rides the
     remote-dispatch tunnel (documented ~25-30 ms/sync); when the tunnel
@@ -746,22 +754,42 @@ def _measure_tunnel_rtt_ms(
                 if time.perf_counter() - t_start > budget_s:
                     break
             rtts.sort()
+            bw = None
+            try:
+                nb = 512 * 1024  # 1 MB of int16
+                # Fresh buffer per fetch: JAX caches the fetched numpy on
+                # the array object, so re-fetching one buffer measures the
+                # client cache, not the tunnel (the r5 fetch-layout lesson).
+                mk = jax.jit(
+                    lambda s: jax.lax.iota(jnp.int16, nb) + s.astype(jnp.int16)
+                )
+                a, b = mk(jnp.int32(1)), mk(jnp.int32(2))
+                jax.block_until_ready((a, b))
+                jax.device_get(a)  # layout/path warm
+                t0 = time.perf_counter()
+                jax.device_get(b)
+                dt = time.perf_counter() - t0
+                if dt > 0:
+                    bw = round((nb * 2) / 1e6 / dt, 1)
+            except Exception:  # noqa: BLE001 - bandwidth leg is best-effort
+                pass
             result.append(
                 (
                     round(rtts[len(rtts) // 2], 1),
                     round(rtts[min(len(rtts) - 1, (len(rtts) * 19) // 20)], 1),
+                    bw,
                 )
             )
         except Exception:  # noqa: BLE001 - health probe is best-effort
-            result.append((None, None))
+            result.append((None, None, None))
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout=hang_s)
     if not t.is_alive():
-        return result[0] if result else (None, None)
+        return result[0] if result else (None, None, None)
     bound = float(round(hang_s * 1000))
-    return bound, bound
+    return bound, bound, None
 
 
 def _host_load1() -> float | None:
@@ -830,6 +858,37 @@ def tunnel_health_note(
     return ""
 
 
+def tunnel_bandwidth_note(
+    current_bw: float | None, prior: list, notes: list | None = None
+) -> str:
+    """Annotate aggregate-class regressions when the tunnel's transfer
+    bandwidth is below its recent median: every batch aggregate is capped at
+    bw / 48 KB per audio-second (the solved ~220× ceiling, PERF.md), so a
+    bandwidth dip mechanically drops slots8/16/streams numbers with no code
+    involved. Silent when no aggregate metric regressed."""
+    if current_bw is None:
+        return ""
+    if notes is not None and not any("aggregate" in n for n in notes):
+        return ""
+    hist = [
+        e.get("tunnel_bw_mbps")
+        for e in prior
+        if isinstance(e.get("tunnel_bw_mbps"), (int, float))
+    ][-5:]
+    if not hist:
+        return ""
+    ref = sorted(hist)[len(hist) // 2]
+    if ref > 0 and current_bw < 0.8 * ref:
+        ceiling = current_bw * 1e6 / 48_000
+        return (
+            f" [tunnel bandwidth {current_bw:.1f} MB/s vs recent median "
+            f"{ref:.1f} — PCM-transfer ceiling ≈ {ceiling:.0f}× right now; "
+            f"aggregate regressions above are environment-capped, re-measure "
+            f"when bandwidth recovers]"
+        )
+    return ""
+
+
 def check_regressions(metrics: dict, prior: list, threshold: float = 0.10) -> list:
     """Compare every metric of this run against the median of its last ≤5
     prior recordings; return one REGRESSION note per metric >threshold worse.
@@ -874,6 +933,7 @@ def _record_history(
     tunnel_rtt_ms: float | None = None,
     host_load1: float | None = None,
     tunnel_rtt_p95_ms: float | None = None,
+    tunnel_bw_mbps: float | None = None,
 ) -> str:
     """Append this run to the perf history and flag regressions (>10% worse
     than the median of the last 5 recordings, per metric) — the per-commit
@@ -896,6 +956,7 @@ def _record_history(
             note = (
                 "; ".join(notes)
                 + tunnel_health_note(tunnel_rtt_ms, prior, tunnel_rtt_p95_ms)
+                + tunnel_bandwidth_note(tunnel_bw_mbps, prior, notes)
                 + host_contention_note(host_load1)
             )
             for n in notes:
@@ -920,6 +981,7 @@ def _record_history(
                         "x_realtime": metrics.get("x_realtime"),
                         "tunnel_rtt_ms": tunnel_rtt_ms,
                         "tunnel_rtt_p95_ms": tunnel_rtt_p95_ms,
+                        "tunnel_bw_mbps": tunnel_bw_mbps,
                         "host_load1": host_load1,
                         "metrics": metrics,
                         "dtype": DTYPE,

@@ -142,6 +142,25 @@ def test_tunnel_health_note_flags_fetch_tail_jitter():
     assert "environment degraded" in note3
 
 
+def test_tunnel_bandwidth_note_attributes_aggregate_drops():
+    """Aggregate metrics are capped at bw/48KB per audio-second; a bandwidth
+    dip below the recent median must annotate aggregate regressions (and
+    stay silent when bandwidth is steady, history is absent, or no
+    aggregate metric regressed)."""
+    prior = [{"tunnel_bw_mbps": v} for v in (9.5, 10.2, 10.6, 9.8, 10.0)]
+    agg_notes = ["REGRESSION aggregate_x_realtime_slots16: ..."]
+    note = bench.tunnel_bandwidth_note(7.5, prior, agg_notes)
+    assert "PCM-transfer ceiling" in note and "156" in note  # 7.5e6/48e3
+    assert bench.tunnel_bandwidth_note(9.9, prior, agg_notes) == ""
+    assert bench.tunnel_bandwidth_note(None, prior, agg_notes) == ""
+    assert bench.tunnel_bandwidth_note(7.5, [{}], agg_notes) == ""
+    # only TTFA-class regressions -> the bandwidth clause stays quiet
+    assert (
+        bench.tunnel_bandwidth_note(7.5, prior, ["REGRESSION ttfa_ms_p50: ..."])
+        == ""
+    )
+
+
 def test_tunnel_collapse_threshold():
     """Alive-but-collapsed tunnel (r5 11:20Z: 54 s per 16-byte fetch) must
     trip the bail; healthy and merely-elevated RTTs must not."""
@@ -181,8 +200,8 @@ def test_rtt_probe_hang_returns_lower_bound(monkeypatch):
     monkeypatch.setitem(sys.modules, "jax.numpy", _FakeJnp)
 
     try:
-        rtt, rtt_p95 = bench._measure_tunnel_rtt_ms(n=3, budget_s=0.5, hang_s=0.3)
-        assert rtt == 300.0 and rtt_p95 == 300.0
+        rtt, rtt_p95, bw = bench._measure_tunnel_rtt_ms(n=3, budget_s=0.5, hang_s=0.3)
+        assert rtt == 300.0 and rtt_p95 == 300.0 and bw is None
         assert bench.tunnel_collapsed(rtt, max_rtt_ms=250.0)
     finally:
         hang.set()
