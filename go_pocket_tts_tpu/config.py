@@ -85,6 +85,12 @@ class RuntimeConfig:
     quantize: bool = False  # weight-only quantization
     quantize_bits: int = 8  # 8 | 4: width for --runtime-quantize weights
     kv_quantize: bool = False  # INT8 KV cache (batched runtime only)
+    pallas: str = "auto"  # fused decode-attention kernel: auto | on | off
+    #   auto = measured-best per runtime (single: kernel on for TPU at
+    #   non-f32 dtypes; batched: XLA chain — both hardware A/Bs in PERF.md
+    #   r5); on = every Pallas opt-in (expert; the batched kernel measured
+    #   SLOWER); off = XLA attention chain everywhere. The raw env
+    #   POCKETTTS_PALLAS=0/1 still overrides when this is auto.
     batch_slots: int = 0  # >1: continuous batching across concurrent requests
     batch_prompt_capacity: int = 128  # KV room per lane beyond max frames
     #   (prompt + voice state + carried session history; size up for
@@ -176,6 +182,9 @@ _FLAG_MAP = [
      "weight width for --runtime-quantize: 8 (default) or 4"),
     ("runtime-kv-quantize", "runtime", "kv_quantize", _parse_bool,
      "INT8 KV cache with per-row scales (batched runtime; halves KV read traffic)"),
+    ("runtime-pallas", "runtime", "pallas", str,
+     "fused decode-attention kernel: auto (default; on for TPU at non-f32 "
+     "dtypes), on, or off"),
     ("runtime-batch-slots", "runtime", "batch_slots", int,
      "Continuous-batching slots (>1 batches concurrent requests)"),
     ("runtime-batch-prompt-capacity", "runtime", "batch_prompt_capacity", int,

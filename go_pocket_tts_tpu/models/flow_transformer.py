@@ -337,6 +337,19 @@ def transformer_step_batched(
     capacity = cache["k"].shape[3]
     quantized = "k_scale" in cache
 
+    # Fused batched decode-attention kernel (causal mask only; windowed
+    # configs fall back to XLA) — the batched sibling of the single-path
+    # kernel, see ops/pallas/batched_decode_attention.py.
+    use_pallas = cfg.use_pallas and cfg.context is None
+    if use_pallas:
+        import jax as _jax
+
+        from go_pocket_tts_tpu.ops.pallas.batched_decode_attention import (
+            batched_decode_attention,
+        )
+
+        interpret = _jax.default_backend() == "cpu"
+
     pos_q = offsets[:, None]  # [B, 1]
     pos_k = jnp.broadcast_to(
         jnp.arange(capacity, dtype=jnp.int32)[None, :], (x.shape[0], capacity)
@@ -371,15 +384,39 @@ def transformer_step_batched(
             v_all = v_all.at[i, lanes, :, offsets, :].set(vq)
             ks_all = ks_all.at[i, lanes, :, offsets].set(ks)
             vs_all = vs_all.at[i, lanes, :, offsets].set(vs)
-            attn = attention_with_positions_int8kv(
-                q, k_all[i], ks_all[i], v_all[i], vs_all[i], pos_q, pos_k, cfg.context
-            )
+            if use_pallas:
+                attn = batched_decode_attention(
+                    q,
+                    k_all,
+                    v_all,
+                    offsets,
+                    k_scale=ks_all,
+                    v_scale=vs_all,
+                    layer=i,
+                    interpret=interpret,
+                )
+            else:
+                attn = attention_with_positions_int8kv(
+                    q,
+                    k_all[i],
+                    ks_all[i],
+                    v_all[i],
+                    vs_all[i],
+                    pos_q,
+                    pos_k,
+                    cfg.context,
+                )
         else:
             k_all = k_all.at[i, lanes, :, offsets, :].set(k[:, :, 0, :])
             v_all = v_all.at[i, lanes, :, offsets, :].set(v[:, :, 0, :])
-            attn = attention_with_positions(
-                q, k_all[i], v_all[i], pos_q, pos_k, cfg.context
-            )
+            if use_pallas:
+                attn = batched_decode_attention(
+                    q, k_all, v_all, offsets, layer=i, interpret=interpret
+                )
+            else:
+                attn = attention_with_positions(
+                    q, k_all[i], v_all[i], pos_q, pos_k, cfg.context
+                )
         x = x + apply_linear(layer["out_proj"], _merge_heads(attn))
         n2 = layer_norm(x, layer["norm2"]["weight"], layer["norm2"]["bias"])
         ff = apply_linear(layer["linear1"], n2)

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import queue
 import threading
 import time
@@ -533,6 +534,7 @@ class ContinuousBatcher:
         steps_per_sync_burst: int = 0,
         quantize: bool = False,
         kv_quantize: bool = False,
+        pallas: Optional[bool] = None,
     ) -> None:
         if quantize:
             # INT8/INT4 weight-only quantization of every linear: the batched
@@ -552,6 +554,33 @@ class ContinuousBatcher:
             from go_pocket_tts_tpu.models.model import auto_pallas_mimi
 
             model = auto_pallas_mimi(model)
+        # Fused batched decode-attention kernel (tri-state like TPURuntime,
+        # but auto resolves OFF here): hardware-measured SLOWER than the XLA
+        # chain in the batched step (bf16 0.394 -> 1.503 ms, int8+KV
+        # 0.233 -> 2.645 ms per step at batch 8, exp_batched_pallas.py) —
+        # the (B, H) grid serializes B×H tiny per-lane programs while XLA
+        # runs ONE fused op over [B, H, 1, C]; the single-path kernel's win
+        # came from poor XLA utilization at B=1, which batching already
+        # fixes. Kept as a parity-tested expert opt-in (env
+        # POCKETTTS_PALLAS=1 / pallas=True); never under a mesh
+        # (pallas_call does not auto-partition under GSPMD).
+        if pallas is None:
+            env = os.environ.get("POCKETTTS_PALLAS", "")
+            if env == "1":
+                pallas = True
+            else:
+                pallas = False
+        if pallas and mesh is None:
+            from go_pocket_tts_tpu.models.model import ModelConfig
+            from go_pocket_tts_tpu.models.model import PocketTTSModel as _M
+
+            tcfg = dataclasses.replace(
+                model.config.flow_lm.transformer, use_pallas=True
+            )
+            flow_cfg = dataclasses.replace(model.config.flow_lm, transformer=tcfg)
+            model = _M(
+                model.params, ModelConfig(flow_lm=flow_cfg, mimi=model.config.mimi)
+            )
         self.model = model if jnp.dtype(dtype) == jnp.float32 else model.astype(dtype)
         if mesh is not None and "tp" in mesh.axis_names:
             # Tensor parallelism reaches serving here (`serve --runtime-tp N`):
@@ -1445,6 +1474,7 @@ class BatcherRuntime:
         steps_per_sync: int = 8,
         steps_per_sync_burst: int = 0,
         prompt_capacity: int = 128,
+        pallas: Optional[bool] = None,
     ) -> None:
         self._model = model
         self._timeout = timeout
@@ -1459,6 +1489,7 @@ class BatcherRuntime:
             kv_quantize=kv_quantize,
             steps_per_sync=steps_per_sync,
             steps_per_sync_burst=steps_per_sync_burst,
+            pallas=pallas,
         )
         self.batcher.start()
 

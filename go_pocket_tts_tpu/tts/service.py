@@ -194,6 +194,20 @@ class Service:
                     )
             dtype = jnp.bfloat16 if cfg.runtime.dtype == "bfloat16" else jnp.float32
             seed = None if cfg.runtime.seed < 0 else cfg.runtime.seed
+            pallas_opt = {
+                "auto": None,
+                "on": True,
+                "true": True,
+                "1": True,
+                "off": False,
+                "false": False,
+                "0": False,
+            }.get(str(cfg.runtime.pallas).strip().lower(), "bad")
+            if pallas_opt == "bad":
+                raise ValueError(
+                    f"--runtime-pallas must be auto, on, or off "
+                    f"(got {cfg.runtime.pallas!r})"
+                )
             if cfg.runtime.batch_slots > 1:
                 from go_pocket_tts_tpu.parallel.batching import BatcherRuntime
 
@@ -219,6 +233,7 @@ class Service:
                     kv_quantize=cfg.runtime.kv_quantize,
                     steps_per_sync=max(cfg.runtime.steps_per_sync, 1),
                     steps_per_sync_burst=max(cfg.runtime.steps_per_sync_burst, 0),
+                    pallas=pallas_opt,
                 )
                 log.info(
                     "loaded TPU batched runtime model=%s dtype=%s slots=%d mesh=%s",
@@ -251,6 +266,7 @@ class Service:
                     frame_bucket=cfg.runtime.frame_bucket,
                     matmul_precision=cfg.runtime.matmul_precision or None,
                     quantize=cfg.runtime.quantize_bits if cfg.runtime.quantize else False,
+                    pallas=pallas_opt,
                 )
                 log.info(
                     "loaded TPU runtime model=%s dtype=%s", cfg.paths.model_path, dtype

@@ -46,6 +46,32 @@ def test_batched_matches_single_request(model):
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
 
 
+def test_batched_matches_single_request_pallas(model):
+    """The fused batched decode-attention kernel (interpret mode on CPU)
+    must reproduce the single-runtime audio through the engine, for both
+    the bf16-cache and the int8-KV variants."""
+    single = TPURuntime(model, seed=3, frame_bucket=64)
+    want = single.generate_audio([5, 9, 2], _cfg())
+
+    for kvq in (False, True):
+        batcher = ContinuousBatcher(
+            model,
+            slots=2,
+            prompt_capacity=64,
+            max_frames=64,
+            seed=3,
+            kv_quantize=kvq,
+            pallas=True,
+        )
+        batcher.start()
+        try:
+            got = batcher.generate([5, 9, 2], _cfg(), timeout=120)
+        finally:
+            batcher.stop()
+        atol = 5e-3 if kvq else 1e-4
+        np.testing.assert_allclose(got, want, atol=atol, rtol=1e-2)
+
+
 def test_batched_heterogeneous_requests(model):
     """Concurrent requests with different prompts/lengths each match their
     individual single-request output."""
@@ -572,6 +598,37 @@ def test_service_rejects_tp_without_batch_slots(model, tmp_path):
     cfg.runtime.tp_devices = 2  # batch_slots stays 1
     with pytest.raises(ValueError, match="runtime-batch-slots"):
         Service.from_config(cfg)
+
+
+def test_service_runtime_pallas_flag(model, tmp_path):
+    """`--runtime-pallas on|off|auto` flows to the runtime's transformer
+    config (on = kernel even on CPU, off = never, bogus = clean error)."""
+    from go_pocket_tts_tpu.config import Config
+    from go_pocket_tts_tpu.tts.service import Service
+    from go_pocket_tts_tpu.utils.safetensors import write_file
+
+    model_path = tmp_path / "model.safetensors"
+    write_file(model_path, synthetic.build_checkpoint(ARCH, seed=55))
+    from test_kernel import _tokenizer_bytes
+
+    tok_path = tmp_path / "tokenizer.model"
+    tok_path.write_bytes(_tokenizer_bytes())
+
+    def build(pallas):
+        cfg = Config()
+        cfg.paths.model_path = str(model_path)
+        cfg.paths.tokenizer_model = str(tok_path)
+        cfg.runtime.pallas = pallas
+        return Service.from_config(cfg)
+
+    svc = build("on")
+    assert svc.runtime.model.config.flow_lm.transformer.use_pallas is True
+    svc = build("off")
+    assert svc.runtime.model.config.flow_lm.transformer.use_pallas is False
+    svc = build("auto")  # CPU backend -> auto resolves off
+    assert svc.runtime.model.config.flow_lm.transformer.use_pallas is False
+    with pytest.raises(ValueError, match="runtime-pallas"):
+        build("bogus")
 
 
 def test_service_rejects_kv_quantize_without_batch_slots(model, tmp_path):

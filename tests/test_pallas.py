@@ -64,6 +64,63 @@ def test_pallas_runtime_end_to_end_matches_xla():
     np.testing.assert_allclose(pal, ref, atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize("layer", [0, 1])
+def test_batched_decode_attention_matches_xla(layer):
+    """Per-lane offsets (heterogeneous EOS case): the batched kernel must
+    match attention_with_positions on every lane, incl. offset 0."""
+    from go_pocket_tts_tpu.ops.pallas.batched_decode_attention import (
+        batched_decode_attention,
+    )
+
+    n_layers, b, h, c, d = 2, 4, 2, 32, 16
+    rng = np.random.RandomState(layer)
+    q = jnp.asarray(rng.randn(b, h, 1, d).astype(np.float32))
+    k_cache = jnp.asarray(rng.randn(n_layers, b, h, c, d).astype(np.float32) * 0.3)
+    v_cache = jnp.asarray(rng.randn(n_layers, b, h, c, d).astype(np.float32) * 0.3)
+    offsets = jnp.asarray([0, 5, 17, 31], jnp.int32)
+
+    pos_q = offsets[:, None]
+    pos_k = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32)[None, :], (b, c))
+    want = attention_with_positions(q, k_cache[layer], v_cache[layer], pos_q, pos_k)
+
+    got = batched_decode_attention(
+        q, k_cache, v_cache, offsets, layer=layer, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)
+
+
+def test_batched_decode_attention_int8kv_matches_xla():
+    """INT8-KV variant vs attention_with_positions_int8kv (per-row scales
+    distribute over the dots; the kernel never materializes a dequantized
+    cache)."""
+    from go_pocket_tts_tpu.ops import attention as att
+    from go_pocket_tts_tpu.models.quantize import quantize_kv_rows
+    from go_pocket_tts_tpu.ops.pallas.batched_decode_attention import (
+        batched_decode_attention,
+    )
+
+    n_layers, b, h, c, d = 2, 4, 2, 32, 16
+    layer = 1
+    rng = np.random.RandomState(7)
+    q = jnp.asarray(rng.randn(b, h, 1, d).astype(np.float32))
+    k_rows = jnp.asarray(rng.randn(n_layers, b, h, c, d).astype(np.float32) * 0.3)
+    v_rows = jnp.asarray(rng.randn(n_layers, b, h, c, d).astype(np.float32) * 0.3)
+    kq, ks = quantize_kv_rows(k_rows)
+    vq, vs = quantize_kv_rows(v_rows)
+    offsets = jnp.asarray([2, 9, 0, 31], jnp.int32)
+
+    pos_q = offsets[:, None]
+    pos_k = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32)[None, :], (b, c))
+    want = att.attention_with_positions_int8kv(
+        q, kq[layer], ks[layer], vq[layer], vs[layer], pos_q, pos_k
+    )
+
+    got = batched_decode_attention(
+        q, kq, vq, offsets, k_scale=ks, v_scale=vs, layer=layer, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-3, rtol=5e-3)
+
+
 def test_pallas_default_resolution(monkeypatch):
     """Tri-state ``pallas``: unset -> auto (decode-attention kernel on TPU
     backends and non-f32 dtypes only, never the quantized per-linear
